@@ -1,0 +1,276 @@
+"""Filtered batch top-k cosine search — the reference's core operator
+(`query()`, /root/reference/picovdb/pico_vdb.py:539-775), decomposed per
+SURVEY.md §2.2 into relational stages:
+
+    queries → normalize (Q2) → [ids semi-join Q4] → [where prefilter Q5-Q8]
+            → similarity scan (Q9) → per-query top-k (Q11)
+            → better_than filter (Q13) → projection (Q14)
+
+Two physical strategies for the similarity scan:
+
+- ``method="sql"``: broadcast the (small) query batch and cross-join with
+  the candidate store rows; the dot product is a Catalyst array
+  expression inside whole-stage codegen. Catalyst pushes the metadata
+  prefilters into the Parquet scan; WindowGroupLimit pre-truncates
+  per-partition before the top-k shuffle.
+- ``method="gemm"``: `mapInPandas` over store partitions running one
+  NumPy float64 GEMM per Arrow batch against the broadcast query matrix,
+  emitting only each partition's local top-k (query_id, _id_, score)
+  triples — O(num_q × k) rows per partition into the final shuffle
+  instead of O(num_q × n). Metadata is joined back onto the tiny result.
+  This is the 100 TB path: scan stays columnar, Python sees only
+  (id, vector), shuffle is bounded by k.
+
+Both paths rank on the score ROUNDED to `round_to` decimals (ties broken
+by id) so results are identical across paths and reproducible in the
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from picovdb_spark.functions.vector import dot, l2_normalize
+from picovdb_spark.schema import K_DELETED, K_ID, K_METRICS, K_VECTOR
+
+WhereClause = dict[str, Any] | Column | Callable[[dict], bool] | None
+
+
+def _apply_where(cand: DataFrame, where: WhereClause) -> DataFrame:
+    """Q5/Q6/Q7: metadata prefilter.
+
+    - dict: `{k: v}` equality, `{k: {"$in": [...]}}` membership
+      (pico_vdb.py:615-638) — plain Column predicates, pushed into the scan.
+    - Column: any Spark boolean expression (engine extension).
+    - callable: arbitrary row predicate (pico_vdb.py:643-648) — the UDF
+      slow path; evaluated over a struct of the metadata columns only.
+    """
+    if where is None:
+        return cand
+    if isinstance(where, Column):
+        return cand.filter(where)
+    if isinstance(where, dict):
+        for key, value in where.items():
+            if isinstance(value, dict) and "$in" in value:
+                cand = cand.filter(F.col(key).isin(list(value["$in"])))
+            else:
+                cand = cand.filter(F.col(key) == F.lit(value))
+        return cand
+    if callable(where):
+        meta_cols = [c for c in cand.columns if c not in (K_ID, K_VECTOR, K_DELETED)]
+        pred = F.udf(lambda row: bool(where(row.asDict())), T.BooleanType())
+        return cand.filter(pred(F.struct(*[F.col(c) for c in meta_cols])))
+    raise TypeError(f"unsupported where clause: {type(where)}")
+
+
+def candidate_set(
+    store: DataFrame,
+    *,
+    ids: Iterable[str] | DataFrame | None = None,
+    where: WhereClause = None,
+) -> DataFrame:
+    """Q3-Q8: active rows ∩ ids prefilter ∩ where prefilter."""
+    cand = store
+    if K_DELETED in store.columns:
+        cand = cand.filter(~F.col(K_DELETED))
+    if ids is not None:
+        if not isinstance(ids, DataFrame):
+            ids_df = store.sparkSession.createDataFrame(
+                [(str(i),) for i in ids], schema=f"{K_ID} string"
+            )
+        else:
+            ids_df = ids
+        # Q4: broadcast semi-join — the id list is small by contract.
+        cand = cand.join(F.broadcast(ids_df), on=K_ID, how="left_semi")
+    return _apply_where(cand, where)
+
+
+def _normalized_queries(queries: DataFrame, query_id: str, vector_col: str) -> DataFrame:
+    return queries.select(
+        F.col(query_id).cast("string").alias("query_id"),
+        l2_normalize(F.col(vector_col)).alias("__qv"),
+    )
+
+
+def batch_query(
+    store: DataFrame,
+    queries: DataFrame,
+    *,
+    top_k: int = 10,
+    better_than: float | None = None,
+    where: WhereClause = None,
+    ids: Iterable[str] | DataFrame | None = None,
+    method: str = "sql",
+    normalized: bool = False,
+    round_to: int = 6,
+    query_id: str = "query_id",
+    vector_col: str = K_VECTOR,
+    include_vector: bool = False,
+) -> DataFrame:
+    """Batch filtered top-k cosine search.
+
+    Parameters mirror `PicoVectorDB.query`
+    (/root/reference/picovdb/pico_vdb.py:539-562): `top_k`, `better_than`
+    (post-ranking score threshold), `where` (metadata prefilter), `ids`
+    (candidate id allow-list). `queries` is a DataFrame with columns
+    (`query_id`, `vector_col`).
+
+    Returns (query_id, _id_, <metadata…>, _metrics_, rank) — descending
+    score per query. `_metrics_` is rounded to `round_to` decimals; the
+    adaptive over-fetch of the reference (Q10) is unnecessary here because
+    all filters are applied before the LIMIT.
+    """
+    from picovdb_spark.operators.topk import topk_per_query
+
+    cand = candidate_set(store, ids=ids, where=where)
+    qn = _normalized_queries(queries, query_id, vector_col)
+
+    if method == "gemm":
+        top = _gemm_topk(cand, qn, top_k=top_k, round_to=round_to)
+        meta_cols = [c for c in cand.columns if c not in (K_DELETED,)]
+        if not include_vector:
+            meta_cols = [c for c in meta_cols if c != K_VECTOR]
+        # tiny result (num_q × k rows) joined back to recover metadata
+        out = top.join(cand.select(*meta_cols), on=K_ID, how="inner")
+        ordered = ["query_id", K_ID, *[c for c in meta_cols if c != K_ID], K_METRICS, "rank"]
+        out = out.select(*ordered)
+    elif method == "sql":
+        store_vec = F.col(K_VECTOR) if normalized else l2_normalize(F.col(K_VECTOR))
+        # Broadcast the (small) query batch: BroadcastNestedLoopJoin keeps
+        # the store's partitioning — without it a cross join multiplies
+        # partition counts (n_store × n_query tasks).
+        scored = cand.crossJoin(F.broadcast(qn)).withColumn(
+            K_METRICS, F.round(dot(F.col("__qv"), store_vec), round_to)
+        )
+        out = topk_per_query(scored, top_k).drop("__qv")
+        if not include_vector:
+            out = out.drop(K_VECTOR)
+        out = out.drop(K_DELETED)
+        rest = [c for c in out.columns if c not in ("query_id", K_ID, K_METRICS, "rank")]
+        out = out.select("query_id", K_ID, *rest, K_METRICS, "rank")
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+
+    if better_than is not None:
+        # Q13: post-ranking threshold (pico_vdb.py:765-767)
+        out = out.filter(F.col(K_METRICS) >= F.lit(float(better_than)))
+    return out
+
+
+def query_one(store: DataFrame, vector: list[float], **kwargs: Any) -> DataFrame:
+    """Single-vector sugar over `batch_query`
+    (/root/reference/picovdb/pico_vdb.py:777-796)."""
+    spark = store.sparkSession
+    q = spark.createDataFrame(
+        [("q0", [float(x) for x in vector])],
+        schema=T.StructType(
+            [
+                T.StructField("query_id", T.StringType()),
+                T.StructField(K_VECTOR, T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    return batch_query(store, q, **kwargs)
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    k: int,
+    left_id: str,
+    right_id: str,
+    left_vec: str,
+    right_vec: str,
+    round_to: int = 6,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Brute-force k-nearest-neighbors join on cosine similarity: for each
+    left row, the k most similar right rows. The similarity-search
+    baseline (exact); ANN variants live in operators/ann.py."""
+    from picovdb_spark.operators.topk import topk_per_query
+
+    l = left.select(
+        F.col(left_id).cast("string").alias("query_id"),
+        l2_normalize(F.col(left_vec)).alias("__qv"),
+    )
+    r = right.select(
+        F.col(right_id).cast("string").alias(K_ID),
+        l2_normalize(F.col(right_vec)).alias("__rv"),
+    )
+    pairs = r.crossJoin(F.broadcast(l))
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col(K_ID))
+    scored = pairs.withColumn(K_METRICS, F.round(dot(F.col("__qv"), F.col("__rv")), round_to))
+    return topk_per_query(scored, k).select("query_id", K_ID, K_METRICS, "rank")
+
+
+def _gemm_topk(cand: DataFrame, qn: DataFrame, *, top_k: int, round_to: int) -> DataFrame:
+    """Partition-local NumPy GEMM + local top-k, then global top-k.
+
+    Mirrors the reference's vectorized scan (`scores = Q @ V.T` +
+    argpartition, pico_vdb.py:680-713) but distributed: each partition
+    computes scores for its slice of the store and emits only its local
+    top-k per query, so the shuffle carries O(partitions × num_q × k)
+    rows. The query matrix rides along as a closure → broadcast once per
+    executor, not per task.
+    """
+    import numpy as np
+
+    spark = cand.sparkSession
+    qrows = qn.collect()  # query batch is small by contract (API-level input)
+    if not qrows:
+        return spark.createDataFrame(
+            [], schema=f"query_id string, {K_ID} string, {K_METRICS} double, rank int"
+        )
+    qids = np.array([r["query_id"] for r in qrows], dtype=object)
+    qmat = np.asarray([r["__qv"] for r in qrows], dtype=np.float64)  # (nq, dim)
+    nq = qmat.shape[0]
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.StringType()),
+            T.StructField(K_ID, T.StringType()),
+            T.StructField(K_METRICS, T.DoubleType()),
+        ]
+    )
+
+    def score_partition(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        b_qids, b_qmat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vmat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[K_VECTOR]])
+            norms = np.sqrt((vmat * vmat).sum(axis=1))
+            zero = norms == 0.0
+            if zero.any():  # zero vector ⇒ e₀ (store invariant, pico_vdb.py:62-67)
+                vmat[zero] = 0.0
+                vmat[zero, 0] = 1.0
+                norms[zero] = 1.0
+            vmat /= norms[:, None]
+            scores = np.round(b_qmat @ vmat.T, round_to)  # (nq, n_part)
+            n = scores.shape[1]
+            kk = min(top_k, n)
+            # partial top-k per query (argpartition ≈ pico_vdb.py:705-707)
+            idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            rows_id = pdf[K_ID].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(b_qids, kk),
+                    K_ID: rows_id[idx.ravel()],
+                    K_METRICS: np.take_along_axis(scores, idx, axis=1).ravel(),
+                }
+            )
+
+    local = cand.select(K_ID, K_VECTOR).mapInPandas(score_partition, schema=out_schema)
+    from picovdb_spark.operators.topk import topk_per_query
+
+    return topk_per_query(local, top_k)

@@ -1,0 +1,44 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference resolves tunables as arg > env > default
+(/root/reference/picovdb/pico_vdb.py:146-212); here the same role is
+played by Spark confs, overridable via env or builder kwargs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] test harness; on a real cluster the
+# same confs are what you'd tune (shuffle partitions ≈ 2-3× total cores,
+# AQE coalesces them down at runtime).
+_DEFAULT_CONFS = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "picovdb_spark", **confs: str) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    merged = {**_DEFAULT_CONFS, **confs}
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_for_oracle(spark: SparkSession) -> SparkSession:
+    """Settings required for bit-compatible comparison with the DuckDB
+    oracle (driver-owned sessions may not have them)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -1,0 +1,324 @@
+"""`VectorStore` — the picovdb API surface re-expressed over DataFrames.
+
+Reference API (/root/reference/picovdb/pico_vdb.py:105-1011, SURVEY.md §2.1):
+construct/open, upsert, delete, query/query_one, get/get_all, count,
+capacity, stats, vacuum, save/load, additional_data.
+
+Design stance (SURVEY.md §7.0): the store *is* a DataFrame with schema
+(_id_ string, _vector_ array<float>, _deleted_ boolean, <metadata…>).
+Every method composes lazily; mutations produce a new DataFrame (MVCC by
+immutability — the reference's RW-lock, pico_vdb.py:1019-1063, has no
+Spark equivalent because snapshots are free). At cluster scale `upsert`
+is the classic MERGE shape (left join + unionByName); on Delta/Iceberg
+the same logical op is `MERGE INTO` — here it is expressed with joins so
+it runs on plain Parquet.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Iterable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from picovdb_spark.functions.vector import assert_dim, auto_id, l2_normalize
+from picovdb_spark.schema import K_DELETED, K_ID, K_METRICS, K_VECTOR
+
+_RESERVED = (K_ID, K_VECTOR, K_DELETED)
+
+
+class VectorStore:
+    """Open-or-init semantics mirror `PicoVectorDB.__init__`
+    (pico_vdb.py:105-214): if `storage_path` holds a saved store, load it;
+    otherwise start empty with the declared `embedding_dim`."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        embedding_dim: int,
+        storage_path: str | None = None,
+        *,
+        checkpoint_mutations: bool = True,
+    ):
+        self.spark = spark
+        self.dim = int(embedding_dim)
+        self.storage_path = storage_path
+        self._checkpoint = checkpoint_mutations
+        self._additional: dict[str, Any] = {}
+        if storage_path and os.path.exists(os.path.join(storage_path, "meta.json")):
+            self._load(storage_path)
+        else:
+            self._df = spark.createDataFrame([], schema=self._base_schema())
+
+    # ------------------------------------------------------------------ infra
+
+    def _base_schema(self) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(K_ID, T.StringType(), False),
+                T.StructField(K_VECTOR, T.ArrayType(T.FloatType()), False),
+                T.StructField(K_DELETED, T.BooleanType(), False),
+            ]
+        )
+
+    @property
+    def df(self) -> DataFrame:
+        """The store as a DataFrame (all rows, incl. tombstones)."""
+        return self._df
+
+    def active(self) -> DataFrame:
+        return self._df.filter(~F.col(K_DELETED))
+
+    def _set(self, df: DataFrame) -> None:
+        # Truncate lineage after each mutation so chained upsert/delete
+        # don't grow an unbounded plan (the Delta-table analog of commit).
+        self._df = df.localCheckpoint(eager=True) if self._checkpoint else df
+
+    # ---------------------------------------------------------------- mutation
+
+    def upsert(self, items: list[dict] | DataFrame) -> dict[str, list[str]]:
+        """Batch insert-or-update by id (pico_vdb.py:403-498).
+
+        - validates vector dim (fail-fast, :413-421)
+        - L2-normalizes vectors; zero ⇒ e₀ (:422)
+        - records without `_id_` get the content-hash auto-id (:424-426),
+          so re-upserting an identical vector updates instead of duplicating
+        - returns `{"update": [ids...], "insert": [ids...]}` (:408)
+
+        Upserting an id that was tombstoned revives the slot — the Spark
+        analog of free-slot reuse (:434-439).
+        """
+        batch = self._items_to_df(items) if not isinstance(items, DataFrame) else items
+        if K_ID not in batch.columns:
+            batch = batch.withColumn(K_ID, F.lit(None).cast("string"))
+        batch = batch.withColumn(
+            K_VECTOR, l2_normalize(assert_dim(F.col(K_VECTOR), self.dim)).cast("array<float>")
+        )
+        batch = batch.withColumn(
+            K_ID, F.coalesce(F.col(K_ID).cast("string"), auto_id(F.col(K_VECTOR)))
+        )
+        # last-wins within the batch for duplicate ids
+        w_dedup = F.row_number().over(
+            Window.partitionBy(K_ID).orderBy(F.monotonically_increasing_id().desc())
+        )
+        batch = batch.withColumn("__rn", w_dedup).filter(F.col("__rn") == 1).drop("__rn")
+        batch = batch.withColumn(K_DELETED, F.lit(False))
+
+        existing = self._df
+        # align schemas (schemaless metadata: new keys become new columns)
+        for c in batch.columns:
+            if c not in existing.columns:
+                existing = existing.withColumn(c, F.lit(None).cast(batch.schema[c].dataType))
+        for c in existing.columns:
+            if c not in batch.columns:
+                batch = batch.withColumn(c, F.lit(None).cast(existing.schema[c].dataType))
+        cols = existing.columns
+
+        batch = batch.cache()
+        existing_ids = existing.select(K_ID)
+        updated = [r[0] for r in batch.select(K_ID).join(existing_ids, K_ID, "left_semi").collect()]
+        inserted = [r[0] for r in batch.select(K_ID).join(existing_ids, K_ID, "left_anti").collect()]
+
+        merged = existing.join(batch.select(K_ID), K_ID, "left_anti").select(*cols).unionByName(
+            batch.select(*cols)
+        )
+        self._set(merged)
+        return {"update": sorted(updated), "insert": sorted(inserted)}
+
+    def delete(self, ids: Iterable[str]) -> list[str]:
+        """Tombstone rows by id; returns ids actually removed
+        (pico_vdb.py:514-537). Rows stay until `vacuum()`."""
+        id_list = [str(i) for i in ids]
+        removed = [
+            r[0]
+            for r in self.active().filter(F.col(K_ID).isin(id_list)).select(K_ID).collect()
+        ]
+        self._set(
+            self._df.withColumn(
+                K_DELETED,
+                F.when(F.col(K_ID).isin(id_list), F.lit(True)).otherwise(F.col(K_DELETED)),
+            )
+        )
+        return sorted(removed)
+
+    def vacuum(self) -> int:
+        """Physically drop tombstones (pico_vdb.py:831-853); returns the
+        number of rows compacted away."""
+        n = self._df.filter(F.col(K_DELETED)).count()
+        self._set(self._df.filter(~F.col(K_DELETED)))
+        return n
+
+    # ----------------------------------------------------------------- queries
+
+    def query(self, queries: DataFrame | list, **kwargs: Any) -> DataFrame:
+        """Batch filtered top-k cosine search; see operators/similarity.py.
+        Stored vectors are unit-normalized on ingest, so scoring skips
+        re-normalization (`normalized=True`)."""
+        from picovdb_spark.operators.similarity import batch_query
+
+        if not isinstance(queries, DataFrame):
+            rows = [(str(i), [float(x) for x in v]) for i, v in enumerate(queries)]
+            queries = self.spark.createDataFrame(
+                rows,
+                schema=T.StructType(
+                    [
+                        T.StructField("query_id", T.StringType()),
+                        T.StructField(K_VECTOR, T.ArrayType(T.FloatType())),
+                    ]
+                ),
+            )
+        kwargs.setdefault("normalized", True)
+        return batch_query(self._df, queries, **kwargs)
+
+    def query_one(self, vector: list[float], **kwargs: Any) -> DataFrame:
+        return self.query([vector], **kwargs)
+
+    def get(self, ids: str | list[str], include_vector: bool = False) -> DataFrame:
+        """Point lookup by id(s); missing ids are skipped
+        (pico_vdb.py:927-957). An isin-filter compiles to Parquet
+        row-group pruning — no shuffle."""
+        id_list = [str(ids)] if isinstance(ids, str) else [str(i) for i in ids]
+        out = self.active().filter(F.col(K_ID).isin(id_list))
+        return self._project(out, include_vector)
+
+    def get_all(self, include_vector: bool = False, include_deleted: bool = False) -> DataFrame:
+        """Full scan of active rows; `include_deleted` appends id-only
+        placeholder rows for tombstones (pico_vdb.py:976-1011)."""
+        out = self._project(self.active(), include_vector)
+        if include_deleted:
+            ph = self._df.filter(F.col(K_DELETED)).select(K_ID)
+            for c in out.columns:
+                if c != K_ID:
+                    ph = ph.withColumn(c, F.lit(None).cast(out.schema[c].dataType))
+            out = out.unionByName(ph.select(*out.columns))
+        return out
+
+    def _project(self, df: DataFrame, include_vector: bool) -> DataFrame:
+        cols = [c for c in df.columns if c != K_DELETED and (include_vector or c != K_VECTOR)]
+        return df.select(*cols)
+
+    # ------------------------------------------------------------------- stats
+
+    def count(self) -> int:
+        """COUNT of active rows (pico_vdb.py:325-328)."""
+        return self.active().count()
+
+    def capacity(self) -> int:
+        """Total slots including tombstones (pico_vdb.py:317-323)."""
+        return self._df.count()
+
+    def __len__(self) -> int:
+        return self.count()
+
+    def stats(self) -> dict[str, Any]:
+        """One aggregate pass: active/deleted/total/dim (pico_vdb.py:798-829)."""
+        row = self._df.agg(
+            F.count("*").alias("total"),
+            F.sum(F.col(K_DELETED).cast("int")).alias("deleted"),
+        ).first()
+        total = row["total"] or 0
+        deleted = row["deleted"] or 0
+        return {
+            "active": total - deleted,
+            "deleted": deleted,
+            "total": total,
+            "dim": self.dim,
+            "storage_path": self.storage_path,
+        }
+
+    # ------------------------------------------------------------- persistence
+
+    def save(self, path: str | None = None) -> str:
+        """Atomic persist (pico_vdb.py:330-393): write to a staging dir,
+        then rename into place — the Spark analog of tmp+os.replace.
+        Layout: `{path}/vectors.parquet` + `{path}/meta.json`."""
+        path = path or self.storage_path
+        if not path:
+            raise ValueError("no storage path configured")
+        staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(staging, exist_ok=True)
+        try:
+            self._df.write.mode("overwrite").parquet(os.path.join(staging, "vectors.parquet"))
+            meta = {
+                "embedding_dim": self.dim,
+                "additional_data": self._additional,
+                "schema": self._df.schema.json(),
+            }
+            with open(os.path.join(staging, "meta.json"), "w") as f:
+                json.dump(meta, f)
+            if os.path.exists(path):
+                old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+                os.replace(path, old)
+                os.replace(staging, path)
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.replace(staging, path)
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        self.storage_path = path
+        return path
+
+    def _load(self, path: str) -> None:
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        if int(meta["embedding_dim"]) != self.dim:
+            # dim mismatch on load ⇒ the persisted store wins (the
+            # reference rebuilds its index instead, pico_vdb.py:265-280)
+            self.dim = int(meta["embedding_dim"])
+        self._additional = meta.get("additional_data", {})
+        self._df = self.spark.read.parquet(os.path.join(path, "vectors.parquet"))
+
+    def flush(self) -> None:
+        """No-op for parity (memmap flush, pico_vdb.py:395-401)."""
+
+    # -------------------------------------------------------- additional data
+
+    def store_additional_data(self, **kw: Any) -> None:
+        self._additional.update(kw)
+
+    def get_additional_data(self) -> dict[str, Any]:
+        return dict(self._additional)
+
+    # ------------------------------------------------------------------ helpers
+
+    def _items_to_df(self, items: list[dict]) -> DataFrame:
+        meta_keys: list[str] = []
+        for it in items:
+            for k in it:
+                if k not in (K_ID, K_VECTOR, K_METRICS) and k not in meta_keys:
+                    meta_keys.append(k)
+        rows = [
+            tuple(
+                [
+                    str(it[K_ID]) if K_ID in it and it[K_ID] is not None else None,
+                    [float(x) for x in it[K_VECTOR]],
+                ]
+                + [it.get(k) for k in meta_keys]
+            )
+            for it in items
+        ]
+        fields = [
+            T.StructField(K_ID, T.StringType(), True),
+            T.StructField(K_VECTOR, T.ArrayType(T.FloatType()), False),
+        ]
+        for k in meta_keys:
+            sample = next((it[k] for it in items if it.get(k) is not None), None)
+            fields.append(T.StructField(k, _infer_type(sample), True))
+        return self.spark.createDataFrame(rows, schema=T.StructType(fields))
+
+
+def _infer_type(sample: Any) -> T.DataType:
+    if isinstance(sample, bool):
+        return T.BooleanType()
+    if isinstance(sample, int):
+        return T.LongType()
+    if isinstance(sample, float):
+        return T.DoubleType()
+    return T.StringType()

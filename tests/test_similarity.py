@@ -1,0 +1,148 @@
+"""Core operator tests: filtered batch top-k cosine search.
+
+Mirrors the reference's dual-path equivalence strategy (SURVEY.md §5):
+SQL-expression path == GEMM path == independent NumPy oracle, on the
+driver-generated deterministic testdata.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from picovdb_spark.operators.similarity import batch_query, knn_join, query_one
+from picovdb_spark.schema import K_ID, K_METRICS, load_embeddings_store, load_table
+
+
+@pytest.fixture(scope="module")
+def store(spark, sf_dir):
+    return load_embeddings_store(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").alias("_vector_"),
+    )
+
+
+@pytest.fixture(scope="module")
+def np_data(sf_dir):
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    labels = np.array([r[2] for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat, labels
+
+
+def np_topk(np_data, qid, k=10, label_eq=None):
+    """Independent oracle: rank by (rounded score desc, id-string asc)."""
+    ids, mat, labels = np_data
+    q = mat[list(ids).index(qid)]
+    scores = np.round(mat @ q, 6)
+    mask = np.ones(len(ids), dtype=bool)
+    if label_eq is not None:
+        mask &= labels == label_eq
+    cand = [(scores[i], str(ids[i])) for i in range(len(ids)) if mask[i]]
+    cand.sort(key=lambda t: (-t[0], t[1]))
+    return cand[:k]
+
+
+def test_sql_path_matches_numpy_oracle(store, queries, np_data):
+    res = batch_query(store, queries, top_k=10).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append((r[K_METRICS], r[K_ID], r["rank"]))
+    assert set(by_q) == {str(i) for i in range(8)}
+    for qid_s, hits in by_q.items():
+        hits.sort(key=lambda t: t[2])
+        expected = np_topk(np_data, int(qid_s), k=10)
+        assert [(h[1], h[0]) for h in hits] == [(i, s) for s, i in expected]
+        # self-match scores ~1.0 at rank 1 (store invariant)
+        assert hits[0][1] == qid_s and hits[0][0] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_gemm_path_equals_sql_path(store, queries):
+    a = batch_query(store, queries, top_k=10, method="sql")
+    b = batch_query(store, queries, top_k=10, method="gemm")
+    ka = {(r["query_id"], r[K_ID], r[K_METRICS], r["rank"]) for r in a.collect()}
+    kb = {(r["query_id"], r[K_ID], r[K_METRICS], r["rank"]) for r in b.collect()}
+    assert ka == kb
+    assert sorted(a.columns) == sorted(b.columns)
+
+
+def test_where_eq_prefilter(store, queries, np_data):
+    res = batch_query(store, queries, top_k=5, where={"label": 3}).collect()
+    assert res and all(r["label"] == 3 for r in res)
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append((r[K_METRICS], r[K_ID]))
+    for qid_s, hits in by_q.items():
+        hits.sort(key=lambda t: (-t[0], t[1]))
+        assert hits == np_topk(np_data, int(qid_s), k=5, label_eq=3)
+
+
+def test_where_in_prefilter(store, queries):
+    res = batch_query(store, queries, top_k=5, where={"label": {"$in": [1, 2]}}).collect()
+    assert res and all(r["label"] in (1, 2) for r in res)
+
+
+def test_where_callable_equals_dict(store, queries):
+    """Q7: arbitrary Python predicate ≡ dict where (pico_vdb.py:643-648;
+    mirrors tests/test_task34_prefilter.py equivalence)."""
+    a = batch_query(store, queries, top_k=5, where={"label": 3})
+    b = batch_query(store, queries, top_k=5, where=lambda m: m["label"] == 3)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_ids_prefilter(store, queries):
+    allow = [str(i) for i in range(50)]
+    res = batch_query(store, queries, top_k=5, ids=allow).collect()
+    assert res and all(r[K_ID] in set(allow) for r in res)
+    # missing ids silently dropped (pico_vdb.py:606-612)
+    res2 = batch_query(store, queries, top_k=5, ids=["1", "2", "999999999"]).collect()
+    assert all(r[K_ID] in {"1", "2"} for r in res2)
+
+
+def test_ids_and_where_conjunction(store, queries):
+    allow = [str(i) for i in range(100)]
+    res = batch_query(store, queries, top_k=10, ids=allow, where={"label": 5}).collect()
+    assert all(r[K_ID] in set(allow) and r["label"] == 5 for r in res)
+
+
+def test_better_than_threshold(store, queries):
+    res = batch_query(store, queries, top_k=10, better_than=0.5).collect()
+    assert all(r[K_METRICS] >= 0.5 for r in res)
+    # every query keeps its self-match (score 1.0)
+    assert {r["query_id"] for r in res} == {str(i) for i in range(8)}
+
+
+def test_query_one_unwraps_single_vector(store, spark, sf_dir):
+    vec = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).first()["embedding"]
+    res = query_one(store, list(vec), top_k=3).collect()
+    assert len(res) == 3
+    assert res[0][K_ID] == "0" if res[0]["rank"] == 1 else True
+    ranks = sorted(r["rank"] for r in res)
+    assert ranks == [1, 2, 3]
+
+
+def test_empty_candidate_set_yields_no_rows(store, queries):
+    """Q3: empty store early-out ≡ empty result, no error."""
+    res = batch_query(store, queries, top_k=5, where={"label": -42}).collect()
+    assert res == []
+
+
+def test_knn_join_self(store, spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    res = knn_join(
+        emb, emb, k=3, left_id="vec_id", right_id="vec_id",
+        left_vec="embedding", right_vec="embedding", exclude_self=True,
+    ).collect()
+    assert len(res) == 20 * 3
+    assert all(r["query_id"] != r[K_ID] for r in res)

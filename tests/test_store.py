@@ -1,0 +1,163 @@
+"""VectorStore CRUD/persistence tests — mirrors the reference's operator
+unit tests (SURVEY.md §5: tests/test_pico_vdb.py, test_more.py,
+test_task8_count_and_size.py, test_task5_zero_vector_normalization.py).
+
+Deterministic fixtures use orthonormal basis vectors (np.eye), the
+reference's own technique (test_task14_faiss_vs_numpy_results.py:11-13).
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from picovdb_spark.schema import K_ID, K_METRICS, K_VECTOR
+from picovdb_spark.store import VectorStore
+
+DIM = 8
+
+
+def basis(i):
+    v = [0.0] * DIM
+    v[i] = 1.0
+    return v
+
+
+@pytest.fixture()
+def store(spark):
+    s = VectorStore(spark, DIM)
+    s.upsert(
+        [
+            {K_ID: f"v{i}", K_VECTOR: basis(i), "cat": "even" if i % 2 == 0 else "odd", "n": i}
+            for i in range(DIM)
+        ]
+    )
+    return s
+
+
+def test_upsert_report_insert_then_update(store):
+    rep = store.upsert([{K_ID: "v0", K_VECTOR: basis(1)}, {K_ID: "new", K_VECTOR: basis(2)}])
+    assert rep == {"update": ["v0"], "insert": ["new"]}
+    assert store.count() == DIM + 1
+    # v0's vector was overwritten in place (pico_vdb.py:428-432)
+    row = store.get("v0", include_vector=True).first()
+    assert row[K_VECTOR][1] == pytest.approx(1.0)
+
+
+def test_upsert_normalizes_vectors(store):
+    store.upsert([{K_ID: "big", K_VECTOR: [3.0, 4.0] + [0.0] * (DIM - 2)}])
+    v = store.get("big", include_vector=True).first()[K_VECTOR]
+    assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-6)
+    assert v[0] == pytest.approx(0.6) and v[1] == pytest.approx(0.8)
+
+
+def test_auto_id_content_dedup(spark):
+    """Identical vectors without _id_ get identical content-hash ids, so
+    re-upsert is an update, not a duplicate (pico_vdb.py:54-55,424-426;
+    reference test tests/test_pico_vdb.py:69-85)."""
+    s = VectorStore(spark, DIM)
+    r1 = s.upsert([{K_VECTOR: basis(0)}])
+    r2 = s.upsert([{K_VECTOR: basis(0)}])
+    assert r1["insert"] == r2["update"] and len(r1["insert"]) == 1
+    assert s.count() == 1
+    # scaled copies normalize to the same unit vector ⇒ same id
+    r3 = s.upsert([{K_VECTOR: [x * 7.5 for x in basis(0)]}])
+    assert r3["update"] == r1["insert"]
+
+
+def test_zero_vector_maps_to_e0(spark):
+    """Zero vectors deterministically map to e₀ (pico_vdb.py:62-67)."""
+    s = VectorStore(spark, DIM)
+    s.upsert([{K_ID: "z", K_VECTOR: [0.0] * DIM}])
+    v = s.get("z", include_vector=True).first()[K_VECTOR]
+    assert v == [1.0] + [0.0] * (DIM - 1)
+    hit = s.query_one([0.0] * DIM, top_k=1).first()
+    assert hit[K_ID] == "z" and hit[K_METRICS] == pytest.approx(1.0)
+
+
+def test_dim_validation_raises(spark):
+    s = VectorStore(spark, DIM)
+    with pytest.raises(Exception, match="dim mismatch"):
+        s.upsert([{K_ID: "bad", K_VECTOR: [1.0, 2.0]}])
+
+
+def test_delete_and_tombstones(store):
+    removed = store.delete(["v0", "v1", "nope"])
+    assert removed == ["v0", "v1"]
+    assert store.count() == DIM - 2
+    assert store.capacity() == DIM
+    # deleted rows never appear in query results (pico_vdb.py:744,763-764)
+    res = store.query([basis(0)], top_k=DIM).collect()
+    assert all(r[K_ID] not in ("v0", "v1") for r in res)
+    # delete is idempotent: second delete reports nothing removed
+    assert store.delete(["v0"]) == []
+
+
+def test_upsert_revives_tombstone(store):
+    store.delete(["v3"])
+    rep = store.upsert([{K_ID: "v3", K_VECTOR: basis(3)}])
+    assert rep["update"] == ["v3"] or rep["insert"] == ["v3"]
+    assert store.count() == DIM
+    assert store.get("v3").count() == 1
+
+
+def test_get_and_get_all(store):
+    assert store.get("v2").first()["n"] == 2
+    assert store.get(["v1", "v2", "missing"]).count() == 2
+    assert K_VECTOR not in store.get("v1").columns
+    assert K_VECTOR in store.get("v1", include_vector=True).columns
+    store.delete(["v5"])
+    alive = store.get_all()
+    assert alive.count() == DIM - 1
+    withdel = store.get_all(include_deleted=True)
+    assert withdel.count() == DIM
+    ph = withdel.filter(F.col(K_ID) == "v5").first()
+    assert ph["n"] is None  # placeholder row: id only (pico_vdb.py:996-1003)
+
+
+def test_stats_and_vacuum(store):
+    store.delete(["v0"])
+    st = store.stats()
+    assert st["active"] == DIM - 1 and st["deleted"] == 1 and st["total"] == DIM
+    assert st["dim"] == DIM
+    assert store.vacuum() == 1
+    st2 = store.stats()
+    assert st2["deleted"] == 0 and st2["total"] == DIM - 1
+    assert len(store) == DIM - 1
+
+
+def test_save_load_roundtrip(store, spark, tmp_path):
+    store.delete(["v7"])
+    store.store_additional_data(note="hello", version=2)
+    path = str(tmp_path / "vstore")
+    store.save(path)
+    s2 = VectorStore(spark, DIM, storage_path=path)
+    assert s2.count() == store.count()
+    assert s2.capacity() == store.capacity()
+    assert s2.get_additional_data() == {"note": "hello", "version": 2}
+    a = sorted(tuple(r) for r in store.get_all(include_vector=True).collect())
+    b = sorted(tuple(r) for r in s2.get_all(include_vector=True).collect())
+    assert a == b
+    # save is atomic: a second save replaces in place
+    s2.upsert([{K_ID: "extra", K_VECTOR: basis(0)}])
+    s2.save()
+    s3 = VectorStore(spark, DIM, storage_path=path)
+    assert s3.count() == store.count() + 1
+
+
+def test_query_with_filters_on_store(store):
+    res = store.query([basis(2)], top_k=3, where={"cat": "even"}).collect()
+    assert res and all(r["cat"] == "even" for r in res)
+    assert res[0][K_ID] == "v2" and res[0][K_METRICS] == pytest.approx(1.0)
+    res2 = store.query([basis(2)], top_k=5, ids=["v1", "v2"]).collect()
+    assert {r[K_ID] for r in res2} == {"v1", "v2"}
+
+
+def test_schemaless_metadata_new_keys(store):
+    """New metadata keys on later upserts become columns; old rows read
+    NULL (dynamic metadata, pico_vdb.py:423)."""
+    store.upsert([{K_ID: "tagged", K_VECTOR: basis(4), "extra_key": "x"}])
+    assert "extra_key" in store.df.columns
+    assert store.get("v1").first()["extra_key"] is None
+    assert store.get("tagged").first()["extra_key"] == "x"
