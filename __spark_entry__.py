@@ -333,3 +333,340 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
+
+
+# ===================================================================
+# LLM-data-pipeline operators (dedup / text analysis / events) —
+# the scale-out extensions mandated by BASELINE.json's north star.
+# ===================================================================
+
+from picovdb_spark.operators.dedup import (  # noqa: E402
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from picovdb_spark.operators.textops import (  # noqa: E402
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+
+# Shared DuckDB fragments mirroring functions/text.py kernels exactly.
+_D_TOK = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+_D_SHING = (
+    "list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+_D_TOKSHING_CTE = f"""
+tok AS (SELECT doc_id, {_D_TOK} AS t FROM documents),
+shing AS (SELECT doc_id, {_D_SHING} AS sh FROM tok)
+"""
+
+
+def _d_hash32(e: str) -> str:
+    return f"('0x' || substr(md5({e}), 1, 8))::BIGINT"
+
+
+def _d_jaccard(a: str, b: str) -> str:
+    return (
+        f"round(CAST(len(list_intersect({a}, {b})) AS DOUBLE) / "
+        f"len(list_distinct(list_concat({a}, {b}))), 6)"
+    )
+
+
+@_register(
+    "dedup_exact",
+    """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+FROM documents
+""",
+)
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (generalizes auto-id dedup,
+    pico_vdb.py:54-55)."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rows = num_hashes // bands
+    sig_cols = ",\n  ".join(
+        "list_min(list_transform(sh, s -> {h})) AS mh{i}".format(
+            h=_d_hash32(f"'{i}:' || s"), i=i
+        )
+        for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_idx, md5(concat_ws(',', {cols})) AS band FROM sigs".format(
+            b=b,
+            cols=", ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {_D_TOKSHING_CTE},
+sigs AS (SELECT doc_id, {sig_cols} FROM shing),
+bandrows AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandrows a JOIN bandrows b
+    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+),
+ver AS (
+  SELECT c.id_a, c.id_b, {_d_jaccard('sa.sh', 'sb.sh')} AS jaccard
+  FROM cand c
+  JOIN shing sa ON sa.doc_id = c.id_a
+  JOIN shing sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= {threshold}
+"""
+
+
+@_register("dedup_minhash_lsh", _minhash_oracle())
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle → minhash → band → bucket-join
+    → exact-Jaccard verify)."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_D_TOKSHING_CTE},
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_d_jaccard('a.sh', 'b.sh')} AS jaccard
+  FROM shing a JOIN shing b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+""",
+)
+def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs word-3-gram Jaccard — the brute-force dedup baseline."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+_SIMHASH_ORACLE = f"""
+WITH {_D_TOKSHING_CTE},
+expl AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h FROM expl),
+votes AS (
+  SELECT doc_id, r.b, sum(CASE WHEN (h >> CAST(r.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hs, range(0, 48) r(b)
+  GROUP BY doc_id, r.b
+),
+sim AS (
+  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, simhash, r.i AS block_idx, (simhash >> CAST(r.i * 6 AS INTEGER)) & 63 AS block
+  FROM sim, range(0, 8) r(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sha, b.simhash AS shb
+  FROM blocks a JOIN blocks b
+    ON a.block_idx = b.block_idx AND a.block = b.block AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sha, shb)) <= 7
+"""
+
+
+@_register("dedup_simhash", _SIMHASH_ORACLE)
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit shingle SimHash near-dup pairs via pigeonhole block join."""
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "dedup_embedding_cosine",
+    """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
+""",
+)
+def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold self-join)."""
+    return embedding_near_dup(load_table(spark, sf_dir, "embeddings"))
+
+
+# ----------------------------------------------------------------- text analysis
+
+@_register(
+    "text_token_stats",
+    f"""
+WITH tok AS (SELECT doc_id, text, {_D_TOK} AS t FROM documents)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_distinct,
+       len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars,
+       round(CAST(length(text) AS DOUBLE) / len(t), 6) AS chars_per_token
+FROM tok
+""",
+)
+def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex)."""
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    from picovdb_spark.functions.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    score_cols = ",\n  ".join(
+        "len(list_filter(t, x -> list_contains({lst}, x))) AS s_{lang}".format(
+            lst="[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]", lang=lang
+        )
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH tok AS (SELECT doc_id, {_D_TOK} AS t FROM documents),
+sc AS (SELECT doc_id, {score_cols} FROM tok)
+SELECT doc_id, {case} AS pred_lang, {best} AS score FROM sc
+"""
+
+
+@_register("text_lang_id", _langid_oracle())
+def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID heuristic."""
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_oracle() -> str:
+    from picovdb_spark.functions.text import STOPWORDS
+
+    en = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    return f"""
+WITH tok AS (SELECT doc_id, {_D_TOK} AS t FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(t) AS DOUBLE) AS n,
+         CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dr,
+         CAST(len(list_filter(t, x -> list_contains({en}, x))) AS DOUBLE) / len(t) AS sw
+  FROM tok
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       round(dr, 6) AS distinct_ratio,
+       round(sw, 6) AS stopword_ratio,
+       round(0.4 * least(n / 256.0, 1.0) + 0.4 * dr + 0.2 * least(sw * 5.0, 1.0), 6) AS quality
+FROM m
+"""
+
+
+@_register("text_quality_score", _quality_oracle())
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/diversity/stopword quality heuristic."""
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "text_fingerprint",
+    f"""
+WITH {_D_TOKSHING_CTE},
+h AS (SELECT doc_id, sh, list_sort(list_transform(sh, s -> {_d_hash32('s')})) AS hs FROM shing)
+SELECT doc_id,
+       md5(array_to_string(list_transform(hs[1:8], x -> CAST(x AS VARCHAR)), ',')) AS fingerprint,
+       len(sh) AS n_shingles
+FROM h
+""",
+)
+def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k shingle-hash document fingerprint."""
+    return doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------------- events ops
+
+@_register(
+    "events_window_agg",
+    """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def _events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation over the event stream — the
+    batch twin of the Structured Streaming query in streaming/ (same
+    logical plan; streaming adds a watermark)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "events_sessionize",
+    """
+WITH base AS (
+  SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS se FROM events
+),
+lagged AS (
+  SELECT user_id, ts, se,
+         CASE WHEN lag(se) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR se - lag(se) OVER (PARTITION BY user_id ORDER BY ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM base
+),
+sess AS (
+  SELECT user_id, se,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+  FROM lagged
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(se) AS start_epoch,
+       max(se) AS end_epoch
+FROM sess GROUP BY user_id, session_no
+""",
+)
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum."""
+    from pyspark.sql import Window as W
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    lagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = lagged.withColumn(
+        "session_no", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n"),
+        F.unix_timestamp(F.min("ts")).alias("start_epoch"),
+        F.unix_timestamp(F.max("ts")).alias("end_epoch"),
+    ).withColumnRenamed("n", "n_events")

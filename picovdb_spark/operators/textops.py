@@ -1,0 +1,113 @@
+"""Text-analysis operators over the `documents` table: language ID,
+quality scoring, token counting, document fingerprinting.
+
+These are the per-document map-side operators of an LLM data pipeline:
+no shuffles at all (pure projections — they scale linearly and pipeline
+with any downstream dedup/filter stage). All expressions are built-in
+Catalyst string/array functions; every one has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from picovdb_spark.functions.text import (
+    BPE_TOKEN_RE,
+    STOPWORDS,
+    md5_hash32,
+    tokens,
+    word_shingles,
+)
+
+
+def token_stats(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", round_to: int = 6
+) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, a BPE-ish
+    regex token count, chars, and mean token length."""
+    t = tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)).cast("long").alias("n_bpe_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.round(
+            F.length(F.col(text_col)).cast("double") / F.size(t).cast("double"), round_to
+        ).alias("chars_per_token"),
+    )
+
+
+def _stopword_hits(t: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+
+
+def lang_id(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """N-gram-heuristic language ID: count stopword hits per language
+    profile; predict the argmax (ties broken by language code ascending,
+    'und' when nothing matches)."""
+    t = tokens(F.col(text_col))
+    scored = docs.select(
+        F.col(id_col),
+        *[_stopword_hits(t, ws).alias(f"__s_{lang}") for lang, ws in sorted(STOPWORDS.items())],
+    )
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"__s_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # ascending priority on ties
+        pred = F.when((best > 0) & (F.col(f"__s_{lang}") == best), F.lit(lang)).otherwise(pred)
+    return scored.select(F.col(id_col), pred.alias("pred_lang"), best.cast("long").alias("score"))
+
+
+def quality_score(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", round_to: int = 6
+) -> DataFrame:
+    """Heuristic quality score in [0,1]:
+    0.4·min(n_tokens/256, 1)  (length)  +
+    0.4·(distinct/total tokens)  (lexical diversity)  +
+    0.2·min(stopword_ratio·5, 1)  (natural-language prior).
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t).cast("double")
+    distinct_ratio = F.size(F.array_distinct(t)).cast("double") / n
+    sw = _stopword_hits(t, STOPWORDS["en"]).cast("double") / n
+    score = (
+        F.lit(0.4) * F.least(n / F.lit(256.0), F.lit(1.0))
+        + F.lit(0.4) * distinct_ratio
+        + F.lit(0.2) * F.least(sw * 5.0, F.lit(1.0))
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.round(distinct_ratio, round_to).alias("distinct_ratio"),
+        F.round(sw, round_to).alias("stopword_ratio"),
+        F.round(score, round_to).alias("quality"),
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    k: int = 8,
+) -> DataFrame:
+    """Bottom-k document fingerprint: the k smallest md5-derived shingle
+    hashes, sorted, digested to one md5 — a compact content signature
+    (equal fingerprints ⇒ near-identical shingle sets). The rolling-hash
+    analog of the reference's content-hash auto-id, at document scope."""
+    sh = word_shingles(F.col(text_col), shingle_n)
+    hashes = F.array_sort(F.transform(sh, lambda s: md5_hash32(s)))
+    bottom = F.slice(hashes, 1, k)
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(",", F.transform(bottom, lambda h: h.cast("string")))).alias(
+            "fingerprint"
+        ),
+        F.size(sh).cast("long").alias("n_shingles"),
+    )

@@ -49,7 +49,21 @@ def vector_store_schema(metadata_fields: list[T.StructField] | None = None) -> T
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (TESTDATA.md)."""
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table stores `ts` as Parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; read nanos as long and convert to
+    a microsecond timestamp (truncation — sub-microsecond precision is
+    not needed by any operator)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_embeddings_store(spark: SparkSession, sf_dir: str) -> DataFrame:
