@@ -82,7 +82,9 @@ WHERE rank <= {k} {bt}
 @_register("topk_cosine_batch", _topk_oracle(10))
 def _topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q9+Q11+Q14: batch top-k cosine (SQL-expression path)."""
-    return batch_query(load_embeddings_store(spark, sf_dir), _queries_df(spark, sf_dir), top_k=10)
+    return batch_query(
+        load_embeddings_store(spark, sf_dir), _queries_df(spark, sf_dir), top_k=10, method="sql"
+    )
 
 
 @_register("topk_cosine_gemm", _topk_oracle(10))
@@ -95,9 +97,14 @@ def _topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("topk_where_eq", _topk_oracle(5, where="e.label = 3"))
 def _topk_where_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5: dict-equality metadata prefilter."""
+    """Q5: dict-equality metadata prefilter (SQL path: Catalyst pushes the
+    predicate into the Parquet scan)."""
     return batch_query(
-        load_embeddings_store(spark, sf_dir), _queries_df(spark, sf_dir), top_k=5, where={"label": 3}
+        load_embeddings_store(spark, sf_dir),
+        _queries_df(spark, sf_dir),
+        top_k=5,
+        where={"label": 3},
+        method="sql",
     )
 
 

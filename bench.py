@@ -1,0 +1,152 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Workloads mirror the reference bench suite (BASELINE.md): bulk upsert,
+single-query latency amortized via a 1000-query batch (the reference's
+batch_queries.py shape), filtered queries (numpy_query_profiler.py's
+selectivity scenarios), plus the pipeline operators (dedup ladder, text
+analysis, sessionization) that are this engine's scale-out surface.
+Each workload is forced with a noop write (full compute, no driver
+transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from picovdb_spark.operators.dedup import (
+    embedding_near_dup,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from picovdb_spark.operators.merge import merge_upsert
+from picovdb_spark.operators.similarity import batch_query
+from picovdb_spark.operators.textops import quality_score, token_stats
+from picovdb_spark.schema import K_VECTOR, load_embeddings_store, load_table
+from picovdb_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_BATCH_QUERIES = int(os.environ.get("SPARK_GRAFT_BENCH_NQ", "1000"))
+
+
+def _force(df) -> int:
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def _queries_df(spark, n):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").cast("string").alias("query_id"),
+        F.col("embedding").alias(K_VECTOR),
+    )
+
+
+def bench_queries(spark):
+    store = load_embeddings_store(spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    def q_batch_1000_gemm():
+        # headline: the engine's default physical path (mapInPandas GEMM,
+        # partial+final top-k) — the reference's batch_queries.py shape
+        _force(
+            batch_query(store, _queries_df(spark, N_BATCH_QUERIES), top_k=10, method="gemm")
+        )
+
+    def q_batch_100_sql():
+        # plan-parity workload: pure Catalyst array-expression scoring
+        _force(batch_query(store, _queries_df(spark, 100), top_k=10, method="sql"))
+
+    def q_filtered_where():
+        _force(
+            batch_query(
+                store, _queries_df(spark, 100), top_k=10, where={"label": {"$in": [1, 2, 3]}}
+            )
+        )
+
+    def q_better_than():
+        _force(batch_query(store, _queries_df(spark, 100), top_k=10, better_than=0.1))
+
+    def q_upsert_100k():
+        batch = emb.select(
+            F.col("vec_id").cast("string").alias("_id_"),
+            F.col("embedding"),
+            (F.col("label") + 1).alias("label"),
+        )
+        existing = emb.select(
+            F.col("vec_id").cast("string").alias("_id_"), F.col("embedding"), F.col("label")
+        )
+        _force(merge_upsert(existing, batch, id_col="_id_"))
+
+    def q_dedup_exact():
+        _force(exact_dedup(docs))
+
+    def q_dedup_minhash_lsh():
+        _force(minhash_lsh_pairs(docs))
+
+    def q_dedup_simhash():
+        _force(simhash_pairs(docs))
+
+    def q_embedding_near_dup():
+        _force(embedding_near_dup(emb))
+
+    def q_text_analysis():
+        _force(token_stats(docs))
+        _force(quality_score(docs))
+
+    def q_sessionize():
+        import __spark_entry__ as entry_mod
+
+        _force(entry_mod.queries()["events_sessionize"](spark, SF_DIR))
+
+    return {
+        "batch_1000_gemm": q_batch_1000_gemm,
+        "batch_100_sql": q_batch_100_sql,
+        "filtered_where": q_filtered_where,
+        "better_than": q_better_than,
+        "upsert_merge": q_upsert_100k,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "text_analysis": q_text_analysis,
+        "sessionize": q_sessionize,
+    }
+
+
+def main() -> None:
+    spark = get_spark("picovdb_spark_bench")
+    # warm the JVM/session so the first timed query doesn't pay startup
+    load_table(spark, SF_DIR, "embeddings").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in bench_queries(spark).items():
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_suite_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "batch_queries_per_sec": round(N_BATCH_QUERIES / timings["batch_1000_gemm"], 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -105,7 +105,7 @@ def batch_query(
     better_than: float | None = None,
     where: WhereClause = None,
     ids: Iterable[str] | DataFrame | None = None,
-    method: str = "sql",
+    method: str = "auto",
     normalized: bool = False,
     round_to: int = 6,
     query_id: str = "query_id",
@@ -130,23 +130,35 @@ def batch_query(
     cand = candidate_set(store, ids=ids, where=where)
     qn = _normalized_queries(queries, query_id, vector_col)
 
+    if method == "auto":
+        # GEMM is the scale path: columnar scan, Arrow-batched BLAS,
+        # O(partitions × num_q × k) shuffle. The SQL-expression path is
+        # kept for oracle parity and pure-SQL deployments.
+        method = "gemm"
+
     if method == "gemm":
         top = _gemm_topk(cand, qn, top_k=top_k, round_to=round_to)
         meta_cols = [c for c in cand.columns if c not in (K_DELETED,)]
         if not include_vector:
             meta_cols = [c for c in meta_cols if c != K_VECTOR]
-        # tiny result (num_q × k rows) joined back to recover metadata
-        out = top.join(cand.select(*meta_cols), on=K_ID, how="inner")
+        # tiny result (num_q × k rows): broadcast it so recovering the
+        # metadata is a broadcast hash join against the store scan — no
+        # shuffle of the big side.
+        out = cand.select(*meta_cols).join(F.broadcast(top), on=K_ID, how="inner")
         ordered = ["query_id", K_ID, *[c for c in meta_cols if c != K_ID], K_METRICS, "rank"]
         out = out.select(*ordered)
     elif method == "sql":
+        # Normalize each store vector ONCE, below the join — inside the
+        # cross join the expression would re-run per (query, row) pair.
         store_vec = F.col(K_VECTOR) if normalized else l2_normalize(F.col(K_VECTOR))
+        cand = cand.withColumn("__sv", store_vec)
         # Broadcast the (small) query batch: BroadcastNestedLoopJoin keeps
         # the store's partitioning — without it a cross join multiplies
         # partition counts (n_store × n_query tasks).
         scored = cand.crossJoin(F.broadcast(qn)).withColumn(
-            K_METRICS, F.round(dot(F.col("__qv"), store_vec), round_to)
+            K_METRICS, F.round(dot(F.col("__qv"), F.col("__sv")), round_to)
         )
+        scored = scored.drop("__sv")
         out = topk_per_query(scored, top_k).drop("__qv")
         if not include_vector:
             out = out.drop(K_VECTOR)
