@@ -598,6 +598,35 @@ def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+# -------------------------------------------------------------------- ANN ops
+
+@_register("ann_ivf_topk")  # rows-only: k-means state is not SQL-expressible
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid-pruned approximate top-k (Q15 — the FAISS-path analog;
+    pico_vdb.py:716-751). Deterministic (seeded k-means) but the fitted
+    centroids cannot be re-derived in SQL, so the driver records the
+    weaker rows-only check; recall-vs-exact is asserted in
+    tests/test_ann.py instead."""
+    from picovdb_spark.operators.ann import IvfIndex, ann_query
+
+    index = IvfIndex.build(load_embeddings_store(spark, sf_dir), n_centroids=16, seed=42)
+    return ann_query(index, _queries_df(spark, sf_dir), top_k=10, nprobe=4)
+
+
+@_register("ann_lsh_knn_join")  # rows-only: same reasoning
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RP-LSH approximate kNN join: band-key equi-join candidates + exact
+    rescoring — the scale path for all-pairs similarity."""
+    from picovdb_spark.operators.ann import lsh_ann_join
+
+    emb = load_embeddings_store(spark, sf_dir)
+    return lsh_ann_join(
+        _queries_df(spark, sf_dir), emb, k=5,
+        left_id="query_id", right_id=K_ID, left_vec=K_VECTOR, right_vec=K_VECTOR,
+        n_bits=24, n_bands=12, seed=7,
+    )
+
+
 # ----------------------------------------------------------------- events ops
 
 @_register(

@@ -1,0 +1,372 @@
+"""Approximate nearest-neighbor search — the Spark analog of the
+reference's FAISS HNSW path (/root/reference/picovdb/pico_vdb.py:716-751).
+
+A graph index (HNSW) does not map to Spark's shared-nothing scan model,
+so the engine provides the two batch-friendly ANN families instead
+(SURVEY.md §1.6, §2.2 Q15):
+
+- **IVF (inverted-file) centroid pruning** — k-means over the store;
+  each query probes only its `nprobe` nearest clusters. `nprobe` is the
+  efSearch-style recall/speed knob (pico_vdb.py:169-212). At cluster
+  scale the store is written *partitioned by cluster id*, so probing is
+  Spark partition pruning: unprobed clusters are never read.
+- **Random-hyperplane (sign) LSH** — cosine-preserving bit signatures,
+  banded into bucket keys; candidates come from an equi-join on bands
+  (a hash shuffle, no cross product), then exact rescoring.
+
+Routing rule (pico_vdb.py:667-668): ANN only serves *unfiltered* whole-
+store queries; any `where`/`ids` filter falls back to the exact GEMM
+path. `VectorStore.query(ann=...)` enforces this.
+
+Index maintenance: `IvfIndex.refit()` is `rebuild_index()`
+(pico_vdb.py:855-860); cheap incremental maintenance = re-assigning only
+new/changed rows against frozen centroids (`assign` is a pure function
+of the centroid matrix), the analog of the reference's incremental
+add/remove path (pico_vdb.py:866-921).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from picovdb_spark.schema import K_DELETED, K_ID, K_METRICS, K_VECTOR
+
+CLUSTER_COL = "__cluster"
+
+
+def _as_matrix(rows, col: str) -> np.ndarray:
+    return np.asarray([np.asarray(r[col], dtype=np.float64) for r in rows])
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.sqrt((m * m).sum(axis=1))
+    zero = norms == 0.0
+    if zero.any():  # zero vector ⇒ e₀ (store invariant, pico_vdb.py:62-67)
+        m = m.copy()
+        m[zero] = 0.0
+        m[zero, 0] = 1.0
+        norms[zero] = 1.0
+    return m / norms[:, None]
+
+
+def fit_centroids(
+    store: DataFrame,
+    n_centroids: int,
+    *,
+    vector_col: str = K_VECTOR,
+    sample_size: int = 100_000,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means on a bounded sample; returns (k, dim) float64
+    unit centroids.
+
+    The sample is drawn distributed (`df.sample`) and only `sample_size`
+    vectors ever reach the driver, so this is safe at any store size; the
+    Lloyd iterations are a dense GEMM on ≤100k × dim — sub-second. (A
+    fully distributed fit via pyspark.ml KMeans is a drop-in upgrade; a
+    bounded-sample fit is standard practice for IVF coarse quantizers.)
+    """
+    total = store.count()
+    frac = min(1.0, (sample_size * 1.2) / max(total, 1))
+    rows = (
+        store.select(vector_col).sample(fraction=frac, seed=seed).limit(sample_size).collect()
+    )
+    x = _normalize_rows(_as_matrix(rows, vector_col))
+    k = min(n_centroids, len(x))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=k, replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(x @ cent.T, axis=1)  # cosine on unit vectors
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize_rows(cent)
+    return cent
+
+
+def assign_clusters(
+    store: DataFrame, centroids: np.ndarray, *, vector_col: str = K_VECTOR
+) -> DataFrame:
+    """Add `__cluster` = argmax cosine(centroid, vector). Arrow-batched;
+    the centroid matrix broadcasts once per executor."""
+    spark = store.sparkSession
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(centroids))
+    schema = T.StructType(store.schema.fields + [T.StructField(CLUSTER_COL, T.IntegerType())])
+    cols = store.columns
+
+    def f(batches: Iterator) -> Iterator:
+        cent = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = _normalize_rows(
+                np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vector_col]])
+            )
+            pdf = pdf.copy()
+            pdf[CLUSTER_COL] = np.argmax(v @ cent.T, axis=1).astype("int32")
+            yield pdf
+
+    return store.select(*cols).mapInPandas(f, schema=schema)
+
+
+@dataclass
+class IvfIndex:
+    """Materialized IVF index: the store with a cluster column (at scale:
+    Parquet partitioned by `__cluster`) + the centroid matrix."""
+
+    df: DataFrame
+    centroids: np.ndarray
+    vector_col: str = K_VECTOR
+
+    @classmethod
+    def build(
+        cls,
+        store: DataFrame,
+        *,
+        n_centroids: int = 64,
+        vector_col: str = K_VECTOR,
+        seed: int = 42,
+        materialize: bool = True,
+    ) -> "IvfIndex":
+        if K_DELETED in store.columns:
+            store = store.filter(~F.col(K_DELETED)).drop(K_DELETED)
+        cent = fit_centroids(store, n_centroids, vector_col=vector_col, seed=seed)
+        assigned = assign_clusters(store, cent, vector_col=vector_col)
+        if materialize:
+            # cluster-clustered layout: the write analog of
+            # .write.partitionBy(CLUSTER_COL) — probing prunes whole files
+            assigned = assigned.repartition(max(len(cent) // 4, 1), CLUSTER_COL)
+            assigned = assigned.localCheckpoint(eager=True)
+        return cls(df=assigned, centroids=cent, vector_col=vector_col)
+
+    def write(self, path: str) -> None:
+        """Persist partitioned by cluster id so `ann_query`'s probe filter
+        becomes partition pruning (zero IO for unprobed clusters)."""
+        self.df.write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(path)
+
+    def refit(self, *, n_centroids: int | None = None, seed: int = 42) -> "IvfIndex":
+        """rebuild_index() parity (pico_vdb.py:855-860)."""
+        return IvfIndex.build(
+            self.df.drop(CLUSTER_COL),
+            n_centroids=n_centroids or len(self.centroids),
+            vector_col=self.vector_col,
+            seed=seed,
+        )
+
+
+def ann_query(
+    index: IvfIndex,
+    queries: DataFrame,
+    *,
+    top_k: int = 10,
+    nprobe: int = 8,
+    better_than: float | None = None,
+    round_to: int = 6,
+    query_id: str = "query_id",
+    vector_col: str = K_VECTOR,
+) -> DataFrame:
+    """IVF batch top-k: each query scores only its `nprobe` nearest
+    clusters. Same output shape as `batch_query`; recall < 1.0 by design
+    (equivalence-band tested like FAISS-vs-NumPy,
+    tests/test_task14_faiss_vs_numpy_results.py).
+
+    Physical plan: probe sets are computed driver-side from the tiny
+    (nq × k_centroids) GEMM; the store scan is filtered to the union of
+    probed clusters (partition pruning on a cluster-partitioned store),
+    then one mapInPandas GEMM masks, per query, rows outside the query's
+    own probe set before the partial top-k. Shuffle is O(parts × nq × k).
+    """
+    from picovdb_spark.functions.vector import l2_normalize
+    from picovdb_spark.operators.topk import topk_per_query
+
+    spark = index.df.sparkSession
+    qn = queries.select(
+        F.col(query_id).cast("string").alias("query_id"),
+        l2_normalize(F.col(vector_col)).alias("__qv"),
+    ).collect()
+    if not qn:
+        return spark.createDataFrame(
+            [], schema=f"query_id string, {K_ID} string, {K_METRICS} double, rank int"
+        )
+    qids = np.array([r["query_id"] for r in qn], dtype=object)
+    qmat = np.asarray([r["__qv"] for r in qn], dtype=np.float64)
+    cent = index.centroids
+    nprobe = min(nprobe, len(cent))
+    # (nq, n_cent) driver-side GEMM → per-query probe sets
+    probes = np.argpartition(-(qmat @ cent.T), nprobe - 1, axis=1)[:, :nprobe]
+    probed_union = sorted({int(c) for row in probes for c in row})
+    # query-id → bitmask of probed clusters, broadcast with the matrix
+    probe_sets = [frozenset(int(c) for c in row) for row in probes]
+    bc = spark.sparkContext.broadcast((qids, qmat, probe_sets))
+
+    # Partition pruning: only probed clusters are scanned at all.
+    cand = index.df.filter(F.col(CLUSTER_COL).isin(probed_union))
+    vec_col = index.vector_col  # plain string local — the closure must not
+    # capture `index` itself (it holds a DataFrame, unpicklable on workers)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.StringType()),
+            T.StructField(K_ID, T.StringType()),
+            T.StructField(K_METRICS, T.DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        b_qids, b_qmat, b_probes = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = _normalize_rows(
+                np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            )
+            clusters = pdf[CLUSTER_COL].to_numpy()
+            scores = np.round(b_qmat @ v.T, round_to)  # (nq, n_rows)
+            # mask rows outside each query's probe set
+            for qi, pset in enumerate(b_probes):
+                mask = np.fromiter((c not in pset for c in clusters), dtype=bool, count=len(clusters))
+                scores[qi, mask] = -np.inf
+            n = scores.shape[1]
+            kk = min(top_k, n)
+            idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            ids = pdf[K_ID].to_numpy()
+            flat_scores = np.take_along_axis(scores, idx, axis=1).ravel()
+            keep = flat_scores > -np.inf
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(b_qids, kk)[keep],
+                    K_ID: ids[idx.ravel()][keep],
+                    K_METRICS: flat_scores[keep],
+                }
+            )
+
+    local = cand.select(K_ID, vec_col, CLUSTER_COL).mapInPandas(score, schema=out_schema)
+    out = topk_per_query(local, top_k)
+    if better_than is not None:
+        out = out.filter(F.col(K_METRICS) >= F.lit(float(better_than)))
+    return out
+
+
+# --------------------------------------------------------------------- RP-LSH
+
+def rp_signatures(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vector_col: str,
+    n_bits: int = 32,
+    n_bands: int = 8,
+    dim: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """Sign-random-projection signatures, banded: emits one row per
+    (id, band_idx, band_key). Unit vectors with the same sign pattern
+    against `n_bits` fixed random hyperplanes are likely neighbors
+    (P[bit match] = 1 - θ/π); banding trades recall vs candidates like
+    MinHash-LSH banding (operators/dedup.py)."""
+    spark = df.sparkSession
+    if dim is None:
+        dim = len(df.select(vector_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    bc = spark.sparkContext.broadcast(planes)
+    rows_per_band = n_bits // n_bands
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("band_idx", T.IntegerType()),
+            T.StructField("band_key", T.LongType()),
+        ]
+    )
+
+    def f(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        p = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = _normalize_rows(
+                np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vector_col]])
+            )
+            bits = (v @ p.T) > 0  # (n, n_bits)
+            weights = 1 << np.arange(rows_per_band, dtype=np.int64)
+            frames = []
+            for b in range(n_bands):
+                chunk = bits[:, b * rows_per_band : (b + 1) * rows_per_band]
+                keys = chunk @ weights
+                frames.append(
+                    pd.DataFrame(
+                        {id_col: pdf[id_col], "band_idx": np.int32(b), "band_key": keys}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select(id_col, vector_col).mapInPandas(f, schema=out_schema)
+
+
+def lsh_ann_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    k: int,
+    left_id: str,
+    right_id: str,
+    left_vec: str,
+    right_vec: str,
+    n_bits: int = 32,
+    n_bands: int = 8,
+    seed: int = 7,
+    round_to: int = 6,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Approximate kNN join via RP-LSH: candidates = band-key equi-join
+    (hash shuffle on (band_idx, band_key) — NO cross product), then exact
+    cosine rescoring and per-left top-k. The approximate twin of
+    `similarity.knn_join`; at 100 TB the equi-join shape is what makes an
+    all-pairs similarity join feasible at all."""
+    from picovdb_spark.functions.vector import dot, l2_normalize
+    from picovdb_spark.operators.topk import topk_per_query
+
+    dim = len(left.select(left_vec).first()[0])
+    ls = rp_signatures(
+        left, id_col=left_id, vector_col=left_vec, n_bits=n_bits, n_bands=n_bands, dim=dim, seed=seed
+    ).withColumnRenamed(left_id, "__lid")
+    rs = rp_signatures(
+        right, id_col=right_id, vector_col=right_vec, n_bits=n_bits, n_bands=n_bands, dim=dim, seed=seed
+    ).withColumnRenamed(right_id, "__rid")
+    cand = ls.join(rs, on=["band_idx", "band_key"]).select("__lid", "__rid").distinct()
+    if exclude_self:
+        cand = cand.filter(F.col("__lid") != F.col("__rid"))
+
+    lv = left.select(
+        F.col(left_id).alias("__lid"), l2_normalize(F.col(left_vec)).alias("__lv")
+    )
+    rv = right.select(
+        F.col(right_id).alias("__rid"), l2_normalize(F.col(right_vec)).alias("__rv")
+    )
+    scored = (
+        cand.join(lv, "__lid")
+        .join(rv, "__rid")
+        .withColumn(K_METRICS, F.round(dot(F.col("__lv"), F.col("__rv")), round_to))
+    )
+    return topk_per_query(
+        scored.select(
+            F.col("__lid").cast("string").alias("query_id"),
+            F.col("__rid").cast("string").alias(K_ID),
+            K_METRICS,
+        ),
+        k,
+    )

@@ -79,6 +79,9 @@ class VectorStore:
         # Truncate lineage after each mutation so chained upsert/delete
         # don't grow an unbounded plan (the Delta-table analog of commit).
         self._df = df.localCheckpoint(eager=True) if self._checkpoint else df
+        # dirty-flag parity (pico_vdb.py:496-497): mutations invalidate the
+        # ANN index; the next ann query lazily rebuilds it.
+        self._ann = None
 
     # ---------------------------------------------------------------- mutation
 
@@ -154,14 +157,32 @@ class VectorStore:
         self._set(self._df.filter(~F.col(K_DELETED)))
         return n
 
+    # ------------------------------------------------------------------- index
+
+    def build_ann_index(self, n_centroids: int = 64, *, seed: int = 42):
+        """Build (or rebuild — rebuild_index() parity, pico_vdb.py:855-860)
+        the IVF coarse index over the active rows."""
+        from picovdb_spark.operators.ann import IvfIndex
+
+        self._ann = IvfIndex.build(self.active(), n_centroids=n_centroids, seed=seed)
+        return self._ann
+
     # ----------------------------------------------------------------- queries
 
     def query(self, queries: DataFrame | list, **kwargs: Any) -> DataFrame:
         """Batch filtered top-k cosine search; see operators/similarity.py.
         Stored vectors are unit-normalized on ingest, so scoring skips
-        re-normalization (`normalized=True`)."""
+        re-normalization (`normalized=True`).
+
+        `ann=True` routes through the IVF index (built lazily on first
+        use) — but ONLY for unfiltered whole-store queries; any
+        `where`/`ids` filter falls back to the exact path, exactly the
+        reference's faiss_ok rule (pico_vdb.py:667-668).
+        """
         from picovdb_spark.operators.similarity import batch_query
 
+        use_ann = kwargs.pop("ann", False)
+        nprobe = kwargs.pop("nprobe", 8)
         if not isinstance(queries, DataFrame):
             rows = [(str(i), [float(x) for x in v]) for i, v in enumerate(queries)]
             queries = self.spark.createDataFrame(
@@ -172,6 +193,18 @@ class VectorStore:
                         T.StructField(K_VECTOR, T.ArrayType(T.FloatType())),
                     ]
                 ),
+            )
+        if use_ann and not kwargs.get("where") and kwargs.get("ids") is None:
+            from picovdb_spark.operators.ann import ann_query
+
+            if getattr(self, "_ann", None) is None:
+                self.build_ann_index()
+            return ann_query(
+                self._ann,
+                queries,
+                top_k=kwargs.get("top_k", 10),
+                nprobe=nprobe,
+                better_than=kwargs.get("better_than"),
             )
         kwargs.setdefault("normalized", True)
         return batch_query(self._df, queries, **kwargs)

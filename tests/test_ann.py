@@ -1,0 +1,126 @@
+"""ANN path tests — the engine's twin of the reference's FAISS-vs-NumPy
+equivalence suite (/root/reference/tests/test_task14_faiss_vs_numpy_results.py):
+the approximate path must (a) agree with the exact path within a recall
+band on realistic data, (b) agree EXACTLY when every cluster is probed,
+and (c) never serve filtered queries (pico_vdb.py:667-668 routing rule).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from picovdb_spark.operators.ann import IvfIndex, ann_query, lsh_ann_join
+from picovdb_spark.operators.similarity import batch_query, knn_join
+from picovdb_spark.schema import K_ID, K_VECTOR, load_embeddings_store, load_table
+from picovdb_spark.store import VectorStore
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_embeddings_store(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def queries(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").cast("string").alias("query_id"),
+            F.col("embedding").alias(K_VECTOR),
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def index(emb):
+    return IvfIndex.build(emb, n_centroids=16, seed=42)
+
+
+def _hits(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r[K_ID])
+    return out
+
+
+def test_ivf_full_probe_equals_exact(emb, queries, index):
+    """nprobe == n_centroids ⇒ every row scored ⇒ identical to exact."""
+    exact = batch_query(emb, queries, top_k=10, method="gemm")
+    approx = ann_query(index, queries, top_k=10, nprobe=len(index.centroids))
+    e = {(r["query_id"], r[K_ID], r["_metrics_"], r["rank"]) for r in exact.select(
+        "query_id", K_ID, "_metrics_", "rank").collect()}
+    a = {(r["query_id"], r[K_ID], r["_metrics_"], r["rank"]) for r in approx.collect()}
+    assert e == a
+
+
+def test_ivf_recall_band(emb, queries, index):
+    """Partial probing keeps high recall@10 (clustered testdata)."""
+    exact = _hits(batch_query(emb, queries, top_k=10, method="gemm"))
+    approx = _hits(ann_query(index, queries, top_k=10, nprobe=4))
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_ivf_more_probes_more_recall(emb, queries, index):
+    exact = _hits(batch_query(emb, queries, top_k=10, method="gemm"))
+
+    def mean_recall(nprobe):
+        approx = _hits(ann_query(index, queries, top_k=10, nprobe=nprobe))
+        return np.mean([len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact])
+
+    assert mean_recall(8) >= mean_recall(2) - 1e-9
+
+
+def test_ivf_better_than(index, queries):
+    out = ann_query(index, queries, top_k=10, nprobe=4, better_than=0.5).collect()
+    assert all(r["_metrics_"] >= 0.5 for r in out)
+
+
+def test_store_routing_filters_force_exact(spark):
+    """ann=True + where filter ⇒ exact path (result has metadata columns,
+    which ann_query never emits) and matches the plain exact result."""
+    store = VectorStore(spark, embedding_dim=4, checkpoint_mutations=False)
+    rng = np.random.default_rng(0)
+    items = [
+        {"_id_": str(i), "_vector_": [float(x) for x in rng.standard_normal(4)], "cat": i % 2}
+        for i in range(64)
+    ]
+    store.upsert(items)
+    q = [1.0, 0.0, 0.0, 0.0]
+    via_ann_kw = store.query_one(q, top_k=5, where={"cat": 1}, ann=True).collect()
+    exact = store.query_one(q, top_k=5, where={"cat": 1}).collect()
+    assert [r["_id_"] for r in via_ann_kw] == [r["_id_"] for r in exact]
+    assert all(r["cat"] == 1 for r in via_ann_kw)
+
+
+def test_store_ann_unfiltered_and_dirty_invalidation(spark):
+    store = VectorStore(spark, embedding_dim=8, checkpoint_mutations=False)
+    rng = np.random.default_rng(1)
+    store.upsert(
+        [{"_id_": str(i), "_vector_": [float(x) for x in rng.standard_normal(8)]} for i in range(200)]
+    )
+    store.build_ann_index(n_centroids=4)
+    out = store.query_one([float(x) for x in rng.standard_normal(8)], top_k=3, ann=True, nprobe=4)
+    assert out.count() == 3
+    # mutation invalidates the index (dirty-flag parity)
+    store.delete(["0"])
+    assert store._ann is None
+
+
+def test_lsh_ann_join_recall(spark, emb, queries):
+    exact = _hits(
+        knn_join(
+            queries, emb, k=5,
+            left_id="query_id", right_id=K_ID, left_vec=K_VECTOR, right_vec=K_VECTOR,
+        )
+    )
+    approx = _hits(
+        lsh_ann_join(
+            queries, emb, k=5,
+            left_id="query_id", right_id=K_ID, left_vec=K_VECTOR, right_vec=K_VECTOR,
+            n_bits=24, n_bands=12, seed=7,
+        )
+    )
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    assert np.mean(recalls) >= 0.5, recalls
