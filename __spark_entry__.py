@@ -627,6 +627,36 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- multimodal ops
+
+@_register("media_features")  # rows-only: synthetic binary corpus, no SQL twin
+def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns → Arrow-batched decode (deterministic stub;
+    codec libs absent by design) + feature extraction."""
+    from picovdb_spark.operators.multimodal import media_features, synthetic_media
+
+    return media_features(synthetic_media(spark, n=64, seed=1), n_features=8)
+
+
+@_register("media_exact_dedup")  # rows-only: synthetic binary corpus
+def _media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact dedup over a binary column — JVM md5, no Python."""
+    from picovdb_spark.operators.multimodal import media_exact_dedup, synthetic_media
+
+    media = synthetic_media(spark, n=64, seed=1)
+    dup = media.limit(8).withColumn("media_id", F.concat(F.lit("dup-"), F.col("media_id")))
+    return media_exact_dedup(media.unionByName(dup))
+
+
+@_register("media_frame_sample")  # rows-only: synthetic binary corpus
+def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: one row per (media, frame) — flatMap shape
+    over Arrow batches."""
+    from picovdb_spark.operators.multimodal import frame_sample, synthetic_media
+
+    return frame_sample(synthetic_media(spark, n=32, modality="video", seed=2), n_frames=4)
+
+
 # ----------------------------------------------------------------- events ops
 
 @_register(

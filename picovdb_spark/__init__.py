@@ -19,6 +19,7 @@ from picovdb_spark.schema import (
     load_embeddings_store,
 )
 from picovdb_spark.session import get_spark
+from picovdb_spark.sources import read_picovdb_store, write_picovdb_store
 from picovdb_spark.store import VectorStore
 
 __version__ = "0.1.0"
@@ -32,4 +33,6 @@ __all__ = [
     "vector_store_schema",
     "load_table",
     "load_embeddings_store",
+    "read_picovdb_store",
+    "write_picovdb_store",
 ]

@@ -1,0 +1,196 @@
+"""Multimodal (image/audio/video) columns for a training-data pipeline.
+
+Media ride through the engine as opaque `binary` columns plus a typed
+metadata struct — the Spark-native pattern (same shape as
+`spark.read.format("binaryFile")` and the petastorm/webdataset-on-parquet
+convention). All transforms are Arrow-batched `mapInPandas` so bytes
+never round-trip row-at-a-time through Python.
+
+The decode kernels themselves (JPEG→pixels, PCM resample, video frame
+extraction) need codec libraries that are NOT in this container, so each
+is STUBBED: `decode=None` raises NotImplementedError with the library to
+plug in, while `fake_decode` provides the deterministic stand-in used by
+tests and benchmarks (byte-seeded, so results are reproducible). The
+Spark-side plumbing — schema, batching, partitioning, UDF signatures —
+is real and tested; swapping the stub for Pillow/ffmpeg is a one-line
+change at the call site.
+
+The reference engine has no media surface (SURVEY.md §2.4); this module
+is part of the §7.4 scale-out extensions."""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def synthetic_media(
+    spark: SparkSession, n: int = 64, *, modality: str = "image", seed: int = 0, payload: int = 4096
+) -> DataFrame:
+    """Deterministic fake media corpus (no codec libs in the container;
+    payloads are seeded random bytes with plausible metadata)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        content = rng.integers(0, 256, size=payload, dtype=np.uint8).tobytes()
+        rows.append(
+            (
+                f"{modality}-{i}",
+                modality,
+                bytearray(content),
+                ("application/octet-stream", 64, 48, 1000, 16000),
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def fake_decode(content: bytes, meta) -> np.ndarray:
+    """Deterministic stand-in decoder: md5-seeded pseudo-pixels shaped by
+    the metadata. Replace with a real codec (PIL.Image.open /
+    soundfile.read / av.open) in production."""
+    seed = int.from_bytes(hashlib.md5(content).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    h = int(meta["height"] or 8)
+    w = int(meta["width"] or 8)
+    return rng.random((h, w), dtype=np.float64)
+
+
+def media_features(
+    media: DataFrame,
+    *,
+    decode: Callable[[bytes, dict], np.ndarray] | None = fake_decode,
+    n_features: int = 8,
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """Decode + feature-extract: (media_id, feature array<double>,
+    n_bytes, content_hash). One Arrow batch at a time; feature = row-mean
+    profile of the decoded array resampled to `n_features` (stand-in for
+    an embedding model forward pass).
+
+    `decode=None` marks the real-codec path: raises NotImplementedError
+    naming the integration point rather than silently faking."""
+    if decode is None:
+        raise NotImplementedError(
+            "real media decode requires a codec library (Pillow/soundfile/pyav) "
+            "not present in this environment; pass decode=fake_decode or your own "
+            "Callable[[bytes, meta], np.ndarray]"
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("modality", T.StringType()),
+            T.StructField("n_bytes", T.IntegerType()),
+            T.StructField("content_hash", T.StringType()),
+            T.StructField("feature", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def f(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats, hashes, sizes = [], [], []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                arr = decode(bytes(content), meta)
+                prof = arr.mean(axis=1)
+                # resample the profile to fixed length (cheap "pooling")
+                idx = np.linspace(0, len(prof) - 1, n_features).round().astype(int)
+                feats.append([float(x) for x in prof[idx]])
+                hashes.append(hashlib.md5(bytes(content)).hexdigest())
+                sizes.append(len(content))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": np.asarray(sizes, dtype="int32"),
+                    "content_hash": hashes,
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(f, schema=out_schema)
+
+
+def media_exact_dedup(media: DataFrame) -> DataFrame:
+    """Byte-exact dedup over the binary column — pure JVM (md5 on
+    binary), no Python: (media_id, content_hash, canonical_id, is_dup)."""
+    h = F.md5(F.col("content"))
+    w = F.min("media_id").over(Window.partitionBy("content_hash"))
+    return (
+        media.withColumn("content_hash", h)
+        .withColumn("canonical_id", w)
+        .withColumn("is_dup", F.col("media_id") != F.col("canonical_id"))
+        .select("media_id", "content_hash", "canonical_id", "is_dup")
+    )
+
+
+def frame_sample(
+    media: DataFrame,
+    *,
+    n_frames: int = 4,
+    decode: Callable[[bytes, dict], np.ndarray] | None = fake_decode,
+) -> DataFrame:
+    """Video → sampled frames, one output row per frame (flatMap shape):
+    (media_id, frame_idx, frame_feature). Deterministic frame positions
+    (linspace over duration); the per-frame "decode" reuses the media
+    decode stub with the frame index mixed into the seed."""
+    if decode is None:
+        raise NotImplementedError("real frame extraction needs pyav/ffmpeg")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("ts_ms", T.IntegerType()),
+            T.StructField("frame_feature", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def g(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                duration = int(meta["duration_ms"] or 0)
+                positions = np.linspace(0, max(duration - 1, 0), n_frames).astype(int)
+                base = decode(bytes(content), meta)
+                for j, ts in enumerate(positions):
+                    frame = np.roll(base, j, axis=0)
+                    rows.append(
+                        (mid, j, int(ts), [float(x) for x in frame.mean(axis=1)[:4]])
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "ts_ms", "frame_feature"])
+
+    return media.mapInPandas(g, schema=out_schema)

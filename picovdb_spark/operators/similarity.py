@@ -129,6 +129,9 @@ def batch_query(
 
     cand = candidate_set(store, ids=ids, where=where)
     qn = _normalized_queries(queries, query_id, vector_col)
+    # `rank` is the engine's output column; if the store carries user
+    # metadata with that name, the ranking column yields to `_rank_`.
+    rank_col = "_rank_" if "rank" in cand.columns else "rank"
 
     if method == "auto":
         # GEMM is the scale path: columnar scan, Arrow-batched BLAS,
@@ -137,7 +140,7 @@ def batch_query(
         method = "gemm"
 
     if method == "gemm":
-        top = _gemm_topk(cand, qn, top_k=top_k, round_to=round_to)
+        top = _gemm_topk(cand, qn, top_k=top_k, round_to=round_to, rank_col=rank_col)
         meta_cols = [c for c in cand.columns if c not in (K_DELETED,)]
         if not include_vector:
             meta_cols = [c for c in meta_cols if c != K_VECTOR]
@@ -145,7 +148,7 @@ def batch_query(
         # metadata is a broadcast hash join against the store scan — no
         # shuffle of the big side.
         out = cand.select(*meta_cols).join(F.broadcast(top), on=K_ID, how="inner")
-        ordered = ["query_id", K_ID, *[c for c in meta_cols if c != K_ID], K_METRICS, "rank"]
+        ordered = ["query_id", K_ID, *[c for c in meta_cols if c != K_ID], K_METRICS, rank_col]
         out = out.select(*ordered)
     elif method == "sql":
         # Normalize each store vector ONCE, below the join — inside the
@@ -159,12 +162,12 @@ def batch_query(
             K_METRICS, F.round(dot(F.col("__qv"), F.col("__sv")), round_to)
         )
         scored = scored.drop("__sv")
-        out = topk_per_query(scored, top_k).drop("__qv")
+        out = topk_per_query(scored, top_k, rank_col=rank_col).drop("__qv")
         if not include_vector:
             out = out.drop(K_VECTOR)
         out = out.drop(K_DELETED)
-        rest = [c for c in out.columns if c not in ("query_id", K_ID, K_METRICS, "rank")]
-        out = out.select("query_id", K_ID, *rest, K_METRICS, "rank")
+        rest = [c for c in out.columns if c not in ("query_id", K_ID, K_METRICS, rank_col)]
+        out = out.select("query_id", K_ID, *rest, K_METRICS, rank_col)
     else:
         raise ValueError(f"unknown method: {method!r}")
 
@@ -222,7 +225,9 @@ def knn_join(
     return topk_per_query(scored, k).select("query_id", K_ID, K_METRICS, "rank")
 
 
-def _gemm_topk(cand: DataFrame, qn: DataFrame, *, top_k: int, round_to: int) -> DataFrame:
+def _gemm_topk(
+    cand: DataFrame, qn: DataFrame, *, top_k: int, round_to: int, rank_col: str = "rank"
+) -> DataFrame:
     """Partition-local NumPy GEMM + local top-k, then global top-k.
 
     Mirrors the reference's vectorized scan (`scores = Q @ V.T` +
@@ -285,4 +290,4 @@ def _gemm_topk(cand: DataFrame, qn: DataFrame, *, top_k: int, round_to: int) -> 
     local = cand.select(K_ID, K_VECTOR).mapInPandas(score_partition, schema=out_schema)
     from picovdb_spark.operators.topk import topk_per_query
 
-    return topk_per_query(local, top_k)
+    return topk_per_query(local, top_k, rank_col=rank_col)

@@ -1,0 +1,15 @@
+from picovdb_spark.streaming.ingest import stream_upsert
+from picovdb_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory,
+    sessionized_stream,
+    windowed_event_agg,
+)
+
+__all__ = [
+    "stream_upsert",
+    "read_events_stream",
+    "run_to_memory",
+    "sessionized_stream",
+    "windowed_event_agg",
+]

@@ -1,0 +1,101 @@
+"""Streaming event analytics: watermarked tumbling windows and
+session windows over the `events` stream.
+
+These are the streaming twins of the batch entries
+`events_window_agg` / `events_sessionize` in `__spark_entry__.py` —
+IDENTICAL logical plans plus a watermark, which is the point: in
+Structured Streaming the same DataFrame expression runs incrementally,
+with the watermark bounding state for late data.
+
+The reference has no streaming surface (SURVEY.md §2.4); this module is
+part of the §7.4 scale-out extensions (continuous ingestion analytics
+for an LLM-data pipeline: event-rate monitoring, per-user activity
+sessions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# `ts` lands as LongType: the testdata parquet uses TIMESTAMP(NANOS),
+# which Spark only reads via nanosAsLong (see schema.load_events).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, source_dir: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based event stream (each new parquet file = new data).
+    Swap for `spark.readStream.format("kafka")` + from_json in
+    production; the downstream plans are source-agnostic."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_agg(
+    events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type with late-data bound.
+    Same aggregate as the batch `events_window_agg` entry; the watermark
+    lets Spark drop window state once `max(ts) - watermark` passes the
+    window end — bounded memory at any stream length."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_stream(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user gap-based sessions via the built-in `session_window` —
+    Spark's native stateful sessionization (no custom
+    applyInPandasWithState needed for gap semantics). Batch twin:
+    `events_sessionize` (lag + running-sum formulation gives the same
+    session boundaries)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("start_epoch"),
+            F.unix_timestamp(F.col("w.end")).alias("end_epoch"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, *, output_mode: str = "append"):
+    """Drain a bounded stream into an in-memory table (test/debug sink):
+    trigger(availableNow) + awaitTermination, returns the query."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,79 @@
+"""Multimodal plumbing tests: binary columns + typed metadata through
+Arrow-batched transforms; decode is the deterministic stub (codec libs
+absent by design — see operators/multimodal.py)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from picovdb_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    fake_decode,
+    frame_sample,
+    media_exact_dedup,
+    media_features,
+    synthetic_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synthetic_media(spark, n=32, seed=1).cache()
+
+
+def test_schema_and_determinism(spark, media):
+    assert media.schema == MEDIA_SCHEMA
+    again = synthetic_media(spark, n=32, seed=1)
+    a = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    b = {r["media_id"]: bytes(r["content"]) for r in again.collect()}
+    assert a == b  # seeded payloads reproducible
+
+
+def test_media_features(media):
+    out = media_features(media, n_features=8)
+    rows = out.collect()
+    assert len(rows) == 32
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(r["n_bytes"] == 4096 for r in rows)
+    # feature is a pure function of (content, meta): recompute one row
+    raw = media.filter(F.col("media_id") == "image-0").first()
+    arr = fake_decode(bytes(raw["content"]), raw["meta"])
+    prof = arr.mean(axis=1)
+    idx = np.linspace(0, len(prof) - 1, 8).round().astype(int)
+    got = next(r for r in rows if r["media_id"] == "image-0")["feature"]
+    assert np.allclose(got, prof[idx])
+
+
+def test_decode_none_raises(media):
+    with pytest.raises(NotImplementedError, match="codec"):
+        media_features(media, decode=None)
+
+
+def test_media_exact_dedup(spark, media):
+    # duplicate two payloads under new ids
+    dups = media.filter(F.col("media_id").isin(["image-0", "image-1"])).withColumn(
+        "media_id", F.concat(F.lit("copy-"), F.col("media_id"))
+    )
+    all_media = media.unionByName(dups)
+    out = media_exact_dedup(all_media)
+    assert out.count() == 34
+    flagged = {r["media_id"]: r for r in out.collect()}
+    for a, b in [("image-0", "copy-image-0"), ("image-1", "copy-image-1")]:
+        # same content hash, one canonical, exactly one flagged as dup
+        assert flagged[a]["content_hash"] == flagged[b]["content_hash"]
+        assert flagged[a]["canonical_id"] == flagged[b]["canonical_id"]
+        assert flagged[a]["is_dup"] != flagged[b]["is_dup"]
+    assert sum(1 for r in flagged.values() if r["is_dup"]) == 2
+
+
+def test_frame_sample(media):
+    out = frame_sample(media, n_frames=4)
+    rows = out.collect()
+    assert len(rows) == 32 * 4
+    one = sorted(
+        (r for r in rows if r["media_id"] == "image-3"), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in one] == [0, 1, 2, 3]
+    assert one[0]["ts_ms"] == 0 and one[-1]["ts_ms"] == 999
+    # frames differ (index mixed into the fake decode)
+    assert one[0]["frame_feature"] != one[1]["frame_feature"]

@@ -1,0 +1,125 @@
+"""Structured Streaming tests: file-source upsert ingestion
+(foreachBatch MERGE) and watermarked window/session aggregations.
+
+Technique: bounded streams via trigger(availableNow=True) so every test
+is deterministic; streaming window results are cross-checked against the
+identical batch plan (the streaming/batch twin rule,
+picovdb_spark/streaming/windows.py)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from picovdb_spark.schema import K_ID, K_VECTOR, load_table
+from picovdb_spark.store import VectorStore
+from picovdb_spark.streaming import (
+    read_events_stream,
+    run_to_memory,
+    sessionized_stream,
+    stream_upsert,
+    windowed_event_agg,
+)
+
+
+@pytest.fixture()
+def tmpdirs(tmp_path):
+    src = str(tmp_path / "incoming")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    yield src, store, ckpt
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def _write_batch(spark, src_dir, rows, part):
+    df = spark.createDataFrame(rows, schema=f"{K_ID} string, {K_VECTOR} array<float>, cat string")
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, f"part={part}"))
+
+
+def test_stream_upsert_two_batches(spark, tmpdirs):
+    src, store_path, ckpt = tmpdirs
+    dim = 4
+    _write_batch(spark, src, [("a", [1.0, 0.0, 0.0, 0.0], "x"), ("b", [0.0, 1.0, 0.0, 0.0], "y")], 1)
+    q = stream_upsert(spark, src, store_path, dim=dim, checkpoint_dir=ckpt,
+                      metadata={"cat": __import__("pyspark.sql.types", fromlist=["StringType"]).StringType()})
+    q.awaitTermination()
+    got = spark.read.parquet(store_path)
+    assert got.count() == 2
+
+    # second file: update 'a' (new cat) + insert 'c'
+    _write_batch(spark, src, [("a", [1.0, 0.0, 0.0, 0.0], "x2"), ("c", [0.0, 0.0, 1.0, 0.0], "z")], 2)
+    q2 = stream_upsert(spark, src, store_path, dim=dim, checkpoint_dir=ckpt,
+                       metadata={"cat": __import__("pyspark.sql.types", fromlist=["StringType"]).StringType()})
+    q2.awaitTermination()
+    got = spark.read.parquet(store_path)
+    assert got.count() == 3
+    assert got.filter(F.col(K_ID) == "a").first()["cat"] == "x2"  # last-wins update
+    # vectors were normalized on ingest
+    v = got.filter(F.col(K_ID) == "a").first()[K_VECTOR]
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-6
+
+    # the ingested store is queryable through the standard surface
+    vs = VectorStore(spark, embedding_dim=dim)
+    vs._df = spark.read.parquet(store_path)
+    top = vs.query_one([0.0, 0.0, 1.0, 0.0], top_k=1).collect()
+    assert top[0][K_ID] == "c"
+
+
+def _events_dir(sf_dir, tmp_path):
+    # file stream sources need a DIRECTORY of files
+    d = str(tmp_path / "events_stream")
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events-000.parquet"))
+    return d
+
+
+def test_windowed_agg_stream_equals_batch(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events_dir = _events_dir(sf_dir, tmp_path)
+    stream = read_events_stream(spark, events_dir)
+    assert stream.isStreaming
+    # update mode: every window updated in the (single) micro-batch emits
+    run_to_memory(windowed_event_agg(stream), "win_stream_u", output_mode="update")
+    got = {tuple(r) for r in spark.table("win_stream_u").collect()}
+
+    batch = windowed_event_agg(load_table(spark, sf_dir, "events"))
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+    # append mode only emits windows CLOSED by the watermark: the result
+    # is exactly the batch result minus the tail windows still in state
+    run_to_memory(
+        windowed_event_agg(read_events_stream(spark, events_dir)),
+        "win_stream_a",
+        output_mode="append",
+    )
+    got_append = {tuple(r) for r in spark.table("win_stream_a").collect()}
+    assert got_append <= want
+    max_emitted = max(r[0] for r in got_append)
+    assert {r for r in want - got_append if r[0] <= max_emitted} == set()
+
+
+def test_sessionized_stream_equals_batch_lag_formulation(spark, sf_dir, tmp_path):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events_dir = _events_dir(sf_dir, tmp_path)
+    run_to_memory(
+        sessionized_stream(read_events_stream(spark, events_dir)), "sess_stream"
+    )
+    got = spark.table("sess_stream")
+    # session_window's end = last_ts + gap; compare session STARTS and
+    # event counts against the batch lag-formulation entry
+    import __spark_entry__ as entry_mod
+
+    batch = entry_mod.queries()["events_sessionize"](spark, sf_dir)
+    g = {(r["user_id"], r["start_epoch"], r["n_events"]) for r in got.collect()}
+    w = {(r["user_id"], r["start_epoch"], r["n_events"]) for r in batch.collect()}
+    assert len(w) > 0 and g <= w
+    # append mode withholds sessions the watermark (2h) + gap (30min)
+    # hasn't closed; everything older must have been emitted
+    max_ts = load_table(spark, sf_dir, "events").agg(
+        F.unix_timestamp(F.max("ts"))).first()[0]
+    horizon = max_ts - 2 * 3600 - 1800
+    assert all(s[1] >= horizon for s in w - g), sorted(w - g)[:5]
