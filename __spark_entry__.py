@@ -212,10 +212,17 @@ FROM embeddings WHERE vec_id IN (1, 2, 3, 250, 499)
 """,
 )
 def _point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """get(): point lookup by id list, vector projected away (pico_vdb.py:927-957)."""
-    store = load_embeddings_store(spark, sf_dir)
-    ids = ["1", "2", "3", "250", "499"]
-    return store.filter(~F.col(K_DELETED)).filter(F.col(K_ID).isin(ids)).select(K_ID, "label")
+    """get(): point lookup by id list, vector projected away (pico_vdb.py:927-957).
+
+    Filters on the PHYSICAL key column before the string-cast alias —
+    a predicate on cast(vec_id as string) cannot push into the Parquet
+    scan, one on vec_id itself does (tests/test_plans.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = [1, 2, 3, 250, 499]
+    return (
+        emb.filter(F.col("vec_id").isin(ids))
+        .select(F.col("vec_id").cast("string").alias(K_ID), "label")
+    )
 
 
 @_register(

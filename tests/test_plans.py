@@ -1,0 +1,117 @@
+"""Physical-plan regression tests — the engine's at-scale guarantees.
+
+Each test pins a property that is invisible at sf0.001 but decides
+whether the same code works at 100 TB: predicate pushdown into the
+Parquet scan, column pruning (the 1 KB-per-row vector column must not be
+read by metadata-only queries), broadcast strategy (query batch / tiny
+top-k side broadcast; store side never shuffled for a query), and
+rank-limit pushdown (WindowGroupLimit partial top-k before the shuffle).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from picovdb_spark.operators.similarity import batch_query
+from picovdb_spark.plans import explain_str, pushed_filters, scan_columns
+from picovdb_spark.schema import K_DELETED, K_ID, K_VECTOR, load_embeddings_store, load_table
+
+
+@pytest.fixture(scope="module")
+def store(spark, sf_dir):
+    return load_embeddings_store(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def queries(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 4)
+        .select(
+            F.col("vec_id").cast("string").alias("query_id"),
+            F.col("embedding").alias(K_VECTOR),
+        )
+    )
+
+
+def test_where_filter_pushed_to_scan(store, queries):
+    """Q5 prefilter must reach the Parquet reader (row-group pruning),
+    not run post-scan — the reference's prefilter-before-GEMM rule
+    (pico_vdb.py:613-656) done by Catalyst."""
+    df = batch_query(store, queries, top_k=5, where={"label": 3}, method="sql")
+    assert "EqualTo(label,3)" in pushed_filters(df)
+
+
+def test_in_filter_pushed_to_scan(store, queries):
+    df = batch_query(store, queries, top_k=5, where={"label": {"$in": [1, 2]}}, method="sql")
+    assert any(f.startswith("In(label") for f in pushed_filters(df))
+
+
+def test_metadata_query_never_reads_vectors(store):
+    """Column pruning: get_all()-style projection must not read the
+    embedding column (it dominates IO: ~256 B vs ~20 B per row)."""
+    proj = store.filter(~F.col(K_DELETED)).select(K_ID, "label")
+    for cols in scan_columns(proj):
+        assert "embedding" not in cols
+
+
+def test_gemm_metadata_join_prunes_vector_and_broadcasts(store, queries):
+    """The GEMM path's metadata join-back must (a) not re-read the
+    embedding column on the metadata scan, (b) broadcast the tiny top-k
+    side — never shuffle the store."""
+    df = batch_query(store, queries, top_k=5, method="gemm")
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    scans = scan_columns(df)
+    # one scan feeds the GEMM (id+vector), one recovers metadata (no vector)
+    assert any("embedding" not in c for c in scans)
+    assert not any("ShuffleExchange" in line and "hashpartitioning(_id_" in line
+                   for line in plan.splitlines())
+
+
+def test_query_batch_is_broadcast_not_shuffled(store, queries):
+    """SQL path: the similarity 'join' must be a broadcast nested-loop
+    (query batch broadcast to store partitions) — a shuffle cross join
+    multiplies partitions and dies at scale."""
+    plan = explain_str(batch_query(store, queries, top_k=5, method="sql"))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_topk_rank_pushdown(store, queries):
+    """Per-query top-k must pre-truncate per partition before the
+    shuffle (WindowGroupLimit, Spark >= 3.5) — the distributed
+    partial+final top-k (SURVEY.md §4)."""
+    plan = explain_str(batch_query(store, queries, top_k=5, method="sql"))
+    assert "WindowGroupLimit" in plan
+
+
+def test_ids_prefilter_is_broadcast_semi_join(store, queries):
+    plan = explain_str(
+        batch_query(store, queries, top_k=5, ids=[str(i) for i in range(50)], method="sql")
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_point_lookup_pushes_in_filter_native_store(spark, tmp_path):
+    """On a natively-written store (string _id_ in Parquet), get()'s isin
+    filter pushes into the scan. (On the embeddings VIEW the id is a
+    cast of vec_id, which blocks pushdown — that is why the point_lookup
+    entry filters on the physical key; this test pins the native case.)"""
+    p = str(tmp_path / "native_store")
+    spark.createDataFrame(
+        [(str(i), [float(i), 0.0], False, i % 3) for i in range(100)],
+        schema=f"{K_ID} string, {K_VECTOR} array<float>, {K_DELETED} boolean, label int",
+    ).write.parquet(p)
+    native = spark.read.parquet(p)
+    df = native.filter(~F.col(K_DELETED)).filter(F.col(K_ID).isin(["1", "2"])).select(K_ID, "label")
+    fs = pushed_filters(df)
+    assert any("_id_" in f and ("In(" in f or "EqualTo" in f or "Or(" in f) for f in fs), fs
+    for cols in scan_columns(df):
+        assert K_VECTOR not in cols
+
+
+def test_point_lookup_entry_pushes_physical_key(spark, sf_dir):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["point_lookup"](spark, sf_dir)
+    fs = pushed_filters(df)
+    assert any("vec_id" in f and ("In(" in f or "EqualTo" in f or "Or(" in f) for f in fs), fs
