@@ -407,12 +407,13 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    from picovdb_spark.functions.text import MINHASH_PRIME, _minhash_coeffs
+
     rows = num_hashes // bands
+    coeffs = _minhash_coeffs(num_hashes)
     sig_cols = ",\n  ".join(
-        "list_min(list_transform(sh, s -> {h})) AS mh{i}".format(
-            h=_d_hash32(f"'{i}:' || s"), i=i
-        )
-        for i in range(num_hashes)
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_PRIME})) AS mh{i}"
+        for i, (a, b) in enumerate(coeffs)
     )
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band_idx, md5(concat_ws(',', {cols})) AS band FROM sigs".format(
@@ -423,7 +424,8 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
     )
     return f"""
 WITH {_D_TOKSHING_CTE},
-sigs AS (SELECT doc_id, {sig_cols} FROM shing),
+hashed AS (SELECT doc_id, sh, list_transform(sh, s -> {_d_hash32('s')}) AS hs FROM shing),
+sigs AS (SELECT doc_id, {sig_cols} FROM hashed),
 bandrows AS (
 {band_selects}
 ),
