@@ -636,6 +636,159 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------- chunking / UDF ops
+
+@_register(
+    "text_chunking",
+    f"""
+WITH tok AS (SELECT doc_id, {_D_TOK} AS t FROM documents),
+win AS (
+  SELECT doc_id, t,
+         greatest(CAST(ceil((len(t) - 64) / 48.0) AS INTEGER) + 1, 1) AS n_win
+  FROM tok
+),
+expl AS (SELECT doc_id, t, unnest(range(0, n_win)) AS w FROM win)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS chunk_idx,
+       array_to_string(t[w * 48 + 1 : w * 48 + 64], ' ') AS chunk_text,
+       CAST(len(t[w * 48 + 1 : w * 48 + 64]) AS INTEGER) AS n_tokens
+FROM expl
+""",
+)
+def _text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-pipeline chunking: 64-token windows, 16-token overlap
+    (stride 48), flatMap shape, no shuffle."""
+    from picovdb_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+@_register(
+    "topk_where_udf",
+    _topk_oracle(5, where="e.label % 2 = 0"),
+)
+def _topk_where_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: arbitrary-callable metadata prefilter — the reference's UDF
+    surface (pico_vdb.py:643-648). The engine runs a real Python UDF over
+    the metadata struct; the oracle states the same predicate in SQL, so
+    the UDF path itself is value-checked."""
+    return batch_query(
+        load_embeddings_store(spark, sf_dir),
+        _queries_df(spark, sf_dir),
+        top_k=5,
+        where=lambda doc: doc["label"] % 2 == 0,
+    )
+
+
+# ---------------------------------------------------- relational analytics ops
+# The engine is a general DataFrame engine underneath the vector API;
+# these entries pin the relational operator surface (scan→filter→join→
+# agg→window) on the TPC-H-style testdata at oracle fidelity.
+
+@_register(
+    "rel_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def _rel_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with map-side partial agg;
+    the date filter pushes into the Parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "rel_region_revenue",
+    """
+SELECT r.r_name AS region, round(sum(o.o_totalprice), 6) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def _rel_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join rollup: the small dims (nation, region) broadcast; only
+    the orders↔customer join shuffles — pinned in tests/test_plans.py."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "rel_top_customers_per_nation",
+    """
+WITH spend AS (
+  SELECT c.c_nationkey, c.c_name, round(sum(o.o_totalprice), 6) AS total_spend
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, c.c_name
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+            PARTITION BY c_nationkey ORDER BY total_spend DESC, c_name ASC) AS INTEGER) AS rk
+  FROM spend
+)
+SELECT c_nationkey, c_name, total_spend, rk FROM ranked WHERE rk <= 3
+""",
+)
+def _rel_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-N per group (WindowGroupLimit pre-truncation — the same
+    physical shape as per-query vector top-k)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 6).alias("total_spend"))
+    )
+    w = W.partitionBy("c_nationkey").orderBy(F.col("total_spend").desc(), F.col("c_name").asc())
+    return (
+        spend.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("c_nationkey", "c_name", "total_spend", "rk")
+    )
+
+
 # ------------------------------------------------------------- multimodal ops
 
 @_register("media_features")  # rows-only: synthetic binary corpus, no SQL twin

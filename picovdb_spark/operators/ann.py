@@ -162,6 +162,20 @@ class IvfIndex:
             seed=seed,
         )
 
+    def add(self, new_rows: DataFrame) -> "IvfIndex":
+        """Incremental maintenance: assign ONLY the new rows against the
+        frozen centroids and append — the analog of the reference's
+        incremental add path (`_rebuild_faiss` remove_ids+add_with_ids,
+        pico_vdb.py:884-921). Centroid drift accumulates; call `refit()`
+        when the added fraction crosses the rebuild threshold (the
+        reference uses changed/total > 0.2, pico_vdb.py:194-204)."""
+        assigned = assign_clusters(new_rows, self.centroids, vector_col=self.vector_col)
+        return IvfIndex(
+            df=self.df.unionByName(assigned.select(*self.df.columns)),
+            centroids=self.centroids,
+            vector_col=self.vector_col,
+        )
+
 
 def ann_query(
     index: IvfIndex,

@@ -1,0 +1,58 @@
+"""Document chunking — the ingestion front-end of an embedding pipeline
+(text → fixed-size overlapping token windows → one row per chunk, ready
+for an embedding model and `VectorStore.upsert`).
+
+Not present in the reference (it ingests pre-embedded vectors,
+pico_vdb.py:403-498); part of the SURVEY.md §7.4 scale-out extensions.
+Chunking is a pure per-row flatMap — no shuffle; output rows carry
+(doc_id, chunk_idx) so downstream dedup/embedding joins have a stable
+composite key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from picovdb_spark.functions.text import tokens
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into windows of `chunk_tokens` tokens with
+    `overlap` tokens of context carried between consecutive chunks
+    (stride = chunk_tokens - overlap). The final partial window is kept.
+
+    Output: (doc_id, chunk_idx, chunk_text, n_tokens) — chunk_idx is
+    0-based; every token of the source appears in at least one chunk.
+
+    Pure Catalyst: tokens → sequence of window starts → transform+slice →
+    posexplode. Stays inside whole-stage codegen; no Python, no shuffle.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    stride = chunk_tokens - overlap
+    t = tokens(F.col(text_col))
+    # window starts: 1, 1+stride, 1+2*stride, … while start <= len
+    # (1-based; a doc shorter than one chunk yields exactly one window)
+    n_windows = F.greatest(
+        F.ceil((F.size(t) - F.lit(chunk_tokens)) / F.lit(stride)).cast("int") + 1, F.lit(1)
+    )
+    starts = F.sequence(F.lit(0), n_windows - 1)
+    chunks = F.transform(
+        starts,
+        lambda w: F.concat_ws(" ", F.slice(t, w * stride + 1, chunk_tokens)),
+    )
+    out = docs.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    )
+    return out.withColumn(
+        "n_tokens", F.size(F.filter(F.split(F.col("chunk_text"), " "), lambda x: x != ""))
+    )

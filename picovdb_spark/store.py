@@ -220,6 +220,13 @@ class VectorStore:
         out = self.active().filter(F.col(K_ID).isin(id_list))
         return self._project(out, include_vector)
 
+    def get_by_id(self, sid: str, include_vector: bool = False) -> DataFrame:
+        """Deprecated alias of `get` (pico_vdb.py:959-974)."""
+        import warnings
+
+        warnings.warn("get_by_id is deprecated; use get", DeprecationWarning, stacklevel=2)
+        return self.get(sid, include_vector=include_vector)
+
     def get_all(self, include_vector: bool = False, include_deleted: bool = False) -> DataFrame:
         """Full scan of active rows; `include_deleted` appends id-only
         placeholder rows for tombstones (pico_vdb.py:976-1011)."""

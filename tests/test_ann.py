@@ -108,6 +108,30 @@ def test_store_ann_unfiltered_and_dirty_invalidation(spark):
     assert store._ann is None
 
 
+def test_ivf_incremental_add(spark, emb, queries, index):
+    """add() assigns only new rows against frozen centroids; queries see
+    them immediately (incremental path, pico_vdb.py:884-921)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    new = spark.createDataFrame(
+        [("new-hit", [float(x) for x in np.asarray(queries.first()[K_VECTOR])], 99)],
+        schema=T.StructType(
+            [
+                T.StructField(K_ID, T.StringType()),
+                T.StructField(K_VECTOR, T.ArrayType(T.FloatType())),
+                T.StructField("label", T.IntegerType()),
+            ]
+        ),
+    )
+    idx2 = index.add(new.select(*index.df.drop("__cluster").columns))
+    # the new row duplicates the query vector: it must tie the original
+    # at score 1.0 (id-ascending tiebreak puts "0" first)
+    out = ann_query(idx2, queries.limit(1), top_k=2, nprobe=4).collect()
+    by_id = {r[K_ID]: r["_metrics_"] for r in out}
+    assert "new-hit" in by_id and by_id["new-hit"] >= 0.999999
+
+
 def test_lsh_ann_join_recall(spark, emb, queries):
     exact = _hits(
         knn_join(

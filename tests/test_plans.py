@@ -109,6 +109,15 @@ def test_point_lookup_pushes_in_filter_native_store(spark, tmp_path):
         assert K_VECTOR not in cols
 
 
+def test_star_join_broadcasts_small_dims(spark, sf_dir):
+    """rel_region_revenue: nation/region (25/5 rows) must broadcast —
+    only the orders↔customer join may shuffle."""
+    import __spark_entry__ as entry_mod
+
+    plan = explain_str(entry_mod.queries()["rel_region_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
 def test_point_lookup_entry_pushes_physical_key(spark, sf_dir):
     import __spark_entry__ as entry_mod
 
