@@ -636,6 +636,94 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- pipeline utility ops
+
+@_register(
+    "text_dataset_split",
+    f"""
+SELECT doc_id,
+       round({_d_hash32("'v1:' || CAST(doc_id AS VARCHAR)")} / 4294967296.0, 6) AS bucket,
+       CASE WHEN {_d_hash32("'v1:' || CAST(doc_id AS VARCHAR)")} / 4294967296.0 < 0.98 THEN 'train'
+            WHEN {_d_hash32("'v1:' || CAST(doc_id AS VARCHAR)")} / 4294967296.0 < 0.99 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def _dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (98/1/1): stable
+    across runs/engines, no RNG."""
+    from picovdb_spark.operators.textops import dataset_split
+
+    return dataset_split(load_table(spark, sf_dir, "documents"))
+
+
+_CHUNK_CTE = f"""
+tok AS (SELECT doc_id, {_D_TOK} AS t FROM documents),
+win AS (
+  SELECT doc_id, t,
+         greatest(CAST(ceil((len(t) - 64) / 48.0) AS INTEGER) + 1, 1) AS n_win
+  FROM tok
+),
+chunks AS (
+  SELECT doc_id, CAST(w AS INTEGER) AS chunk_idx,
+         CAST(len(t[w * 48 + 1 : w * 48 + 64]) AS INTEGER) AS n_tokens
+  FROM (SELECT doc_id, t, unnest(range(0, n_win)) AS w FROM win) expl
+)
+"""
+
+
+@_register(
+    "text_pack_sequences",
+    f"""
+WITH {_CHUNK_CTE},
+grouped AS (
+  SELECT doc_id, chunk_idx, n_tokens,
+         {_d_hash32("'v1:' || CAST(doc_id AS VARCHAR)")} % 64 AS pack_group
+  FROM chunks
+)
+SELECT doc_id, chunk_idx, n_tokens, pack_group,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+              PARTITION BY pack_group ORDER BY doc_id, chunk_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0) AS INTEGER) AS bin_idx
+FROM grouped
+""",
+)
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing of chunked docs into <=256-token bins,
+    parallel over 64 deterministic pack groups."""
+    from picovdb_spark.operators.chunking import chunk_documents
+    from picovdb_spark.operators.textops import pack_sequences
+
+    chunks = chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    ).drop("chunk_text")
+    return pack_sequences(chunks, max_tokens=256)
+
+
+def _pii_oracle() -> str:
+    from picovdb_spark.operators.textops import PII_PATTERNS
+
+    cols = ",\n  ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    total = " + ".join(f"n_{name}" for name in PII_PATTERNS)
+    return f"""
+WITH hits AS (SELECT doc_id, {cols} FROM documents)
+SELECT doc_id, {', '.join('n_' + n for n in PII_PATTERNS)},
+       CAST({total} AS BIGINT) AS n_pii, ({total}) > 0 AS has_pii
+FROM hits
+"""
+
+
+@_register("text_pii_scan", _pii_oracle())
+def _pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII screen (email/phone/ssn/ipv4 counts + quarantine flag)."""
+    from picovdb_spark.operators.textops import pii_scan
+
+    return pii_scan(load_table(spark, sf_dir, "documents"))
+
+
 # -------------------------------------------------------- chunking / UDF ops
 
 @_register(

@@ -110,6 +110,33 @@ def bench_queries(spark):
 
         _force(entry_mod.queries()["events_sessionize"](spark, SF_DIR))
 
+    ann_state = {}
+
+    def q_ann_build():
+        from picovdb_spark.operators.ann import IvfIndex
+
+        ann_state["idx"] = IvfIndex.build(store, n_centroids=64, seed=42)
+
+    def q_ann_query_1000():
+        from picovdb_spark.operators.ann import ann_query
+
+        _force(
+            ann_query(ann_state["idx"], _queries_df(spark, N_BATCH_QUERIES), top_k=10, nprobe=8)
+        )
+
+    def q_chunk_pack():
+        from picovdb_spark.operators.chunking import chunk_documents
+        from picovdb_spark.operators.textops import pack_sequences
+
+        chunks = chunk_documents(docs, chunk_tokens=64, overlap=16).drop("chunk_text")
+        _force(pack_sequences(chunks, max_tokens=256))
+
+    def q_pipeline_screen():
+        from picovdb_spark.operators.textops import dataset_split, pii_scan
+
+        _force(dataset_split(docs))
+        _force(pii_scan(docs))
+
     return {
         "batch_1000_gemm": q_batch_1000_gemm,
         "batch_100_sql": q_batch_100_sql,
@@ -122,6 +149,10 @@ def bench_queries(spark):
         "embedding_near_dup": q_embedding_near_dup,
         "text_analysis": q_text_analysis,
         "sessionize": q_sessionize,
+        "ann_ivf_build": q_ann_build,
+        "ann_ivf_query_1000": q_ann_query_1000,
+        "chunk_pack": q_chunk_pack,
+        "pipeline_screen": q_pipeline_screen,
     }
 
 

@@ -111,3 +111,109 @@ def doc_fingerprint(
         ),
         F.size(sh).cast("long").alias("n_shingles"),
     )
+
+
+def dataset_split(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment.
+
+    Each id maps to a bucket in [0,1) via md5(salt || ':' || id) — stable
+    across runs, machines and engines (no RNG, no ordering dependence),
+    so re-running the pipeline never migrates a document between splits;
+    changing `salt` produces an independent re-split. Pure projection,
+    no shuffle.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    u = md5_hash32(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))) / F.lit(
+        4294967296.0
+    )
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return docs.select(F.col(id_col), F.round(u, 6).alias("bucket"), expr.alias("split"))
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    *,
+    id_cols: tuple[str, str] = ("doc_id", "chunk_idx"),
+    token_col: str = "n_tokens",
+    max_tokens: int = 256,
+    partition_salt: str = "v1",
+) -> DataFrame:
+    """Greedy sequence packing: assign chunks to fixed-budget batches of
+    ≤ `max_tokens` tokens (the pre-training batch-construction step).
+
+    Distributed shape: chunks are hashed into independent PACK GROUPS
+    (deterministic md5 of the doc id — co-locates a doc's chunks), and
+    the greedy running-total packing runs per group over a window sorted
+    by (doc, chunk): bin_idx = floor(exclusive-prefix-sum / max_tokens).
+    One shuffle on the group key; group count scales with the cluster,
+    not the data. A chunk longer than the budget occupies a bin alone
+    (never split, standard packing semantics — prefix-sum bins guarantee
+    a bin's CONTENT sum ≤ budget only when no single chunk exceeds it).
+
+    Output: (doc_id, chunk_idx, n_tokens, pack_group, bin_idx).
+    """
+    from pyspark.sql import Window as W
+
+    doc_col, idx_col = id_cols
+    g = (
+        md5_hash32(F.concat(F.lit(f"{partition_salt}:"), F.col(doc_col).cast("string")))
+        % F.lit(64)
+    ).alias("pack_group")
+    w = (
+        W.partitionBy("pack_group")
+        .orderBy(F.col(doc_col).asc(), F.col(idx_col).asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    run = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
+    return (
+        chunks.select(doc_col, idx_col, token_col, g)
+        .withColumn("bin_idx", F.floor(run / F.lit(max_tokens)).cast("int"))
+    )
+
+
+# PII patterns: deliberately simple, deterministic, and identically
+# expressible in Spark and DuckDB regex dialects (no lookarounds).
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone": "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ssn": "[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4": "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+}
+
+
+def pii_scan(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document PII indicator counts + a keep/quarantine flag.
+
+    Map-side only. The regexes are a deterministic heuristic screen (the
+    production analog plugs an NER model into the same projection); a
+    doc with any hit is flagged for the quarantine branch of the
+    pipeline."""
+    cols = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = docs.select(F.col(id_col), *cols)
+    total = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("n_pii", total.cast("long")).withColumn(
+        "has_pii", F.col("n_pii") > 0
+    )

@@ -1,0 +1,75 @@
+"""Pipeline-utility operator tests: dataset split (determinism,
+proportions), sequence packing (budget invariant, no chunk split),
+PII scan (detection on synthetic positives)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from picovdb_spark.operators.chunking import chunk_documents
+from picovdb_spark.operators.textops import dataset_split, pack_sequences, pii_scan
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from picovdb_spark.schema import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_split_deterministic_and_proportional(spark, docs):
+    a = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in dataset_split(docs).collect()}
+    assert a == b  # no RNG, stable across runs
+    n = len(a)
+    train = sum(1 for v in a.values() if v == "train")
+    assert train / n > 0.9  # 98% nominal
+    assert set(a.values()) <= {"train", "val", "test"}
+    # different salt ⇒ different assignment (independent re-split)
+    c = {r["doc_id"]: r["split"] for r in dataset_split(docs, salt="v2").collect()}
+    assert c != a
+
+
+def test_split_custom_weights(spark, docs):
+    out = dataset_split(docs, weights={"a": 0.5, "b": 0.5}).collect()
+    counts = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) == {"a", "b"}
+    assert abs(counts["a"] - counts["b"]) < 0.3 * len(out)
+
+
+def test_packing_budget_invariant(spark, docs):
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16).drop("chunk_text")
+    packed = pack_sequences(chunks, max_tokens=256)
+    bins = (
+        packed.groupBy("pack_group", "bin_idx")
+        .agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("n"))
+        .collect()
+    )
+    # every chunk ≤ 64 < 256, so a bin's content may only exceed the
+    # budget by less than one chunk (prefix-sum packing semantics:
+    # the bin BOUNDARY is at 256; the straddling chunk joins the next bin)
+    assert all(b["tot"] <= 256 + 64 for b in bins)
+    # chunks are never split: total tokens conserved
+    assert packed.agg(F.sum("n_tokens")).first()[0] == chunks.agg(F.sum("n_tokens")).first()[0]
+    # deterministic
+    again = pack_sequences(chunks, max_tokens=256)
+    key = lambda r: (r["doc_id"], r["chunk_idx"])  # noqa: E731
+    assert sorted(map(lambda r: (key(r), r["bin_idx"]), packed.collect())) == sorted(
+        map(lambda r: (key(r), r["bin_idx"]), again.collect())
+    )
+
+
+def test_pii_scan_detects(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at alice@example.com or 555-123-4567 today"),
+            (2, "ssn 123-45-6789 leaked from 192.168.0.1"),
+            (3, "perfectly clean text with no identifiers"),
+        ],
+        schema="doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1 and out[1]["has_pii"]
+    assert out[2]["n_ssn"] == 1 and out[2]["n_ipv4"] == 1 and out[2]["has_pii"]
+    assert out[3]["n_pii"] == 0 and not out[3]["has_pii"]
