@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) for the scalar vector kernels:
+the Spark expressions must agree with a NumPy reference on arbitrary
+float32 inputs — including zeros, subnormals, and mixed magnitudes.
+
+Each example ships a BATCH of vectors through one Spark job (per-example
+jobs would make shrinking pathologically slow)."""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from picovdb_spark.functions.vector import auto_id, dot, l2_norm, l2_normalize
+from pyspark.sql import functions as F
+
+DIM = 8
+
+finite_f32 = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=32
+)
+vec = st.lists(finite_f32, min_size=DIM, max_size=DIM)
+
+
+@pytest.fixture(scope="module")
+def sess(spark):
+    return spark
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(vs=st.lists(vec, min_size=1, max_size=16))
+def test_normalize_matches_numpy(sess, vs):
+    df = sess.createDataFrame(
+        [([float(x) for x in v],) for v in vs], schema="v array<float>"
+    )
+    got = df.select(l2_normalize(F.col("v")).alias("n"), l2_norm(F.col("v")).alias("m")).collect()
+    for (v, row) in zip(vs, got):
+        x = np.asarray(v, dtype=np.float32).astype(np.float64)
+        norm = float(np.sqrt((x * x).sum()))
+        assert math.isclose(row["m"], norm, rel_tol=1e-12, abs_tol=1e-12)
+        n = np.asarray(row["n"])
+        if norm == 0.0:
+            expected = np.zeros(DIM)
+            expected[0] = 1.0  # zero ⇒ e₀ invariant (pico_vdb.py:62-67)
+            assert np.allclose(n, expected)
+        else:
+            assert np.allclose(n, x / norm, rtol=1e-9, atol=1e-12)
+            # unit length within float error
+            assert math.isclose(float((n * n).sum()), 1.0, rel_tol=0, abs_tol=1e-9)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(pairs=st.lists(st.tuples(vec, vec), min_size=1, max_size=16))
+def test_dot_matches_numpy_and_is_symmetric(sess, pairs):
+    df = sess.createDataFrame(
+        [([float(x) for x in a], [float(x) for x in b]) for a, b in pairs],
+        schema="a array<float>, b array<float>",
+    )
+    got = df.select(
+        dot(F.col("a"), F.col("b")).alias("ab"), dot(F.col("b"), F.col("a")).alias("ba")
+    ).collect()
+    for (a, b), row in zip(pairs, got):
+        xa = np.asarray(a, dtype=np.float32).astype(np.float64)
+        xb = np.asarray(b, dtype=np.float32).astype(np.float64)
+        want = float((xa * xb).sum())
+        # same-order left fold ⇒ tight agreement; symmetry may differ
+        # only by float association error
+        assert math.isclose(row["ab"], want, rel_tol=1e-9, abs_tol=1e-6)
+        assert math.isclose(row["ab"], row["ba"], rel_tol=1e-9, abs_tol=1e-6)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(v=vec)
+def test_auto_id_deterministic_and_scale_invariant(sess, v):
+    """Content-hash id: equal vectors get equal ids; positive scaling
+    preserves the id (hash of the NORMALIZED vector) unless the vector
+    is zero."""
+    rows = [
+        ([float(x) for x in v],),
+        ([float(x) for x in v],),
+        ([float(x) * 2.0 for x in v],),
+    ]
+    df = sess.createDataFrame(rows, schema="v array<float>")
+    ids = [r[0] for r in df.select(auto_id(F.col("v"))).collect()]
+    assert ids[0] == ids[1]
+    norm = math.sqrt(sum(float(x) * float(x) for x in v))
+    if norm > 0 and all(abs(x) < 1e5 for x in v):
+        assert ids[0] == ids[2]  # scale-invariant on comfortably finite input
