@@ -158,8 +158,13 @@ def bench_queries(spark):
 
 def main() -> None:
     spark = get_spark("picovdb_spark_bench")
-    # warm the JVM/session so the first timed query doesn't pay startup
+    # warm the JVM/session AND the Python-UDF workers so the first timed
+    # query doesn't pay process startup (measured: ~2s once per executor)
     load_table(spark, SF_DIR, "embeddings").count()
+    warm = spark.range(64).repartition(32)
+    warm.mapInPandas(lambda it: it, schema="id long").write.mode("overwrite").format(
+        "noop"
+    ).save()
 
     timings: dict[str, float] = {}
     for name, fn in bench_queries(spark).items():
