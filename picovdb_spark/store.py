@@ -16,12 +16,35 @@ it runs on plain Parquet.
 
 from __future__ import annotations
 
+import functools
 import json
+import logging
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Iterable
 from typing import Any
+
+logger = logging.getLogger("picovdb_spark")
+
+
+def _timed(name: str):
+    """DEBUG-level op timing, mirroring the reference's @_timed decorator
+    ("<op> took X ms", pico_vdb.py:81-94; tests/test_timing_logs.py)."""
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args: Any, **kwargs: Any):
+            t0 = time.perf_counter()
+            try:
+                return fn(*args, **kwargs)
+            finally:
+                logger.debug("%s took %.1f ms", name, (time.perf_counter() - t0) * 1000)
+
+        return wrapper
+
+    return deco
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -45,12 +68,16 @@ class VectorStore:
         storage_path: str | None = None,
         *,
         checkpoint_mutations: bool = True,
+        capacity: int | None = None,
     ):
         self.spark = spark
         self.dim = int(embedding_dim)
         self.storage_path = storage_path
         self._checkpoint = checkpoint_mutations
         self._additional: dict[str, Any] = {}
+        # optional hard row cap — parity with the reference's fixed
+        # pre-allocated capacity mode (pico_vdb.py:286-296, :440-442)
+        self._capacity = capacity
         if storage_path and os.path.exists(os.path.join(storage_path, "meta.json")):
             self._load(storage_path)
         else:
@@ -85,6 +112,7 @@ class VectorStore:
 
     # ---------------------------------------------------------------- mutation
 
+    @_timed("upsert")
     def upsert(self, items: list[dict] | DataFrame) -> dict[str, list[str]]:
         """Batch insert-or-update by id (pico_vdb.py:403-498).
 
@@ -128,12 +156,21 @@ class VectorStore:
         updated = [r[0] for r in batch.select(K_ID).join(existing_ids, K_ID, "left_semi").collect()]
         inserted = [r[0] for r in batch.select(K_ID).join(existing_ids, K_ID, "left_anti").collect()]
 
+        if self._capacity is not None:
+            total_after = self._df.count() + len(inserted)
+            if total_after > self._capacity:
+                raise RuntimeError(
+                    f"capacity exceeded: {total_after} > {self._capacity} "
+                    "(fixed-capacity store, pico_vdb.py:440-442)"
+                )
+
         merged = existing.join(batch.select(K_ID), K_ID, "left_anti").select(*cols).unionByName(
             batch.select(*cols)
         )
         self._set(merged)
         return {"update": sorted(updated), "insert": sorted(inserted)}
 
+    @_timed("delete")
     def delete(self, ids: Iterable[str]) -> list[str]:
         """Tombstone rows by id; returns ids actually removed
         (pico_vdb.py:514-537). Rows stay until `vacuum()`."""
@@ -150,6 +187,7 @@ class VectorStore:
         )
         return sorted(removed)
 
+    @_timed("vacuum")
     def vacuum(self) -> int:
         """Physically drop tombstones (pico_vdb.py:831-853); returns the
         number of rows compacted away."""
@@ -169,6 +207,7 @@ class VectorStore:
 
     # ----------------------------------------------------------------- queries
 
+    @_timed("query")
     def query(self, queries: DataFrame | list, **kwargs: Any) -> DataFrame:
         """Batch filtered top-k cosine search; see operators/similarity.py.
         Stored vectors are unit-normalized on ingest, so scoring skips
@@ -274,6 +313,7 @@ class VectorStore:
 
     # ------------------------------------------------------------- persistence
 
+    @_timed("save")
     def save(self, path: str | None = None) -> str:
         """Atomic persist (pico_vdb.py:330-393): write to a staging dir,
         then rename into place — the Spark analog of tmp+os.replace.

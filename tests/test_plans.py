@@ -64,8 +64,9 @@ def test_gemm_metadata_join_prunes_vector_and_broadcasts(store, queries):
     scans = scan_columns(df)
     # one scan feeds the GEMM (id+vector), one recovers metadata (no vector)
     assert any("embedding" not in c for c in scans)
-    assert not any("ShuffleExchange" in line and "hashpartitioning(_id_" in line
-                   for line in plan.splitlines())
+    # simple mode inlines Exchange args: the store must never hash-shuffle on _id_
+    simple = explain_str(df, mode="simple")
+    assert "Exchange hashpartitioning(_id_" not in simple
 
 
 def test_query_batch_is_broadcast_not_shuffled(store, queries):

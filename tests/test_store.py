@@ -161,3 +161,36 @@ def test_schemaless_metadata_new_keys(store):
     assert "extra_key" in store.df.columns
     assert store.get("v1").first()["extra_key"] is None
     assert store.get("tagged").first()["extra_key"] == "x"
+
+
+def test_capacity_exceeded(spark):
+    """Fixed-capacity parity (pico_vdb.py:286-296, :440-442): inserts
+    beyond the cap raise; updates never count against it."""
+    import pytest
+
+    from picovdb_spark.store import VectorStore
+
+    store = VectorStore(spark, embedding_dim=2, checkpoint_mutations=False, capacity=2)
+    store.upsert([{"_id_": "a", "_vector_": [1.0, 0.0]}, {"_id_": "b", "_vector_": [0.0, 1.0]}])
+    # update in place: fine at capacity
+    store.upsert([{"_id_": "a", "_vector_": [0.5, 0.5]}])
+    with pytest.raises(RuntimeError, match="capacity exceeded"):
+        store.upsert([{"_id_": "c", "_vector_": [1.0, 1.0]}])
+    assert store.count() == 2
+
+
+def test_timing_logs(spark, caplog):
+    """DEBUG timing parity (pico_vdb.py:81-94): mutating ops log
+    '<op> took X ms' at DEBUG on the picovdb_spark logger."""
+    import logging
+
+    from picovdb_spark.store import VectorStore
+
+    store = VectorStore(spark, embedding_dim=2, checkpoint_mutations=False)
+    with caplog.at_level(logging.DEBUG, logger="picovdb_spark"):
+        store.upsert([{"_id_": "a", "_vector_": [1.0, 0.0]}])
+        store.delete(["a"])
+        store.vacuum()
+    msgs = [r.getMessage() for r in caplog.records]
+    for op in ("upsert", "delete", "vacuum"):
+        assert any(m.startswith(f"{op} took") and m.endswith("ms") for m in msgs), msgs
