@@ -636,6 +636,122 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- agg-family coverage ops
+
+@_register(
+    "events_salted_agg",
+    """
+SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value,
+       round(min(value), 6) AS min_value, round(max(value), 6) AS max_value
+FROM events GROUP BY event_type
+""",
+)
+def _events_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted groupBy (skew-resistant) — must equal the plain
+    aggregate, which is exactly what the oracle states."""
+    from picovdb_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("event_id", "count"),
+            "s": ("value", "sum"),
+            "min_value": ("value", "min"),
+            "max_value": ("value", "max"),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        F.col("n"),
+        F.round("s", 6).alias("sum_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )
+
+
+@_register(
+    "docs_rollup_cube",
+    """
+SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+""",
+)
+def _docs_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup over (lang, source) — the grouping-sets operator
+    family (absent in the reference, SURVEY.md §2.4)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+@_register(
+    "events_value_quantiles",
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+)
+def _events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`). The approximate twin at scale is
+    percentile_approx — same plan shape, sketch-mergeable."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@_register(
+    "knn_join_exact",
+    f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT CAST(q.vec_id AS VARCHAR) AS query_id,
+         CAST(e.vec_id AS VARCHAR) AS _id_,
+         {_COS} AS _metrics_
+  FROM q CROSS JOIN embeddings e
+  WHERE q.vec_id <> e.vec_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY _metrics_ DESC, _id_ ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, _id_, _metrics_, rank FROM ranked WHERE rank <= 5
+""",
+)
+def _knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN join (self-join flavor, self-matches excluded) — the
+    brute-force baseline the LSH join approximates."""
+    from picovdb_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return knn_join(
+        q, emb, k=5,
+        left_id="vec_id", right_id="vec_id", left_vec="embedding", right_vec="embedding",
+        exclude_self=True,
+    )
+
+
 # ------------------------------------------------- pipeline utility ops
 
 @_register(
