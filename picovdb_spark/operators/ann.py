@@ -149,9 +149,26 @@ class IvfIndex:
         return cls(df=assigned, centroids=cent, vector_col=vector_col)
 
     def write(self, path: str) -> None:
-        """Persist partitioned by cluster id so `ann_query`'s probe filter
-        becomes partition pruning (zero IO for unprobed clusters)."""
+        """Persist the full index artifact: store rows partitioned by
+        cluster id (so `ann_query`'s probe filter becomes Hive-style
+        partition pruning — zero IO for unprobed clusters, pinned by
+        tests/test_ann.py) + the centroid matrix as .npy alongside."""
+        import os
+
         self.df.write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(path)
+        tmp = os.path.join(path, "_centroids.npy.tmp.npy")
+        np.save(tmp, self.centroids)
+        os.replace(tmp, os.path.join(path, "_centroids.npy"))
+
+    @classmethod
+    def read(cls, spark, path: str, *, vector_col: str = K_VECTOR) -> "IvfIndex":
+        """Load a written index; the DataFrame stays lazy (scans prune by
+        `__cluster` at query time)."""
+        import os
+
+        cent = np.load(os.path.join(path, "_centroids.npy"))
+        df = spark.read.parquet(path)
+        return cls(df=df, centroids=cent, vector_col=vector_col)
 
     def refit(self, *, n_centroids: int | None = None, seed: int = 42) -> "IvfIndex":
         """rebuild_index() parity (pico_vdb.py:855-860)."""

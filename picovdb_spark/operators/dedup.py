@@ -99,6 +99,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     round_to: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -109,9 +110,16 @@ def minhash_lsh_pairs(
     Scale shape: signatures are one narrow row per doc; the candidate
     join shuffles on (band_idx, band_hash) — never on text. Verification
     re-joins the shingle arrays only for candidate pairs (a vanishing
-    fraction). A skewed bucket (boilerplate shingles) is handled by AQE
-    skew-join; `bands`/`num_hashes` trade recall for bucket size exactly
+    fraction). `bands`/`num_hashes` trade recall for bucket size exactly
     like the reference's ef_search trades recall for scan cost.
+
+    Skew guard: a bucket of size s contributes s² candidate pairs, so
+    one boilerplate bucket (empty docs, shared headers) can dominate the
+    whole job at corpus scale. `max_bucket_size` DROPS buckets larger
+    than the cap before the self-join (standard LSH practice: such
+    buckets are near-certainly boilerplate, and their members still pair
+    via their other, more selective bands). None = uncapped (exact
+    oracle parity).
     """
     rows = num_hashes // bands
     sh = _shingled(docs, id_col, text_col, shingle_n).cache()
@@ -132,6 +140,10 @@ def minhash_lsh_pairs(
             )
         ).alias("band_idx", "band"),
     )
+    if max_bucket_size is not None:
+        sizes = band_rows.groupBy("band_idx", "band").agg(F.count("*").alias("__n"))
+        small = sizes.filter(F.col("__n") <= max_bucket_size).select("band_idx", "band")
+        band_rows = band_rows.join(small, on=["band_idx", "band"], how="left_semi")
     a = band_rows.select(F.col(id_col).alias("id_a"), "band_idx", "band")
     b_ = band_rows.select(F.col(id_col).alias("id_b"), "band_idx", "band")
     cand = (

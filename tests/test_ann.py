@@ -132,6 +132,46 @@ def test_ivf_incremental_add(spark, emb, queries, index):
     assert "new-hit" in by_id and by_id["new-hit"] >= 0.999999
 
 
+def test_ivf_write_read_partition_pruning(spark, emb, queries, index, tmp_path):
+    """A persisted index must (a) round-trip exactly, (b) plan probe
+    queries with Hive partition pruning — unprobed clusters produce NO
+    scan IO (PartitionFilters on __cluster)."""
+    from picovdb_spark.operators.ann import IvfIndex
+    from picovdb_spark.plans import explain_str
+
+    p = str(tmp_path / "ivf_index")
+    index.write(p)
+    loaded = IvfIndex.read(spark, p)
+    assert (loaded.centroids == index.centroids).all()
+
+    a = ann_query(index, queries, top_k=5, nprobe=4)
+    b = ann_query(loaded, queries, top_k=5, nprobe=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    plan = explain_str(ann_query(loaded, queries, top_k=5, nprobe=2))
+    assert "PartitionFilters" in plan and "__cluster" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_minhash_bucket_cap(spark):
+    """max_bucket_size drops boilerplate buckets: identical docs beyond
+    the cap produce no candidate pairs from that bucket, while distinct
+    near-dups below the cap still pair."""
+    from picovdb_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = [(i, "common header text repeated everywhere in the corpus exactly") for i in range(20)]
+    pair = [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    ]
+    docs = spark.createDataFrame(boiler + pair, schema="doc_id long, text string")
+    uncapped = minhash_lsh_pairs(docs, threshold=0.3)
+    assert uncapped.count() >= 190  # 20 identical docs → C(20,2) pairs
+    capped = minhash_lsh_pairs(docs, threshold=0.3, max_bucket_size=5)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got          # real near-dup survives
+    assert all(a >= 100 for a, _ in got)  # boilerplate bucket dropped
+
+
 def test_lsh_ann_join_recall(spark, emb, queries):
     exact = _hits(
         knn_join(
