@@ -137,6 +137,81 @@ def bench_queries(spark):
         _force(dataset_split(docs))
         _force(pii_scan(docs))
 
+    # -- reference-scale workloads (BASELINE.md config: 100k vectors,
+    # dim=1024) so the q/s figure is comparable at EQUIVALENT scale, not
+    # at the (much smaller) sf0.1 embeddings table. The corpus is
+    # generated distributed (seeded per partition), cached, and its
+    # generation is excluded from the timed region.
+    ref_state = {}
+
+    def _ref_store():
+        if "store" not in ref_state:
+            import numpy as np
+            from pyspark.sql import types as T
+
+            n, dim, parts = 100_000, 1024, 32
+            schema = T.StructType(
+                [
+                    T.StructField("_id_", T.StringType()),
+                    T.StructField(K_VECTOR, T.ArrayType(T.FloatType())),
+                ]
+            )
+
+            def gen(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    ids = pdf["id"].to_numpy()
+                    rng = np.random.default_rng(int(ids[0]) + 1)
+                    mat = rng.standard_normal((len(ids), dim)).astype(np.float32)
+                    yield pd.DataFrame(
+                        {"_id_": ids.astype(str), K_VECTOR: list(mat)}
+                    )
+
+            base = spark.range(n).repartition(parts).mapInPandas(gen, schema=schema)
+            ref_state["store"] = base.cache()
+            ref_state["store"].count()  # materialize outside timing
+            ref_state["queries"] = ref_state["store"].limit(1000).select(
+                F.col("_id_").alias("query_id"), F.col(K_VECTOR)
+            ).cache()
+            ref_state["queries"].count()
+            # one warm pass: first mapInPandas over the fresh cache pays
+            # JVM-cache → Arrow → Python materialization (~10s one-time);
+            # steady-state throughput is what the baseline reports
+            _force(
+                batch_query(
+                    ref_state["store"],
+                    ref_state["queries"].limit(10),
+                    top_k=10,
+                    method="gemm",
+                    normalized=False,
+                )
+            )
+        return ref_state["store"], ref_state["queries"]
+
+    def q_ref100k_batch_1000():
+        s, q = _ref_store()
+        _force(batch_query(s, q, top_k=10, method="gemm", normalized=False))
+
+    def q_ref100k_ivf_build():
+        from picovdb_spark.operators.ann import IvfIndex
+
+        s, _ = _ref_store()
+        ref_state["ivf"] = IvfIndex.build(s, n_centroids=64, seed=42)
+
+    def q_ref100k_ivf_query_1000():
+        from picovdb_spark.operators.ann import ann_query
+
+        s, q = _ref_store()
+        _force(ann_query(ref_state["ivf"], q, top_k=10, nprobe=8))
+
+    def q_ref100k_upsert():
+        s, _ = _ref_store()
+        batch = s.limit(100_000)
+        _force(merge_upsert(s, batch, id_col="_id_"))
+
     return {
         "batch_1000_gemm": q_batch_1000_gemm,
         "batch_100_sql": q_batch_100_sql,
@@ -153,6 +228,10 @@ def bench_queries(spark):
         "ann_ivf_query_1000": q_ann_query_1000,
         "chunk_pack": q_chunk_pack,
         "pipeline_screen": q_pipeline_screen,
+        "ref100k_batch_1000": q_ref100k_batch_1000,
+        "ref100k_ivf_build": q_ref100k_ivf_build,
+        "ref100k_ivf_query_1000": q_ref100k_ivf_query_1000,
+        "ref100k_upsert": q_ref100k_upsert,
     }
 
 
@@ -180,6 +259,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "batch_queries_per_sec": round(N_BATCH_QUERIES / timings["batch_1000_gemm"], 1),
+        # BASELINE.md-comparable figure: 1000-query batch over 100k x 1024
+        # (reference: ~1000 q/s exact on laptop hardware)
+        "ref_scale_queries_per_sec": round(1000 / timings["ref100k_batch_1000"], 1),
     }
     print(json.dumps(out))
 

@@ -61,7 +61,7 @@ def fit_centroids(
     n_centroids: int,
     *,
     vector_col: str = K_VECTOR,
-    sample_size: int = 100_000,
+    sample_size: int = 25_000,
     n_iter: int = 10,
     seed: int = 42,
 ) -> np.ndarray:
@@ -69,9 +69,10 @@ def fit_centroids(
     unit centroids.
 
     The sample is drawn distributed (`df.sample`) and only `sample_size`
-    vectors ever reach the driver, so this is safe at any store size; the
-    Lloyd iterations are a dense GEMM on ≤100k × dim — sub-second. (A
-    fully distributed fit via pyspark.ml KMeans is a drop-in upgrade; a
+    vectors ever reach the driver, so this is safe at any store size
+    (25k × dim-1024 float ≈ 100 MB of task results); the Lloyd
+    iterations are a dense GEMM on the sample — sub-second. (A fully
+    distributed fit via pyspark.ml KMeans is a drop-in upgrade; a
     bounded-sample fit is standard practice for IVF coarse quantizers.)
     """
     total = store.count()
@@ -216,28 +217,26 @@ def ann_query(
     then one mapInPandas GEMM masks, per query, rows outside the query's
     own probe set before the partial top-k. Shuffle is O(parts × nq × k).
     """
-    from picovdb_spark.functions.vector import l2_normalize
+    from picovdb_spark.operators.similarity import collect_normalized_queries
     from picovdb_spark.operators.topk import topk_per_query
 
     spark = index.df.sparkSession
-    qn = queries.select(
-        F.col(query_id).cast("string").alias("query_id"),
-        l2_normalize(F.col(vector_col)).alias("__qv"),
-    ).collect()
-    if not qn:
+    qids, qmat = collect_normalized_queries(queries, query_id, vector_col)
+    if qmat.size == 0:
         return spark.createDataFrame(
             [], schema=f"query_id string, {K_ID} string, {K_METRICS} double, rank int"
         )
-    qids = np.array([r["query_id"] for r in qn], dtype=object)
-    qmat = np.asarray([r["__qv"] for r in qn], dtype=np.float64)
     cent = index.centroids
     nprobe = min(nprobe, len(cent))
-    # (nq, n_cent) driver-side GEMM → per-query probe sets
+    # (nq, n_cent) driver-side GEMM → per-query probe sets, as a dense
+    # boolean matrix so the executor-side mask is pure NumPy indexing
+    # (a per-row Python membership loop was the bottleneck: 100M python
+    # iterations at 100k×1000q — bench history)
     probes = np.argpartition(-(qmat @ cent.T), nprobe - 1, axis=1)[:, :nprobe]
     probed_union = sorted({int(c) for row in probes for c in row})
-    # query-id → bitmask of probed clusters, broadcast with the matrix
-    probe_sets = [frozenset(int(c) for c in row) for row in probes]
-    bc = spark.sparkContext.broadcast((qids, qmat, probe_sets))
+    probe_bool = np.zeros((len(qids), len(cent)), dtype=bool)
+    np.put_along_axis(probe_bool, probes, True, axis=1)
+    bc = spark.sparkContext.broadcast((qids, qmat, probe_bool))
 
     # Partition pruning: only probed clusters are scanned at all.
     cand = index.df.filter(F.col(CLUSTER_COL).isin(probed_union))
@@ -262,12 +261,11 @@ def ann_query(
             v = _normalize_rows(
                 np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
             )
-            clusters = pdf[CLUSTER_COL].to_numpy()
+            clusters = pdf[CLUSTER_COL].to_numpy().astype(np.int64)
             scores = np.round(b_qmat @ v.T, round_to)  # (nq, n_rows)
-            # mask rows outside each query's probe set
-            for qi, pset in enumerate(b_probes):
-                mask = np.fromiter((c not in pset for c in clusters), dtype=bool, count=len(clusters))
-                scores[qi, mask] = -np.inf
+            # mask rows outside each query's probe set: (nq, n_rows)
+            # boolean via fancy indexing, no Python loop
+            scores[~b_probes[:, clusters]] = -np.inf
             n = scores.shape[1]
             kk = min(top_k, n)
             idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]

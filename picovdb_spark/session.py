@@ -16,6 +16,11 @@ from pyspark.sql import SparkSession
 # AQE coalesces them down at runtime).
 _DEFAULT_CONFS = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # local-mode driver == executor: give it real heap (128 GiB box) and
+    # silence JVM unified logging, which writes to STDOUT and would break
+    # one-line-JSON output contracts (bench.py)
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.driver.extraJavaOptions": "-Xlog:disable",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -27,6 +32,11 @@ _DEFAULT_CONFS = {
 
 
 def get_spark(app_name: str = "picovdb_spark", **confs: str) -> SparkSession:
+    # one BLAS thread per Python worker: tasks already saturate the cores,
+    # and 32 workers × multi-threaded OpenBLAS oversubscribes (workers
+    # inherit the env from the local JVM, so set it before startup)
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
     merged = {**_DEFAULT_CONFS, **confs}
