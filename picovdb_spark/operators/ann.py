@@ -268,15 +268,15 @@ def ann_query(
             scores[~b_probes[:, clusters]] = -np.inf
             n = scores.shape[1]
             kk = min(top_k, n)
-            idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            # tie-complete partial top-k (see similarity._gemm_topk)
+            kth = np.partition(scores, n - kk, axis=1)[:, n - kk]
+            qi, vi = np.nonzero((scores >= kth[:, None]) & (scores > -np.inf))
             ids = pdf[K_ID].to_numpy()
-            flat_scores = np.take_along_axis(scores, idx, axis=1).ravel()
-            keep = flat_scores > -np.inf
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(b_qids, kk)[keep],
-                    K_ID: ids[idx.ravel()][keep],
-                    K_METRICS: flat_scores[keep],
+                    "query_id": b_qids[qi],
+                    K_ID: ids[vi],
+                    K_METRICS: scores[qi, vi],
                 }
             )
 

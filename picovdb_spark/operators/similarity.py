@@ -314,13 +314,18 @@ def _gemm_topk(
             n = scores.shape[1]
             kk = min(top_k, n)
             # partial top-k per query (argpartition ≈ pico_vdb.py:705-707)
-            idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            # — but TIE-COMPLETE: emit every row scoring >= the kk-th
+            # value, so a rounded tie at the boundary can't drop the
+            # id-ordered winner the oracle would keep; the global rank
+            # applies the (score desc, id asc) tiebreak.
+            kth = np.partition(scores, n - kk, axis=1)[:, n - kk]
+            qi, vi = np.nonzero(scores >= kth[:, None])
             rows_id = pdf[K_ID].to_numpy()
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(b_qids, kk),
-                    K_ID: rows_id[idx.ravel()],
-                    K_METRICS: np.take_along_axis(scores, idx, axis=1).ravel(),
+                    "query_id": b_qids[qi],
+                    K_ID: rows_id[vi],
+                    K_METRICS: scores[qi, vi],
                 }
             )
 

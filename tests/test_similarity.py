@@ -146,3 +146,33 @@ def test_knn_join_self(store, spark, sf_dir):
     ).collect()
     assert len(res) == 20 * 3
     assert all(r["query_id"] != r[K_ID] for r in res)
+
+
+def test_boundary_tie_resolution_matches_id_order(spark):
+    """Rounded ties at the top-k boundary must resolve by id ascending in
+    BOTH physical paths — partition-local selection must not drop the
+    id-ordered winner (tie-complete partial top-k)."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+
+    from picovdb_spark.operators.similarity import batch_query
+
+    # 6 identical vectors + 2 distractors; top_k=3 of the tie group
+    rows = [(str(i), [1.0, 0.0]) for i in range(6)] + [
+        ("x", [0.0, 1.0]),
+        ("y", [0.7, 0.7]),
+    ]
+    store = spark.createDataFrame(
+        rows, schema=f"_id_ string, _vector_ array<float>"
+    ).repartition(4)  # spread the tie group across partitions
+    q = spark.createDataFrame(
+        [("q0", [1.0, 0.0])], schema="query_id string, _vector_ array<float>"
+    )
+    for method in ("gemm", "sql"):
+        got = [
+            (r["_id_"], r["rank"])
+            for r in batch_query(store, q, top_k=3, method=method)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == [("0", 1), ("1", 2), ("2", 3)], (method, got)
