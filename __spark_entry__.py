@@ -26,7 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from picovdb_spark.operators.merge import merge_upsert, upsert_report
 from picovdb_spark.operators.similarity import batch_query
-from picovdb_spark.schema import K_DELETED, K_ID, K_VECTOR, load_embeddings_store, load_table
+from picovdb_spark.schema import (
+    K_DELETED,
+    K_ID,
+    K_METRICS,
+    K_VECTOR,
+    load_embeddings_store,
+    load_table,
+)
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
@@ -634,6 +641,80 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_id="query_id", right_id=K_ID, left_vec=K_VECTOR, right_vec=K_VECTOR,
         n_bits=24, n_bands=12, seed=7,
     )
+
+
+# -------------------------------------------------- end-to-end pipeline
+
+_E2E_DIM = 64
+_E2E_ORACLE = f"""
+WITH tok AS (SELECT doc_id, {_D_TOK} AS t FROM documents),
+win AS (
+  SELECT doc_id, t,
+         greatest(CAST(ceil((len(t) - 64) / 48.0) AS INTEGER) + 1, 1) AS n_win
+  FROM tok
+),
+chunks AS (
+  SELECT doc_id, CAST(w AS INTEGER) AS chunk_idx,
+         array_to_string(t[w * 48 + 1 : w * 48 + 64], ' ') AS chunk_text
+  FROM (SELECT doc_id, t, unnest(range(0, n_win)) AS w FROM win) expl
+),
+ctok AS (
+  SELECT doc_id, chunk_idx,
+         list_transform(list_filter(string_split(lower(chunk_text), ' '), x -> x <> ''),
+                        s -> {_d_hash32('s')}) AS hs
+  FROM chunks
+),
+emb AS (
+  SELECT doc_id, chunk_idx,
+         list_transform(range(0, {_E2E_DIM}), d -> CAST(len(list_filter(hs, h -> h % {_E2E_DIM} = d)) AS DOUBLE)) AS v
+  FROM ctok
+),
+q AS (
+  SELECT v FROM emb
+  WHERE doc_id = (SELECT min(doc_id) FROM documents) AND chunk_idx = 0
+),
+scored AS (
+  SELECT CAST(e.doc_id AS VARCHAR) || ':' || CAST(e.chunk_idx AS VARCHAR) AS _id_,
+         e.doc_id, e.chunk_idx,
+         round(list_cosine_similarity(q.v, e.v), 6) AS _metrics_
+  FROM emb e CROSS JOIN q
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY _metrics_ DESC, _id_ ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT _id_, doc_id, chunk_idx, _metrics_, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@_register("pipeline_chunk_embed_query", _E2E_ORACLE)
+def _pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval pipeline, every stage this engine's own
+    operator: chunk (chunking.py) → deterministic hash-embed
+    (embedding.py) → top-k cosine (similarity.py, GEMM path), with the
+    ENTIRE chain stated in SQL for the oracle — the composition a
+    reference user actually runs."""
+    from picovdb_spark.operators.chunking import chunk_documents
+    from picovdb_spark.operators.embedding import embed_chunks
+    from picovdb_spark.operators.similarity import batch_query
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    emb = embed_chunks(chunks, dim=_E2E_DIM, keep_cols=["doc_id", "chunk_idx"])
+    store = emb.select(
+        F.concat_ws(":", F.col("doc_id"), F.col("chunk_idx")).alias(K_ID),
+        F.col("doc_id"),
+        F.col("chunk_idx"),
+        F.col("embedding").alias(K_VECTOR),
+    )
+    min_doc = docs.agg(F.min("doc_id")).first()[0]
+    qvec = (
+        store.filter((F.col("doc_id") == min_doc) & (F.col("chunk_idx") == 0))
+        .first()[K_VECTOR]
+    )
+    q = spark.createDataFrame([("q0", list(qvec))], schema=f"query_id string, {K_VECTOR} array<double>")
+    out = batch_query(store, q, top_k=5, method="gemm")
+    return out.select(K_ID, "doc_id", "chunk_idx", K_METRICS, "rank")
 
 
 # ----------------------------------------------- agg-family coverage ops

@@ -53,3 +53,20 @@ def test_no_shuffle(spark, docs):
 
     plan = explain_str(chunk_documents(docs, chunk_tokens=64, overlap=16))
     assert "Exchange" not in plan  # flatMap shape: zero shuffle
+
+
+def test_embed_chunks_deterministic_and_consistent(spark, docs):
+    """Kernel and driver-side twin produce identical embeddings."""
+    from picovdb_spark.operators.chunking import chunk_documents
+    from picovdb_spark.operators.embedding import embed_chunks, hash_embed_text
+
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    emb = embed_chunks(chunks, dim=16, keep_cols=["doc_id", "chunk_idx"])
+    rows = {(r["doc_id"], r["chunk_idx"]): r["embedding"] for r in emb.collect()}
+    texts = {(r["doc_id"], r["chunk_idx"]): r["chunk_text"] for r in chunks.collect()}
+    assert set(rows) == set(texts)
+    for k, v in rows.items():
+        assert v == hash_embed_text(texts[k], dim=16)
+    # token count conserved into the bag-of-hashed-words mass
+    for k, v in rows.items():
+        assert sum(v) == len([t for t in texts[k].lower().split(" ") if t])
