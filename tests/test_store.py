@@ -194,3 +194,41 @@ def test_timing_logs(spark, caplog):
     msgs = [r.getMessage() for r in caplog.records]
     for op in ("upsert", "delete", "vacuum"):
         assert any(m.startswith(f"{op} took") and m.endswith("ms") for m in msgs), msgs
+
+
+def test_atomic_save_survives_replace_failure(spark, tmp_path, monkeypatch):
+    """Crash-safety parity (reference injects os.replace failure,
+    tests/test_more.py:271-293): a failed save must leave the previous
+    store fully readable, with no partial state at the target path."""
+    import os as _os
+
+    from picovdb_spark.store import VectorStore
+
+    path = str(tmp_path / "store")
+    s = VectorStore(spark, embedding_dim=2, storage_path=path, checkpoint_mutations=False)
+    s.upsert([{"_id_": "a", "_vector_": [1.0, 0.0], "tag": "v1"}])
+    s.save()
+
+    s.upsert([{"_id_": "b", "_vector_": [0.0, 1.0], "tag": "v2"}])
+    real_replace = _os.replace
+    calls = {"n": 0}
+
+    def failing_replace(src, dst):
+        calls["n"] += 1
+        raise OSError("injected replace failure")
+
+    monkeypatch.setattr("picovdb_spark.store.os.replace", failing_replace)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="injected"):
+        s.save()
+    monkeypatch.setattr("picovdb_spark.store.os.replace", real_replace)
+    assert calls["n"] >= 1
+
+    # the on-disk store is still the LAST GOOD version
+    s2 = VectorStore(spark, embedding_dim=2, storage_path=path, checkpoint_mutations=False)
+    assert s2.count() == 1
+    assert s2.get("a").first()["tag"] == "v1"
+    # no stray staging dirs left behind at the target
+    leftovers = [d for d in _os.listdir(str(tmp_path)) if d.startswith("store.tmp")]
+    assert leftovers == []
