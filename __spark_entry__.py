@@ -186,6 +186,37 @@ def _query_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_one(load_embeddings_store(spark, sf_dir), list(vec), top_k=3)
 
 
+@_register(
+    "topk_zero_query",
+    f"""
+WITH q AS (SELECT list_prepend(1.0::DOUBLE, list_transform(range(0, 63), x -> 0.0::DOUBLE)) AS qv),
+scored AS (
+  SELECT 'q0' AS query_id,
+         CAST(e.vec_id AS VARCHAR) AS _id_,
+         round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS _metrics_
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY _metrics_ DESC, _id_ ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, _id_, _metrics_, rank FROM ranked WHERE rank <= 5
+""",
+)
+def _topk_zero_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-vector query determinism (pico_vdb.py:585-590): the engine
+    maps an all-zero query to e₀ = (1,0,…); the oracle queries with the
+    LITERAL e₀ — identical results prove the invariant at the contract
+    level (not just in unit tests)."""
+    from picovdb_spark.operators.similarity import query_one
+
+    store = load_embeddings_store(spark, sf_dir)
+    return query_one(store, [0.0] * 64, top_k=5).select(
+        "query_id", K_ID, K_METRICS, "rank"
+    )
+
+
 # ------------------------------------------------------------- scalar kernels
 
 @_register(
