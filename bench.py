@@ -149,6 +149,10 @@ def bench_queries(spark):
             import numpy as np
             from pyspark.sql import types as T
 
+            # drop sf-scale caches from earlier workloads: the ref corpus
+            # is 400 MB and should run against a clean heap
+            spark.catalog.clearCache()
+
             n, dim, parts = 100_000, 1024, 32
             schema = T.StructType(
                 [
