@@ -18,6 +18,7 @@ from picovdb_spark.schema import (
     load_table,
     load_embeddings_store,
 )
+from picovdb_spark.compat import PicoVectorDB
 from picovdb_spark.session import get_spark
 from picovdb_spark.sources import read_picovdb_store, write_picovdb_store
 from picovdb_spark.store import VectorStore
@@ -28,6 +29,7 @@ __all__ = [
     "K_ID",
     "K_VECTOR",
     "K_METRICS",
+    "PicoVectorDB",
     "VectorStore",
     "get_spark",
     "vector_store_schema",

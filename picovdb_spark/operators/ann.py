@@ -205,6 +205,7 @@ def ann_query(
     round_to: int = 6,
     query_id: str = "query_id",
     vector_col: str = K_VECTOR,
+    include_metadata: bool = False,
 ) -> DataFrame:
     """IVF batch top-k: each query scores only its `nprobe` nearest
     clusters. Same output shape as `batch_query`; recall < 1.0 by design
@@ -284,6 +285,15 @@ def ann_query(
     out = topk_per_query(local, top_k)
     if better_than is not None:
         out = out.filter(F.col(K_METRICS) >= F.lit(float(better_than)))
+    if include_metadata:
+        # FAISS-path parity (pico_vdb.py:732-751): results carry the
+        # metadata; tiny result broadcast against the index scan
+        meta_cols = [c for c in index.df.columns if c not in (vec_col, CLUSTER_COL)]
+        if len(meta_cols) > 1:
+            out = index.df.select(*meta_cols).join(F.broadcast(out), on=K_ID, how="inner")
+            out = out.select(
+                "query_id", K_ID, *[c for c in meta_cols if c != K_ID], K_METRICS, "rank"
+            )
     return out
 
 

@@ -233,7 +233,12 @@ class VectorStore:
                     ]
                 ),
             )
-        if use_ann and not kwargs.get("where") and kwargs.get("ids") is None:
+        if (
+            use_ann
+            and not kwargs.get("where")
+            and kwargs.get("ids") is None
+            and self.active().first() is not None  # empty store ⇒ exact path
+        ):
             from picovdb_spark.operators.ann import ann_query
 
             if getattr(self, "_ann", None) is None:
@@ -244,6 +249,7 @@ class VectorStore:
                 top_k=kwargs.get("top_k", 10),
                 nprobe=nprobe,
                 better_than=kwargs.get("better_than"),
+                include_metadata=True,
             )
         kwargs.setdefault("normalized", True)
         return batch_query(self._df, queries, **kwargs)
