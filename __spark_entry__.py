@@ -674,6 +674,76 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- function-family coverage ops
+
+@_register(
+    "events_users_no_purchase",
+    """
+SELECT user_id FROM events
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def _events_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation family (EXCEPT): users with activity but no
+    purchases — churn-candidate shape. Anti-join physical plan, narrow
+    key shuffle only."""
+    ev = load_table(spark, sf_dir, "events")
+    all_users = ev.select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return all_users.join(buyers, on="user_id", how="left_anti")
+
+
+@_register(
+    "orders_monthly_revenue",
+    """
+SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+       CAST(extract(month FROM o_orderdate) AS INTEGER) AS mon,
+       round(sum(o_totalprice), 6) AS revenue,
+       count(*) AS n_orders
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def _orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function family: extract year/month, monthly rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mon")
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "part_name_analysis",
+    """
+SELECT p_partkey,
+       upper(list_extract(string_split(p_name, ' '), 1)) AS first_word,
+       CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+       CAST(length(replace(p_name, ' ', '')) AS INTEGER) AS n_letters,
+       substr(p_name, 1, 5) AS prefix5
+FROM part
+""",
+)
+def _part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family: split/upper/replace/substring projections
+    (pure map, codegen)."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.upper(F.element_at(words, 1)).alias("first_word"),
+        F.size(words).alias("n_words"),
+        F.length(F.regexp_replace("p_name", " ", "")).alias("n_letters"),
+        F.substring("p_name", 1, 5).alias("prefix5"),
+    )
+
+
 # -------------------------------------------------- end-to-end pipeline
 
 _E2E_DIM = 64
