@@ -902,6 +902,47 @@ def _events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_geomean_udaf",
+    """
+SELECT event_type,
+       round(exp(avg(ln(value))), 6) AS geomean,
+       count(*) AS n
+FROM events WHERE value > 0
+GROUP BY event_type
+""",
+)
+def _events_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF family: Arrow-batched grouped-agg pandas UDF
+    (geometric mean). The UDF computes in log-space per group; the
+    oracle states exp(avg(ln(x))) — value-checking the UDAF machinery
+    itself. (Built-in equivalents exist; the entry exists to pin the
+    custom-aggregate surface, SURVEY.md §2.4.)"""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _geomean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # real annotation objects: `from __future__ import annotations` would
+    # stringify inline hints, which pandas_udf's signature check rejects
+    _geomean.__annotations__ = {"v": pd.Series, "return": float}
+    geomean = pandas_udf(_geomean, "double")
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    # pandas UDAFs cannot mix with JVM aggregates in one agg — count
+    # rides as a second pandas aggregate
+    def _cnt(v):
+        return len(v)
+
+    _cnt.__annotations__ = {"v": pd.Series, "return": int}
+    n_udaf = pandas_udf(_cnt, "long")
+    return ev.groupBy("event_type").agg(
+        F.round(geomean("value"), 6).alias("geomean"), n_udaf("value").alias("n")
+    )
+
+
+@_register(
     "knn_join_exact",
     f"""
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),

@@ -139,7 +139,8 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band_idx", "band"),
-    )
+    ).cache()  # consumed by BOTH sides of the self-join: without the
+    # cache the md5-per-shingle signature subtree runs twice
     if max_bucket_size is not None:
         sizes = band_rows.groupBy("band_idx", "band").agg(F.count("*").alias("__n"))
         small = sizes.filter(F.col("__n") <= max_bucket_size).select("band_idx", "band")
