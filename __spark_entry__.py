@@ -1036,7 +1036,9 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = chunk_documents(
         load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
     ).drop("chunk_text")
-    return pack_sequences(chunks, max_tokens=256)
+    # prefix strategy: the SQL-expressible closed form the oracle states;
+    # the default greedy strategy is pinned by tests/test_pipeline_utils.py
+    return pack_sequences(chunks, max_tokens=256, strategy="prefix")
 
 
 def _pii_oracle() -> str:

@@ -29,14 +29,20 @@ def l2_norm(v: Column) -> Column:
 
 def l2_normalize(v: Column) -> Column:
     """L2-normalize to array<double>; zero (or null-norm) vector maps
-    deterministically to e₀ rather than NaN (pico_vdb.py:62-67)."""
+    deterministically to e₀ rather than NaN (pico_vdb.py:62-67). A
+    LENGTH-0 array stays empty: `sequence(1, 0)` counts DOWN to [1, 0],
+    so without the size guard an empty input would produce a 2-element
+    e₀."""
     norm = l2_norm(v)
     unit = F.transform(v, lambda x: x.cast("double") / norm)
     e0 = F.transform(
         F.sequence(F.lit(1), F.size(v)),
         lambda i: F.when(i == 1, F.lit(1.0)).otherwise(F.lit(0.0)),
     )
-    return F.when(norm == 0.0, e0).otherwise(unit)
+    empty = F.transform(v, lambda x: x.cast("double"))
+    return F.when(F.size(v) == 0, empty).otherwise(
+        F.when(norm == 0.0, e0).otherwise(unit)
+    )
 
 
 def dot(a: Column, b: Column) -> Column:

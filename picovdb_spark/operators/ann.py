@@ -80,6 +80,8 @@ def fit_centroids(
     rows = (
         store.select(vector_col).sample(fraction=frac, seed=seed).limit(sample_size).collect()
     )
+    if not rows:
+        raise ValueError("cannot fit IVF centroids on an empty store")
     x = _normalize_rows(_as_matrix(rows, vector_col))
     k = min(n_centroids, len(x))
     rng = np.random.default_rng(seed)
@@ -222,10 +224,12 @@ def ann_query(
     from picovdb_spark.operators.topk import topk_per_query
 
     spark = index.df.sparkSession
+    # user metadata named "rank" wins the name; ranking yields to _rank_
+    rank_col = "_rank_" if "rank" in index.df.columns else "rank"
     qids, qmat = collect_normalized_queries(queries, query_id, vector_col)
     if qmat.size == 0:
         return spark.createDataFrame(
-            [], schema=f"query_id string, {K_ID} string, {K_METRICS} double, rank int"
+            [], schema=f"query_id string, {K_ID} string, {K_METRICS} double, {rank_col} int"
         )
     cent = index.centroids
     nprobe = min(nprobe, len(cent))
@@ -282,7 +286,7 @@ def ann_query(
             )
 
     local = cand.select(K_ID, vec_col, CLUSTER_COL).mapInPandas(score, schema=out_schema)
-    out = topk_per_query(local, top_k)
+    out = topk_per_query(local, top_k, rank_col=rank_col)
     if better_than is not None:
         out = out.filter(F.col(K_METRICS) >= F.lit(float(better_than)))
     if include_metadata:
@@ -292,7 +296,7 @@ def ann_query(
         if len(meta_cols) > 1:
             out = index.df.select(*meta_cols).join(F.broadcast(out), on=K_ID, how="inner")
             out = out.select(
-                "query_id", K_ID, *[c for c in meta_cols if c != K_ID], K_METRICS, "rank"
+                "query_id", K_ID, *[c for c in meta_cols if c != K_ID], K_METRICS, rank_col
             )
     return out
 

@@ -62,7 +62,10 @@ def _apply_where(cand: DataFrame, where: WhereClause) -> DataFrame:
                 cand = cand.filter(F.col(key) == F.lit(value))
         return cand
     if callable(where):
-        meta_cols = [c for c in cand.columns if c not in (K_ID, K_VECTOR, K_DELETED)]
+        # the reference passes the FULL doc dict including _id_
+        # (pico_vdb.py:643-648; docs store meta[K_ID]) — only the vector
+        # and the tombstone flag are engine-internal
+        meta_cols = [c for c in cand.columns if c not in (K_VECTOR, K_DELETED)]
         pred = F.udf(lambda row: bool(where(row.asDict())), T.BooleanType())
         return cand.filter(pred(F.struct(*[F.col(c) for c in meta_cols])))
     raise TypeError(f"unsupported where clause: {type(where)}")

@@ -40,7 +40,8 @@ def salted_agg(
     partial_exprs: list[Column] = []
     final_exprs: list[Column] = []
     for out, (col, fn) in aggs.items():
-        partial_exprs.append(getattr(F, fn)(F.col(col) if fn != "count" else F.lit(1)).alias(f"__p_{out}"))
+        # count(col) — non-null semantics, identical to the plain groupBy
+        partial_exprs.append(getattr(F, fn)(F.col(col)).alias(f"__p_{out}"))
         final_exprs.append(getattr(F, combiners[fn])(F.col(f"__p_{out}")).alias(out))
 
     partial = df.withColumn("__salt", salt).groupBy(*group_cols, "__salt").agg(*partial_exprs)

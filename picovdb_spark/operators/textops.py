@@ -152,38 +152,68 @@ def pack_sequences(
     token_col: str = "n_tokens",
     max_tokens: int = 256,
     partition_salt: str = "v1",
+    strategy: str = "greedy",
 ) -> DataFrame:
-    """Greedy sequence packing: assign chunks to fixed-budget batches of
-    ≤ `max_tokens` tokens (the pre-training batch-construction step).
+    """Sequence packing: assign chunks to fixed-budget token bins (the
+    pre-training batch-construction step).
 
-    Distributed shape: chunks are hashed into independent PACK GROUPS
-    (deterministic md5 of the doc id — co-locates a doc's chunks), and
-    the greedy running-total packing runs per group over a window sorted
-    by (doc, chunk): bin_idx = floor(exclusive-prefix-sum / max_tokens).
-    One shuffle on the group key; group count scales with the cluster,
-    not the data. A chunk longer than the budget occupies a bin alone
-    (never split, standard packing semantics — prefix-sum bins guarantee
-    a bin's CONTENT sum ≤ budget only when no single chunk exceeds it).
+    Distributed shape (both strategies): chunks are hashed into
+    independent PACK GROUPS (deterministic md5 of the doc id —
+    co-locates a doc's chunks) and packed per group over (doc, chunk)
+    order. One shuffle on the group key; group count scales with the
+    cluster, not the data. Chunks are never split.
+
+    - ``strategy="greedy"`` (default): true greedy next-fit per group
+      (`applyInPandas` loop) — a bin's content NEVER exceeds
+      `max_tokens` unless a single chunk alone does (such a chunk gets a
+      bin to itself). Use this to pack a model context window.
+    - ``strategy="prefix"``: closed-form prefix-sum binning —
+      bin_idx = floor(exclusive-prefix-sum / max_tokens). Pure window
+      expression (SQL-expressible, hence the oracle-checked entry), but
+      a chunk straddling a bin boundary lands in the earlier bin, so a
+      bin may exceed the budget by up to one chunk.
 
     Output: (doc_id, chunk_idx, n_tokens, pack_group, bin_idx).
     """
     from pyspark.sql import Window as W
+    from pyspark.sql import types as T
 
     doc_col, idx_col = id_cols
     g = (
         md5_hash32(F.concat(F.lit(f"{partition_salt}:"), F.col(doc_col).cast("string")))
         % F.lit(64)
     ).alias("pack_group")
-    w = (
-        W.partitionBy("pack_group")
-        .orderBy(F.col(doc_col).asc(), F.col(idx_col).asc())
-        .rowsBetween(W.unboundedPreceding, -1)
+    base = chunks.select(doc_col, idx_col, token_col, g)
+
+    if strategy == "prefix":
+        w = (
+            W.partitionBy("pack_group")
+            .orderBy(F.col(doc_col).asc(), F.col(idx_col).asc())
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        run = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
+        return base.withColumn("bin_idx", F.floor(run / F.lit(max_tokens)).cast("int"))
+    if strategy != "greedy":
+        raise ValueError(f"unknown packing strategy: {strategy!r}")
+
+    schema = T.StructType(
+        [base.schema[c] for c in base.columns] + [T.StructField("bin_idx", T.IntegerType())]
     )
-    run = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
-    return (
-        chunks.select(doc_col, idx_col, token_col, g)
-        .withColumn("bin_idx", F.floor(run / F.lit(max_tokens)).cast("int"))
-    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values([doc_col, idx_col], ignore_index=True)
+        bins, cur_bin, cur_tot = [], 0, 0
+        for n in pdf[token_col]:
+            n = int(n)
+            if cur_tot > 0 and cur_tot + n > max_tokens:
+                cur_bin += 1
+                cur_tot = 0
+            bins.append(cur_bin)
+            cur_tot += n
+        pdf["bin_idx"] = bins
+        return pdf
+
+    return base.groupBy("pack_group").applyInPandas(pack, schema=schema)
 
 
 # PII patterns: deliberately simple, deterministic, and identically

@@ -152,22 +152,28 @@ class VectorStore:
         cols = existing.columns
 
         batch = batch.cache()
-        existing_ids = existing.select(K_ID)
-        updated = [r[0] for r in batch.select(K_ID).join(existing_ids, K_ID, "left_semi").collect()]
-        inserted = [r[0] for r in batch.select(K_ID).join(existing_ids, K_ID, "left_anti").collect()]
-
-        if self._capacity is not None:
-            total_after = self._df.count() + len(inserted)
-            if total_after > self._capacity:
-                raise RuntimeError(
-                    f"capacity exceeded: {total_after} > {self._capacity} "
-                    "(fixed-capacity store, pico_vdb.py:440-442)"
-                )
+        # classify against ACTIVE ids: the reference pops deleted ids from
+        # its index (pico_vdb.py:527-531), so re-upserting a tombstoned id
+        # is an INSERT (slot revive), not an update
+        active_ids = existing.filter(~F.col(K_DELETED)).select(K_ID)
+        updated = [r[0] for r in batch.select(K_ID).join(active_ids, K_ID, "left_semi").collect()]
+        inserted = [r[0] for r in batch.select(K_ID).join(active_ids, K_ID, "left_anti").collect()]
 
         merged = existing.join(batch.select(K_ID), K_ID, "left_anti").select(*cols).unionByName(
             batch.select(*cols)
         )
+        if self._capacity is not None:
+            # slot-reuse semantics (pico_vdb.py:434-442): free slots are
+            # reusable, so the binding constraint is the ACTIVE row count
+            active_after = merged.filter(~F.col(K_DELETED)).count()
+            if active_after > self._capacity:
+                batch.unpersist()
+                raise RuntimeError(
+                    f"capacity exceeded: {active_after} > {self._capacity} "
+                    "(fixed-capacity store, pico_vdb.py:440-442)"
+                )
         self._set(merged)
+        batch.unpersist()  # merged is eagerly checkpointed; don't pin the batch
         return {"update": sorted(updated), "insert": sorted(inserted)}
 
     @_timed("delete")
@@ -199,9 +205,13 @@ class VectorStore:
 
     def build_ann_index(self, n_centroids: int = 64, *, seed: int = 42):
         """Build (or rebuild — rebuild_index() parity, pico_vdb.py:855-860)
-        the IVF coarse index over the active rows."""
+        the IVF coarse index over the active rows. No-op on an empty
+        store (the reference's rebuild on an empty db is harmless too)."""
         from picovdb_spark.operators.ann import IvfIndex
 
+        if self.active().first() is None:
+            self._ann = None
+            return None
         self._ann = IvfIndex.build(self.active(), n_centroids=n_centroids, seed=seed)
         return self._ann
 
@@ -235,7 +245,9 @@ class VectorStore:
             )
         if (
             use_ann
-            and not kwargs.get("where")
+            # `is None`, not truthiness: a Spark Column where-clause raises
+            # on bool(); ANY filter routes to the exact path (pico_vdb.py:667)
+            and kwargs.get("where") is None
             and kwargs.get("ids") is None
             and self.active().first() is not None  # empty store ⇒ exact path
         ):

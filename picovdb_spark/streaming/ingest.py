@@ -73,8 +73,18 @@ def _merge_batch(batch: DataFrame, store_path: str, dim: int) -> None:
         )
     else:
         batch = batch.withColumn(K_ID, auto_id(F.col(K_VECTOR)))
-    # last-wins within the micro-batch (same rule as VectorStore.upsert)
-    batch = batch.dropDuplicates([K_ID]).withColumn(K_DELETED, F.lit(False))
+    # last-wins within the micro-batch, DETERMINISTIC (same rule and
+    # mechanism as VectorStore.upsert): dropDuplicates would keep an
+    # arbitrary row per id
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(K_ID).orderBy(F.monotonically_increasing_id().desc())
+    batch = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn(K_DELETED, F.lit(False))
+    )
 
     if os.path.exists(store_path):
         existing = spark.read.parquet(store_path)

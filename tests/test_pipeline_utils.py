@@ -40,16 +40,21 @@ def test_split_custom_weights(spark, docs):
 
 def test_packing_budget_invariant(spark, docs):
     chunks = chunk_documents(docs, chunk_tokens=64, overlap=16).drop("chunk_text")
+
+    # greedy (default): a bin NEVER exceeds the budget (all chunks ≤ 64 < 256)
     packed = pack_sequences(chunks, max_tokens=256)
     bins = (
         packed.groupBy("pack_group", "bin_idx")
         .agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("n"))
         .collect()
     )
-    # every chunk ≤ 64 < 256, so a bin's content may only exceed the
-    # budget by less than one chunk (prefix-sum packing semantics:
-    # the bin BOUNDARY is at 256; the straddling chunk joins the next bin)
-    assert all(b["tot"] <= 256 + 64 for b in bins)
+    assert all(b["tot"] <= 256 for b in bins)
+
+    # prefix (oracle shape): may exceed by less than one chunk
+    prefix = pack_sequences(chunks, max_tokens=256, strategy="prefix")
+    pbins = prefix.groupBy("pack_group", "bin_idx").agg(F.sum("n_tokens").alias("tot")).collect()
+    assert all(b["tot"] <= 256 + 64 for b in pbins)
+
     # chunks are never split: total tokens conserved
     assert packed.agg(F.sum("n_tokens")).first()[0] == chunks.agg(F.sum("n_tokens")).first()[0]
     # deterministic
@@ -58,6 +63,17 @@ def test_packing_budget_invariant(spark, docs):
     assert sorted(map(lambda r: (key(r), r["bin_idx"]), packed.collect())) == sorted(
         map(lambda r: (key(r), r["bin_idx"]), again.collect())
     )
+
+
+def test_packing_oversize_chunk_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 100), (1, 1, 300), (1, 2, 100)],
+        schema="doc_id long, chunk_idx long, n_tokens long",
+    )
+    packed = {r["chunk_idx"]: r["bin_idx"] for r in
+              pack_sequences(df, max_tokens=256).collect()}
+    # 100 → bin0; 300 can't join (100+300>256) → bin1 alone; 100 → bin2
+    assert packed[0] == 0 and packed[1] == 1 and packed[2] == 2
 
 
 def test_pii_scan_detects(spark):

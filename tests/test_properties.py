@@ -87,3 +87,14 @@ def test_auto_id_deterministic_and_scale_invariant(sess, v):
     norm = math.sqrt(sum(float(x) * float(x) for x in v))
     if norm > 0 and all(abs(x) < 1e5 for x in v):
         assert ids[0] == ids[2]  # scale-invariant on comfortably finite input
+
+
+def test_l2_normalize_empty_array_stays_empty(sess):
+    """sequence(1,0) counts DOWN — the e0 branch must not turn a length-0
+    vector into [1.0, 0.0]."""
+    from pyspark.sql import functions as F
+
+    df = sess.createDataFrame([([],), ([0.0, 0.0],)], schema="v array<float>")
+    got = [r[0] for r in df.select(l2_normalize(F.col("v"))).collect()]
+    assert got[0] == []
+    assert got[1] == [1.0, 0.0]  # zero vector of dim 2 ⇒ e0

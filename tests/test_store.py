@@ -232,3 +232,57 @@ def test_atomic_save_survives_replace_failure(spark, tmp_path, monkeypatch):
     # no stray staging dirs left behind at the target
     leftovers = [d for d in _os.listdir(str(tmp_path)) if d.startswith("store.tmp")]
     assert leftovers == []
+
+
+def test_tombstone_revive_reports_insert_and_reuses_slot(spark):
+    """Reference pops deleted ids from its index (pico_vdb.py:527-531):
+    re-upserting a tombstoned id is an INSERT, and slot reuse means a
+    fixed-capacity store accepts new rows after deletes."""
+    from picovdb_spark.store import VectorStore
+
+    store = VectorStore(spark, embedding_dim=2, checkpoint_mutations=False, capacity=2)
+    store.upsert([{"_id_": "a", "_vector_": [1.0, 0.0]}, {"_id_": "b", "_vector_": [0.0, 1.0]}])
+    store.delete(["a"])
+    rep = store.upsert([{"_id_": "a", "_vector_": [0.5, 0.5]}])
+    assert rep == {"update": [], "insert": ["a"]}  # revive == insert
+    store.delete(["b"])
+    rep2 = store.upsert([{"_id_": "c", "_vector_": [1.0, 1.0]}])  # freed slot reused
+    assert rep2["insert"] == ["c"] and store.count() == 2
+
+
+def test_ann_routing_with_column_where(spark):
+    """A Spark Column where-clause must route to the exact path, not
+    crash on Column.__bool__."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from picovdb_spark.store import VectorStore
+
+    store = VectorStore(spark, embedding_dim=4, checkpoint_mutations=False)
+    rng = np.random.default_rng(0)
+    store.upsert(
+        [{"_id_": str(i), "_vector_": rng.standard_normal(4).tolist(), "m": i % 2}
+         for i in range(30)]
+    )
+    out = store.query_one([1.0, 0.0, 0.0, 0.0], top_k=5, ann=True, where=F.col("m") == 1)
+    assert all(r["m"] == 1 for r in out.collect())
+
+
+def test_callable_where_sees_id(spark):
+    """The reference's where-callable receives the full doc incl. _id_."""
+    from picovdb_spark.store import VectorStore
+
+    store = VectorStore(spark, embedding_dim=2, checkpoint_mutations=False)
+    store.upsert([{"_id_": f"doc-{i}", "_vector_": [1.0, float(i)]} for i in range(4)]
+                 + [{"_id_": "other", "_vector_": [1.0, 9.0]}])
+    out = store.query_one([1.0, 0.0], top_k=10, where=lambda d: d["_id_"].startswith("doc-"))
+    ids = {r["_id_"] for r in out.collect()}
+    assert ids == {f"doc-{i}" for i in range(4)}
+
+
+def test_build_ann_index_empty_store_noop(spark):
+    from picovdb_spark.store import VectorStore
+
+    store = VectorStore(spark, embedding_dim=2, checkpoint_mutations=False)
+    assert store.build_ann_index() is None
+    assert store.query_one([1.0, 0.0], top_k=3, ann=True).count() == 0
