@@ -517,6 +517,10 @@ votes AS (
 sim AS (
   SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id
+  UNION ALL
+  -- empty-shingle docs fingerprint to 0 on the engine side (dedup.py
+  -- simhash kernel); keep the oracle symmetric so short docs pair too
+  SELECT doc_id, CAST(0 AS BIGINT) AS simhash FROM shing WHERE len(sh) = 0
 ),
 blocks AS (
   SELECT doc_id, simhash, r.i AS block_idx, (simhash >> CAST(r.i * 6 AS INTEGER)) & 63 AS block
@@ -681,16 +685,22 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT user_id FROM events
 EXCEPT
-SELECT user_id FROM events WHERE event_type = 'purchase'
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value >= 90
 """,
 )
 def _events_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation family (EXCEPT): users with activity but no
-    purchases — churn-candidate shape. Anti-join physical plan, narrow
-    key shuffle only."""
+    HIGH-VALUE purchase — churn-candidate shape. Anti-join physical
+    plan, narrow key shuffle only. (The value>=90 predicate keeps the
+    result non-empty AND non-total at every sf — every user has some
+    plain purchase, which would make a plain-EXCEPT entry vacuous.)"""
     ev = load_table(spark, sf_dir, "events")
     all_users = ev.select("user_id").distinct()
-    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    buyers = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 90))
+        .select("user_id")
+        .distinct()
+    )
     return all_users.join(buyers, on="user_id", how="left_anti")
 
 
