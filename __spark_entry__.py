@@ -1274,7 +1274,12 @@ GROUP BY 1, 2
 def _events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windowed aggregation over the event stream — the
     batch twin of the Structured Streaming query in streaming/ (same
-    logical plan; streaming adds a watermark)."""
+    logical plan; streaming adds a watermark).
+
+    The UTC conf pin is deliberate session mutation: the DRIVER owns the
+    session here and its timezone is unknown, while the DuckDB oracle
+    computes on naive timestamps (≡ UTC). Engine-owned sessions are
+    already UTC (session.py)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
     return (
