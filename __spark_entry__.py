@@ -678,6 +678,37 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "rel_supplier_nation_revenue",
+    """
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(DISTINCT s.s_suppkey) AS n_suppliers
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def _rel_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim chain over lineitem→supplier→nation with a distinct
+    count: both dims broadcast; only the fact aggregates shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
 # ------------------------------------------- function-family coverage ops
 
 @_register(
@@ -709,7 +740,7 @@ def _events_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
        CAST(extract(month FROM o_orderdate) AS INTEGER) AS mon,
-       round(sum(o_totalprice), 6) AS revenue,
+       round(sum(o_totalprice), 2) AS revenue,
        count(*) AS n_orders
 FROM orders
 GROUP BY 1, 2
@@ -723,7 +754,7 @@ def _orders_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mon")
         )
         .agg(
-            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -1130,9 +1161,9 @@ def _topk_where_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice), 6) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        round(avg(l_quantity), 6) AS avg_qty,
        round(avg(l_discount), 6) AS avg_disc,
        count(*) AS count_order
@@ -1149,9 +1180,9 @@ def _rel_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "sum_disc_price"
             ),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
@@ -1164,7 +1195,7 @@ def _rel_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "rel_region_revenue",
     """
-SELECT r.r_name AS region, round(sum(o.o_totalprice), 6) AS revenue,
+SELECT r.r_name AS region, round(sum(o.o_totalprice), 2) AS revenue,
        count(*) AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1186,7 +1217,7 @@ def _rel_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"))
         .agg(
-            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -1196,7 +1227,7 @@ def _rel_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_top_customers_per_nation",
     """
 WITH spend AS (
-  SELECT c.c_nationkey, c.c_name, round(sum(o.o_totalprice), 6) AS total_spend
+  SELECT c.c_nationkey, c.c_name, round(sum(o.o_totalprice), 2) AS total_spend
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
   GROUP BY c.c_nationkey, c.c_name
 ),
@@ -1218,7 +1249,7 @@ def _rel_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey", "c_name")
-        .agg(F.round(F.sum("o_totalprice"), 6).alias("total_spend"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
     )
     w = W.partitionBy("c_nationkey").orderBy(F.col("total_spend").desc(), F.col("c_name").asc())
     return (
