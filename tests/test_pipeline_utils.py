@@ -89,3 +89,15 @@ def test_pii_scan_detects(spark):
     assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1 and out[1]["has_pii"]
     assert out[2]["n_ssn"] == 1 and out[2]["n_ipv4"] == 1 and out[2]["has_pii"]
     assert out[3]["n_pii"] == 0 and not out[3]["has_pii"]
+
+
+def test_salted_agg_count_null_semantics(spark):
+    """count(col) must count NON-NULL values, matching plain groupBy."""
+    from picovdb_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("k1", None), ("k1", 5.0), ("k2", 1.0)], schema="k string, v double"
+    )
+    got = {r["k"]: r["n"] for r in salted_agg(df, ["k"], {"n": ("v", "count")}).collect()}
+    want = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("v").alias("n")).collect()}
+    assert got == want == {"k1": 1, "k2": 1}

@@ -123,3 +123,32 @@ def test_sessionized_stream_equals_batch_lag_formulation(spark, sf_dir, tmp_path
         F.unix_timestamp(F.max("ts"))).first()[0]
     horizon = max_ts - 2 * 3600 - 1800
     assert all(s[1] >= horizon for s in w - g), sorted(w - g)[:5]
+
+
+def test_stream_upsert_intra_batch_last_wins(spark, tmpdirs):
+    """Duplicate ids inside ONE micro-batch resolve deterministically to
+    the LAST row (file order), same rule as VectorStore.upsert."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src, store_path, ckpt = tmpdirs
+    pq.write_table(
+        pa.table(
+            {
+                "_id_": ["x", "x", "y"],
+                "_vector_": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+                "cat": ["first", "second", "z"],
+            }
+        ),
+        os.path.join(src, "b1.parquet"),
+    )
+    from pyspark.sql import types as T
+
+    q = stream_upsert(
+        spark, src, store_path, dim=2, checkpoint_dir=ckpt,
+        vector_type=T.DoubleType(), metadata={"cat": T.StringType()},
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(store_path)
+    assert got.count() == 2
+    assert got.filter(F.col("_id_") == "x").first()["cat"] == "second"
