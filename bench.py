@@ -203,13 +203,17 @@ def bench_queries(spark):
         from picovdb_spark.operators.ann import IvfIndex
 
         s, _ = _ref_store()
-        ref_state["ivf"] = IvfIndex.build(s, n_centroids=64, seed=42)
+        # 256 centroids: with nprobe=8 a small query batch probes a
+        # fraction of the clusters, so pruning is visible. (A 1000-query
+        # batch would saturate the probe union and degenerate to exact —
+        # batch GEMM amortizes better there; see ann.py docstring.)
+        ref_state["ivf"] = IvfIndex.build(s, n_centroids=256, seed=42)
 
-    def q_ref100k_ivf_query_1000():
+    def q_ref100k_ivf_query_100():
         from picovdb_spark.operators.ann import ann_query
 
         s, q = _ref_store()
-        _force(ann_query(ref_state["ivf"], q, top_k=10, nprobe=8))
+        _force(ann_query(ref_state["ivf"], q.limit(100), top_k=10, nprobe=8))
 
     def q_ref100k_upsert():
         s, _ = _ref_store()
@@ -238,7 +242,7 @@ def bench_queries(spark):
         "_prepare_ref_corpus": lambda: _ref_store(),
         "ref100k_batch_1000": q_ref100k_batch_1000,
         "ref100k_ivf_build": q_ref100k_ivf_build,
-        "ref100k_ivf_query_1000": q_ref100k_ivf_query_1000,
+        "ref100k_ivf_query_100": q_ref100k_ivf_query_100,
         "ref100k_upsert": q_ref100k_upsert,
     }
 

@@ -219,6 +219,14 @@ def ann_query(
     probed clusters (partition pruning on a cluster-partitioned store),
     then one mapInPandas GEMM masks, per query, rows outside the query's
     own probe set before the partial top-k. Shuffle is O(parts × nq × k).
+
+    Regime note: pruning scales with |probe union| / n_centroids. A
+    LARGE query batch saturates the union (nq × nprobe ≫ n_centroids ⇒
+    every cluster probed) and the plan degenerates to exact-plus-masking
+    — prefer the exact GEMM path there. IVF wins for small/selective
+    batches, or with n_centroids sized ≫ nq × nprobe (e.g. √N clusters
+    at 100 TB scale, where the per-cluster partition pruning also skips
+    IO entirely).
     """
     from picovdb_spark.operators.similarity import collect_normalized_queries
     from picovdb_spark.operators.topk import topk_per_query
