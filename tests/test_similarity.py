@@ -176,3 +176,63 @@ def test_boundary_tie_resolution_matches_id_order(spark):
             .collect()
         ]
         assert got == [("0", 1), ("1", 2), ("2", 3)], (method, got)
+
+
+def test_float32_path_same_ids_as_float64(store, queries):
+    """The throughput kernel (score_dtype="float32", the reference's own
+    precision, pico_vdb.py:62-75) must return the same neighbor SETS as
+    the float64 oracle path; scores agree to float32 tolerance."""
+    a = batch_query(store, queries, top_k=10, method="gemm")
+    b = batch_query(store, queries, top_k=10, method="gemm", score_dtype="float32")
+    rows_a = {(r["query_id"], r[K_ID]): r[K_METRICS] for r in a.collect()}
+    rows_b = {(r["query_id"], r[K_ID]): r[K_METRICS] for r in b.collect()}
+    assert set(rows_a) == set(rows_b)
+    for key, s64 in rows_a.items():
+        assert rows_b[key] == pytest.approx(s64, abs=1e-4)
+
+
+def test_float32_boundary_ties_resolve_by_id(spark):
+    """Tie-complete selection holds in the float32 kernel too: raw-score
+    selection pads by 1.5e-6 so a rounded tie can't drop the id-ordered
+    winner across partitions."""
+    rows = [(str(i), [1.0, 0.0]) for i in range(6)] + [("x", [0.0, 1.0])]
+    store = spark.createDataFrame(
+        rows, schema="_id_ string, _vector_ array<float>"
+    ).repartition(4)
+    q = spark.createDataFrame(
+        [("q0", [1.0, 0.0])], schema="query_id string, _vector_ array<float>"
+    )
+    got = [
+        (r["_id_"], r["rank"])
+        for r in batch_query(store, q, top_k=3, method="gemm", score_dtype="float32")
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [("0", 1), ("1", 2), ("2", 3)], got
+
+
+def test_float32_normalized_skips_renorm_correctly(spark):
+    """normalized=True on a pre-normalized store returns the same result
+    as normalized=False (the skip is an optimization, not a semantic)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((40, 8)).astype(np.float32)
+    mat /= np.sqrt((mat * mat).sum(axis=1))[:, None]
+    store = spark.createDataFrame(
+        [(str(i), [float(x) for x in mat[i]]) for i in range(40)],
+        schema="_id_ string, _vector_ array<float>",
+    ).repartition(3)
+    q = spark.createDataFrame(
+        [("q0", [float(x) for x in mat[0]])], schema="query_id string, _vector_ array<float>"
+    )
+    a = batch_query(store, q, top_k=5, method="gemm", score_dtype="float32", normalized=True)
+    b = batch_query(store, q, top_k=5, method="gemm", score_dtype="float32", normalized=False)
+    ka = [(r["query_id"], r[K_ID], r[K_METRICS], r["rank"]) for r in a.orderBy("rank").collect()]
+    kb = [(r["query_id"], r[K_ID], r[K_METRICS], r["rank"]) for r in b.orderBy("rank").collect()]
+    assert ka == kb
+
+
+def test_unknown_score_dtype_raises(store, queries):
+    with pytest.raises(ValueError, match="score_dtype"):
+        batch_query(store, queries, top_k=3, method="gemm", score_dtype="bf16").collect()
