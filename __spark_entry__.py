@@ -1261,32 +1261,78 @@ def _rel_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- multimodal ops
 
-@_register("media_features")  # rows-only: synthetic binary corpus, no SQL twin
+def _array_sig(col: str, alias: str):
+    """Canonicalizable signature of an array<double> column: each element
+    rounded to 6 and fixed-point formatted, comma-joined. The driver's
+    canonicalizer (pandas sort_values) can't sort list cells — entries
+    must emit scalars (CORRECTNESS_r01 harness errors)."""
+    return F.concat_ws(
+        ",",
+        F.transform(F.col(col), lambda x: F.round(x, 6).cast("decimal(10,6)").cast("string")),
+    ).alias(alias)
+
+
+@_register("media_features")  # rows-only: stub decoder isn't SQL-expressible
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → Arrow-batched decode (deterministic stub;
-    codec libs absent by design) + feature extraction."""
+    codec libs absent by design) + feature extraction. The feature array
+    is emitted as a fixed-point string signature so the contract
+    canonicalizer can sort it."""
     from picovdb_spark.operators.multimodal import media_features, synthetic_media
 
-    return media_features(synthetic_media(spark, n=64, seed=1), n_features=8)
+    out = media_features(synthetic_media(spark, n=64, seed=1), n_features=8)
+    return out.select(
+        "media_id", "modality", "n_bytes", "content_hash", _array_sig("feature", "feature_sig")
+    )
 
 
-@_register("media_exact_dedup")  # rows-only: synthetic binary corpus
+@_register(
+    "media_exact_dedup",
+    """
+WITH base AS (
+  SELECT 'image-' || i AS media_id,
+         unhex(md5('media-' || (i % 56)) || md5('media2-' || (i % 56))) AS content
+  FROM range(0, 64) t(i)
+)
+SELECT media_id,
+       md5(hex(content)) AS content_hash,
+       min(media_id) OVER (PARTITION BY md5(hex(content))) AS canonical_id,
+       media_id != min(media_id) OVER (PARTITION BY md5(hex(content))) AS is_dup
+FROM base
+""",
+)
 def _media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-exact dedup over a binary column — JVM md5, no Python."""
-    from picovdb_spark.operators.multimodal import media_exact_dedup, synthetic_media
+    """Byte-exact dedup over a binary column — JVM md5, no Python.
 
-    media = synthetic_media(spark, n=64, seed=1)
-    dup = media.limit(8).withColumn("media_id", F.concat(F.lit("dup-"), F.col("media_id")))
-    return media_exact_dedup(media.unionByName(dup))
+    The corpus here is SQL-expressible (content = unhex of md5-derived
+    hex, duplicated via i % 56: ids 56-63 repeat the bytes of 0-7) so
+    DuckDB can rebuild the exact same BLOBs and the dedup window is
+    fully oracle-checked; the random synthetic_media corpus stays
+    covered by tests/test_multimodal.py. `hex_hash=True` because
+    DuckDB's md5 only accepts VARCHAR — md5(hex(bytes)) on both sides,
+    same dedup semantics (hex is injective)."""
+    from picovdb_spark.operators.multimodal import media_exact_dedup
+
+    src = F.concat(F.lit("media-"), (F.col("id") % 56).cast("string"))
+    src2 = F.concat(F.lit("media2-"), (F.col("id") % 56).cast("string"))
+    base = spark.range(64).select(
+        F.concat(F.lit("image-"), F.col("id").cast("string")).alias("media_id"),
+        F.unhex(F.concat(F.md5(src), F.md5(src2))).alias("content"),
+    )
+    return media_exact_dedup(base, hex_hash=True)
 
 
-@_register("media_frame_sample")  # rows-only: synthetic binary corpus
+@_register("media_frame_sample")  # rows-only: stub decoder isn't SQL-expressible
 def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: one row per (media, frame) — flatMap shape
-    over Arrow batches."""
+    over Arrow batches. Frame features emitted as string signatures
+    (see _array_sig)."""
     from picovdb_spark.operators.multimodal import frame_sample, synthetic_media
 
-    return frame_sample(synthetic_media(spark, n=32, modality="video", seed=2), n_frames=4)
+    out = frame_sample(synthetic_media(spark, n=32, modality="video", seed=2), n_frames=4)
+    return out.select(
+        "media_id", "frame_idx", "ts_ms", _array_sig("frame_feature", "frame_sig")
+    )
 
 
 # ----------------------------------------------------------------- events ops

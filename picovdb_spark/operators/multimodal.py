@@ -140,10 +140,15 @@ def media_features(
     return media.mapInPandas(f, schema=out_schema)
 
 
-def media_exact_dedup(media: DataFrame) -> DataFrame:
+def media_exact_dedup(media: DataFrame, *, hex_hash: bool = False) -> DataFrame:
     """Byte-exact dedup over the binary column — pure JVM (md5 on
-    binary), no Python: (media_id, content_hash, canonical_id, is_dup)."""
-    h = F.md5(F.col("content"))
+    binary), no Python: (media_id, content_hash, canonical_id, is_dup).
+
+    `hex_hash=True` hashes the hex encoding of the bytes instead of the
+    raw bytes (`md5(hex(content))`) — identical dedup semantics (hex is
+    injective), but expressible in engines whose md5 only accepts
+    VARCHAR (DuckDB) so the driver contract can oracle-check it."""
+    h = F.md5(F.upper(F.hex(F.col("content")))) if hex_hash else F.md5(F.col("content"))
     w = F.min("media_id").over(Window.partitionBy("content_hash"))
     return (
         media.withColumn("content_hash", h)
