@@ -651,17 +651,69 @@ def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------------- ANN ops
 
-@_register("ann_ivf_topk")  # rows-only: k-means state is not SQL-expressible
+@_register("ann_ivf_topk", _topk_oracle(10))
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF centroid-pruned approximate top-k (Q15 — the FAISS-path analog;
-    pico_vdb.py:716-751). Deterministic (seeded k-means) but the fitted
-    centroids cannot be re-derived in SQL, so the driver records the
-    weaker rows-only check; recall-vs-exact is asserted in
-    tests/test_ann.py instead."""
+    """IVF top-k at FULL probe width (Q15 — the FAISS-path analog;
+    pico_vdb.py:716-751): with nprobe = n_centroids every cluster is
+    probed, so the result is definitionally the exact top-k and the
+    whole IVF machinery (k-means assignment, per-query probe masks,
+    cluster-pruned scan, partial top-k merge) is hash-checked against
+    the exact SQL oracle. The partial-probe recall band (the regime
+    where pruning actually skips IO) is asserted in tests/test_ann.py,
+    mirroring the reference's FAISS-vs-NumPy equivalence test
+    (tests/test_task14_faiss_vs_numpy_results.py)."""
+    from picovdb_spark.operators.ann import IvfIndex, ann_query
+
+    index = IvfIndex.build(load_embeddings_store(spark, sf_dir), n_centroids=16, seed=42)
+    return ann_query(
+        index, _queries_df(spark, sf_dir), top_k=10, nprobe=16, include_metadata=True
+    )
+
+
+@_register("ann_ivf_topk_partial")  # rows-only: partial-probe recall regime
+def _ann_ivf_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF at nprobe=4/16 — the pruning regime (recall < 1.0 by design,
+    so no SQL oracle; the recall band is pinned in tests/test_ann.py)."""
     from picovdb_spark.operators.ann import IvfIndex, ann_query
 
     index = IvfIndex.build(load_embeddings_store(spark, sf_dir), n_centroids=16, seed=42)
     return ann_query(index, _queries_df(spark, sf_dir), top_k=10, nprobe=4)
+
+
+@_register(
+    "ann_lsh_exact_regime",
+    f"""
+WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT CAST(q.qid AS VARCHAR) AS query_id,
+         CAST(e.vec_id AS VARCHAR) AS _id_,
+         {_COS} AS _metrics_
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY _metrics_ DESC, _id_ ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, _id_, _metrics_, rank FROM ranked WHERE rank <= 5
+""",
+)
+def _ann_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RP-LSH kNN join in its exact regime: 1-bit bands (n_bits ==
+    n_bands) make the candidate set = every pair agreeing on ANY single
+    hyperplane sign — on the fixture that captures all true top-5
+    neighbors (verified empirically at sf0.001 and sf0.01), so the
+    banded-equi-join + rescoring machinery is hash-checked against the
+    exact SQL oracle. The production banding (multi-bit bands, recall
+    < 1) stays rows-only below."""
+    from picovdb_spark.operators.ann import lsh_ann_join
+
+    emb = load_embeddings_store(spark, sf_dir)
+    return lsh_ann_join(
+        _queries_df(spark, sf_dir), emb, k=5,
+        left_id="query_id", right_id=K_ID, left_vec=K_VECTOR, right_vec=K_VECTOR,
+        n_bits=16, n_bands=16, seed=7,
+    )
 
 
 @_register("ann_lsh_knn_join")  # rows-only: same reasoning
