@@ -124,11 +124,20 @@ def assign_clusters(
 @dataclass
 class IvfIndex:
     """Materialized IVF index: the store with a cluster column (at scale:
-    Parquet partitioned by `__cluster`) + the centroid matrix."""
+    Parquet partitioned by `__cluster`) + the centroid matrix.
+
+    `base_rows`/`added_rows` track centroid drift for the incremental-
+    vs-full maintenance decision (the reference's changed/ntotal ≤ 0.2
+    rule, pico_vdb.py:194-204, :877-881); `last_mode` records which path
+    the last maintenance took ("full" | "incremental"), the analog of
+    `_last_faiss_rebuild_mode` (pico_vdb.py:204)."""
 
     df: DataFrame
     centroids: np.ndarray
     vector_col: str = K_VECTOR
+    base_rows: int | None = None
+    added_rows: int = 0
+    last_mode: str = "full"
 
     @classmethod
     def build(
@@ -149,7 +158,10 @@ class IvfIndex:
             # .write.partitionBy(CLUSTER_COL) — probing prunes whole files
             assigned = assigned.repartition(max(len(cent) // 4, 1), CLUSTER_COL)
             assigned = assigned.localCheckpoint(eager=True)
-        return cls(df=assigned, centroids=cent, vector_col=vector_col)
+            base_rows = assigned.count()  # cheap: counts the checkpoint
+        else:
+            base_rows = None
+        return cls(df=assigned, centroids=cent, vector_col=vector_col, base_rows=base_rows)
 
     def write(self, path: str) -> None:
         """Persist the full index artifact: store rows partitioned by
@@ -182,18 +194,66 @@ class IvfIndex:
             seed=seed,
         )
 
-    def add(self, new_rows: DataFrame) -> "IvfIndex":
+    def add(
+        self,
+        new_rows: DataFrame,
+        *,
+        auto_refit: bool = True,
+        threshold: float = 0.2,
+        seed: int = 42,
+    ) -> "IvfIndex":
         """Incremental maintenance: assign ONLY the new rows against the
         frozen centroids and append — the analog of the reference's
         incremental add path (`_rebuild_faiss` remove_ids+add_with_ids,
-        pico_vdb.py:884-921). Centroid drift accumulates; call `refit()`
-        when the added fraction crosses the rebuild threshold (the
-        reference uses changed/total > 0.2, pico_vdb.py:194-204)."""
+        pico_vdb.py:884-921).
+
+        Centroid drift accumulates with appends, so past the reference's
+        rebuild threshold (cumulative changed/base > `threshold`, default
+        0.2 — pico_vdb.py:194-204, :877-881) the add AUTO-REFITS: a full
+        seeded k-means over old+new rows (`last_mode == "full"`); below
+        it the append is the cheap path (`last_mode == "incremental"`).
+        `auto_refit=False` restores the always-append round-1 behavior
+        for callers managing their own rebuild policy (VectorStore)."""
+        n_new = new_rows.count()
+        pending = self.added_rows + n_new
+        if (
+            auto_refit
+            and self.base_rows
+            and pending / float(self.base_rows) > threshold
+        ):
+            combined = self.df.drop(CLUSTER_COL).unionByName(
+                new_rows.select(*[c for c in self.df.columns if c != CLUSTER_COL])
+            )
+            rebuilt = IvfIndex.build(
+                combined,
+                n_centroids=len(self.centroids),
+                vector_col=self.vector_col,
+                seed=seed,
+            )
+            rebuilt.last_mode = "full"
+            return rebuilt
         assigned = assign_clusters(new_rows, self.centroids, vector_col=self.vector_col)
         return IvfIndex(
             df=self.df.unionByName(assigned.select(*self.df.columns)),
             centroids=self.centroids,
             vector_col=self.vector_col,
+            base_rows=self.base_rows,
+            added_rows=pending,
+            last_mode="incremental",
+        )
+
+    def remove(self, ids) -> "IvfIndex":
+        """Drop rows by id from the index without refitting — the analog
+        of `faiss.remove_ids` (pico_vdb.py:884-893). Removals count
+        toward the caller's change budget, not `added_rows`."""
+        id_list = [str(i) for i in ids]
+        return IvfIndex(
+            df=self.df.filter(~F.col(K_ID).isin(id_list)),
+            centroids=self.centroids,
+            vector_col=self.vector_col,
+            base_rows=self.base_rows,
+            added_rows=self.added_rows,
+            last_mode="incremental",
         )
 
 

@@ -69,6 +69,7 @@ class VectorStore:
         *,
         checkpoint_mutations: bool = True,
         capacity: int | None = None,
+        ann_incremental_threshold_ratio: float = 0.2,
     ):
         self.spark = spark
         self.dim = int(embedding_dim)
@@ -78,6 +79,16 @@ class VectorStore:
         # optional hard row cap — parity with the reference's fixed
         # pre-allocated capacity mode (pico_vdb.py:286-296, :440-442)
         self._capacity = capacity
+        # lazy ANN maintenance state — the reference's pending-change
+        # tracking + incremental-vs-full threshold
+        # (faiss_incremental_threshold_ratio, pico_vdb.py:194-204)
+        self._ann = None
+        self._ann_ntotal = 0
+        self._ann_pending: set[str] = set()
+        self._ann_threshold = float(ann_incremental_threshold_ratio)
+        # "full" | "incremental" | None — _last_faiss_rebuild_mode parity
+        # (pico_vdb.py:204; tests/test_task36_faiss_incremental_threshold.py)
+        self._last_ann_rebuild_mode: str | None = None
         if storage_path and os.path.exists(os.path.join(storage_path, "meta.json")):
             self._load(storage_path)
         else:
@@ -102,13 +113,20 @@ class VectorStore:
     def active(self) -> DataFrame:
         return self._df.filter(~F.col(K_DELETED))
 
-    def _set(self, df: DataFrame) -> None:
+    def _set(self, df: DataFrame, changed_ids: Iterable[str] | None = None) -> None:
         # Truncate lineage after each mutation so chained upsert/delete
         # don't grow an unbounded plan (the Delta-table analog of commit).
         self._df = df.localCheckpoint(eager=True) if self._checkpoint else df
-        # dirty-flag parity (pico_vdb.py:496-497): mutations invalidate the
-        # ANN index; the next ann query lazily rebuilds it.
-        self._ann = None
+        # dirty-flag parity (pico_vdb.py:496-497): mutations don't rebuild
+        # eagerly — they accumulate a pending-change set, and the next ANN
+        # query picks incremental vs full maintenance by the change ratio
+        # (_ensure_ann). An untracked mutation (changed_ids=None) drops
+        # the index outright.
+        if changed_ids is None:
+            self._ann = None
+            self._ann_pending.clear()
+        elif self._ann is not None:
+            self._ann_pending.update(str(i) for i in changed_ids)
 
     # ---------------------------------------------------------------- mutation
 
@@ -172,7 +190,7 @@ class VectorStore:
                     f"capacity exceeded: {active_after} > {self._capacity} "
                     "(fixed-capacity store, pico_vdb.py:440-442)"
                 )
-        self._set(merged)
+        self._set(merged, changed_ids=updated + inserted)
         batch.unpersist()  # merged is eagerly checkpointed; don't pin the batch
         return {"update": sorted(updated), "insert": sorted(inserted)}
 
@@ -189,7 +207,8 @@ class VectorStore:
             self._df.withColumn(
                 K_DELETED,
                 F.when(F.col(K_ID).isin(id_list), F.lit(True)).otherwise(F.col(K_DELETED)),
-            )
+            ),
+            changed_ids=removed,
         )
         return sorted(removed)
 
@@ -198,7 +217,9 @@ class VectorStore:
         """Physically drop tombstones (pico_vdb.py:831-853); returns the
         number of rows compacted away."""
         n = self._df.filter(F.col(K_DELETED)).count()
-        self._set(self._df.filter(~F.col(K_DELETED)))
+        # the ACTIVE set is unchanged (tombstones were already pulled out
+        # of the index when delete() recorded them) — keep the index
+        self._set(self._df.filter(~F.col(K_DELETED)), changed_ids=())
         return n
 
     # ------------------------------------------------------------------- index
@@ -209,11 +230,42 @@ class VectorStore:
         store (the reference's rebuild on an empty db is harmless too)."""
         from picovdb_spark.operators.ann import IvfIndex
 
+        self._ann_pending.clear()
         if self.active().first() is None:
             self._ann = None
+            self._ann_ntotal = 0
             return None
         self._ann = IvfIndex.build(self.active(), n_centroids=n_centroids, seed=seed)
+        self._ann_ntotal = self._ann.base_rows or self._ann.df.count()
+        self._last_ann_rebuild_mode = "full"
         return self._ann
+
+    def _ensure_ann(self):
+        """Lazy index maintenance at query time (the reference rebuilds
+        lazily in query/save, pico_vdb.py:658-664): with pending changes,
+        pick incremental (drop changed rows + assign against frozen
+        centroids) when changed/ntotal <= threshold, else a full seeded
+        refit — `_rebuild_faiss`'s change-ratio rule (pico_vdb.py:877-881)
+        with the same default 0.2."""
+        if self._ann is None:
+            return self.build_ann_index()
+        if not self._ann_pending:
+            return self._ann
+        changed = sorted(self._ann_pending)
+        ratio = len(changed) / float(max(self._ann_ntotal, 1))
+        if ratio <= self._ann_threshold:
+            idx = self._ann.remove(changed)
+            new_rows = self.active().filter(F.col(K_ID).isin(changed)).drop(K_DELETED)
+            if new_rows.first() is not None:
+                idx = idx.add(new_rows, auto_refit=False)
+            # truncate the union/filter lineage like any other mutation
+            idx.df = idx.df.localCheckpoint(eager=True)
+            self._ann = idx
+            self._ann_ntotal = idx.df.count()
+            self._last_ann_rebuild_mode = "incremental"
+            self._ann_pending.clear()
+            return self._ann
+        return self.build_ann_index(n_centroids=len(self._ann.centroids))
 
     # ----------------------------------------------------------------- queries
 
@@ -253,8 +305,7 @@ class VectorStore:
         ):
             from picovdb_spark.operators.ann import ann_query
 
-            if getattr(self, "_ann", None) is None:
-                self.build_ann_index()
+            self._ensure_ann()
             return ann_query(
                 self._ann,
                 queries,

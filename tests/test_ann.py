@@ -103,9 +103,75 @@ def test_store_ann_unfiltered_and_dirty_invalidation(spark):
     store.build_ann_index(n_centroids=4)
     out = store.query_one([float(x) for x in rng.standard_normal(8)], top_k=3, ann=True, nprobe=4)
     assert out.count() == 3
-    # mutation invalidates the index (dirty-flag parity)
+    # mutation marks the index dirty (pending-change parity,
+    # pico_vdb.py:496-497) — kept for lazy maintenance, not dropped
     store.delete(["0"])
-    assert store._ann is None
+    assert store._ann is not None and "0" in store._ann_pending
+    # the deleted id is pulled out of the index at the next ANN query
+    res = store.query_one([float(x) for x in rng.standard_normal(8)], top_k=200, ann=True, nprobe=4)
+    assert "0" not in {r["_id_"] for r in res.collect()}
+    assert store._ann_pending == set()
+
+
+def test_store_ann_incremental_vs_full_threshold(spark):
+    """Change-ratio maintenance (pico_vdb.py:877-881, default 0.2):
+    mirrors /root/reference/tests/test_task36_faiss_incremental_threshold.py
+    rebuild-mode assertions on upsert sizes 1/40 and 12/40."""
+    rng = np.random.default_rng(3)
+
+    def vec():
+        return [float(x) for x in rng.standard_normal(8)]
+
+    store = VectorStore(
+        spark, embedding_dim=8, checkpoint_mutations=False,
+        ann_incremental_threshold_ratio=0.2,
+    )
+    store.upsert([{"_id_": f"id{i}", "_vector_": vec()} for i in range(40)])
+
+    # first ANN query builds full
+    store.query_one(vec(), top_k=5, ann=True, nprobe=4)
+    assert store._last_ann_rebuild_mode == "full"
+
+    # 1 update of 40 = 0.025 <= 0.2 -> incremental (frozen centroids)
+    cent_before = store._ann.centroids
+    store.upsert([{"_id_": "id0", "_vector_": vec()}])
+    store.query_one(vec(), top_k=5, ann=True, nprobe=4)
+    assert store._last_ann_rebuild_mode == "incremental"
+    assert store._ann.centroids is cent_before
+    assert store._ann_ntotal == 40
+
+    # 12 changes of 40 = 0.3 > 0.2 -> full refit
+    store.upsert([{"_id_": f"id{i}", "_vector_": vec()} for i in range(12)])
+    store.query_one(vec(), top_k=5, ann=True, nprobe=4)
+    assert store._last_ann_rebuild_mode == "full"
+    assert store._ann.centroids is not cent_before
+
+    # pure-append below threshold is incremental too, and queryable
+    store.upsert([{"_id_": "new1", "_vector_": [1.0, 0, 0, 0, 0, 0, 0, 0]}])
+    hits = store.query_one([1.0, 0, 0, 0, 0, 0, 0, 0], top_k=1, ann=True, nprobe=40).collect()
+    assert store._last_ann_rebuild_mode == "incremental"
+    assert hits[0]["_id_"] == "new1" and hits[0]["_metrics_"] == 1.0
+
+
+def test_ivf_add_auto_refit_threshold(spark, emb):
+    """IvfIndex.add auto-refits once cumulative appends exceed 20% of the
+    fitted base (centroid-drift bound, pico_vdb.py:194-204)."""
+    from pyspark.sql import functions as F
+
+    base = emb.filter(F.col("_id_").cast("int") < 100)
+    idx = IvfIndex.build(base, n_centroids=4, seed=42)
+    assert idx.base_rows == 100 and idx.last_mode == "full"
+
+    more = emb.filter((F.col("_id_").cast("int") >= 100) & (F.col("_id_").cast("int") < 110))
+    idx2 = idx.add(more)  # 10/100 = 0.1 <= 0.2 -> append
+    assert idx2.last_mode == "incremental" and idx2.added_rows == 10
+    assert idx2.centroids is idx.centroids
+
+    more2 = emb.filter((F.col("_id_").cast("int") >= 110) & (F.col("_id_").cast("int") < 125))
+    idx3 = idx2.add(more2)  # (10+15)/100 = 0.25 > 0.2 -> full refit
+    assert idx3.last_mode == "full"
+    assert idx3.centroids is not idx.centroids
+    assert idx3.base_rows == 125 and idx3.added_rows == 0
 
 
 def test_ivf_incremental_add(spark, emb, queries, index):
