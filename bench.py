@@ -223,6 +223,21 @@ def bench_queries(spark):
             )
         )
 
+    def q_ref100k_batch_1000_resident():
+        # serving mode: node-local float32 shards (operators/resident.py)
+        # — the regime the baseline's 1000 q/s is measured in (store
+        # matrix resident in memory). Materialization is one extra pass,
+        # excluded like the corpus build.
+        from picovdb_spark.operators.resident import ResidentGemmStore
+
+        s, q = _ref_store()
+        if "resident" not in ref_state:
+            rs = ResidentGemmStore(s, normalized=True)
+            rs.materialize()
+            _force(rs.query(q, top_k=10))  # warm pass, same regime as above
+            ref_state["resident"] = rs
+        _force(ref_state["resident"].query(q, top_k=10))
+
     def q_ref100k_ivf_build():
         from picovdb_spark.operators.ann import IvfIndex
 
@@ -265,6 +280,7 @@ def bench_queries(spark):
         # clears the sf-scale caches, so it runs after the sf workloads)
         "_prepare_ref_corpus": lambda: _ref_store(),
         "ref100k_batch_1000": q_ref100k_batch_1000,
+        "ref100k_batch_1000_resident": q_ref100k_batch_1000_resident,
         "ref100k_ivf_build": q_ref100k_ivf_build,
         "ref100k_ivf_query_100": q_ref100k_ivf_query_100,
         "ref100k_upsert": q_ref100k_upsert,

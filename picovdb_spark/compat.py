@@ -64,7 +64,11 @@ class PicoVectorDB:
         # Spark engine has no per-call equivalents (COVERAGE.md)
         self._spark = spark or get_spark("picovdb_compat")
         self.store = VectorStore(
-            self._spark, embedding_dim, capacity=capacity, checkpoint_mutations=True
+            self._spark,
+            embedding_dim,
+            capacity=capacity,
+            checkpoint_mutations=True,
+            ann_incremental_threshold_ratio=faiss_incremental_threshold_ratio,
         )
         if os.path.exists(f"{storage_file}.ids.json"):
             df = read_picovdb_store(self._spark, storage_file, include_deleted=True)
@@ -134,6 +138,9 @@ class PicoVectorDB:
             qi = int(d.pop("query_id"))
             d.pop(rank_col, None)
             d.pop("__cluster", None)
+            # only the keys stored with the doc, like the reference's dict
+            # results (schemaless columns are None for docs lacking them)
+            d = {k: v for k, v in d.items() if v is not None}
             d[K_METRICS] = float(d[K_METRICS])
             results[qi].append((r[rank_col], d))
         out_lists = [[d for _, d in sorted(lst, key=lambda t: t[0])] for lst in results]
@@ -149,7 +156,10 @@ class PicoVectorDB:
     ) -> Union[Optional[dict[str, Any]], list[dict[str, Any]]]:
         single = isinstance(ids, str)
         id_list = [ids] if single else [str(i) for i in ids]
-        rows = {r[K_ID]: r.asDict() for r in self.store.get(id_list, include_vector).collect()}
+        rows = {
+            r[K_ID]: {k: v for k, v in r.asDict().items() if v is not None}
+            for r in self.store.get(id_list, include_vector).collect()
+        }
         recs = []
         for i in id_list:  # reference preserves input order, skips missing
             if i in rows:

@@ -155,13 +155,21 @@ def minhash_lsh_pairs(
     )
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
+    out = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), round_to))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # materialize the (small: one row per near-dup pair) result so the
+    # shingle/band caches can be RELEASED now — .cache() entries are
+    # never auto-evicted in a long-lived session, while the checkpoint
+    # RDD is context-cleaned once the result goes out of scope
+    out = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    band_rows.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(

@@ -77,6 +77,12 @@ def read_picovdb_store(
             meta = json.load(f)
         docs = meta.get("data", docs)
         additional = meta.get("additional_data", {})
+        if len(docs) != len(ids):
+            # a short data list would silently truncate rows via zip —
+            # same fail-fast as the ids/vecs length check above
+            raise ValueError(
+                f"corrupt store: {len(ids)} ids vs {len(docs)} meta docs"
+            )
 
     meta_fields = _infer_meta_fields(docs)
     schema = T.StructType(

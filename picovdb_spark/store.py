@@ -89,8 +89,17 @@ class VectorStore:
         # "full" | "incremental" | None — _last_faiss_rebuild_mode parity
         # (pico_vdb.py:204; tests/test_task36_faiss_incremental_threshold.py)
         self._last_ann_rebuild_mode: str | None = None
+        if storage_path:
+            _recover_interrupted_save(storage_path)
         if storage_path and os.path.exists(os.path.join(storage_path, "meta.json")):
             self._load(storage_path)
+        elif storage_path and os.path.exists(os.path.join(storage_path, "vectors.parquet")):
+            # vectors without meta.json = a half-written or damaged store;
+            # silently initializing empty would make the data appear lost
+            raise ValueError(
+                f"corrupt store at {storage_path}: vectors.parquet present "
+                "but meta.json missing"
+            )
         else:
             self._df = spark.createDataFrame([], schema=self._base_schema())
 
@@ -320,13 +329,30 @@ class VectorStore:
     def query_one(self, vector: list[float], **kwargs: Any) -> DataFrame:
         return self.query([vector], **kwargs)
 
-    def get(self, ids: str | list[str], include_vector: bool = False) -> DataFrame:
+    def get(
+        self,
+        ids: str | list[str],
+        include_vector: bool = False,
+        *,
+        preserve_order: bool = False,
+    ) -> DataFrame:
         """Point lookup by id(s); missing ids are skipped
         (pico_vdb.py:927-957). An isin-filter compiles to Parquet
-        row-group pruning — no shuffle."""
+        row-group pruning — no shuffle.
+
+        `preserve_order=True` returns rows in input-id order (the
+        reference's list semantics, pico_vdb.py:945-957) via a broadcast
+        position join + sort — only for bounded id lists."""
         id_list = [str(ids)] if isinstance(ids, str) else [str(i) for i in ids]
         out = self.active().filter(F.col(K_ID).isin(id_list))
-        return self._project(out, include_vector)
+        out = self._project(out, include_vector)
+        if preserve_order:
+            pos = self.spark.createDataFrame(
+                [(sid, p) for p, sid in enumerate(id_list)],
+                schema=f"{K_ID} string, __pos int",
+            )
+            out = out.join(F.broadcast(pos), on=K_ID).orderBy("__pos").drop("__pos")
+        return out
 
     def get_by_id(self, sid: str, include_vector: bool = False) -> DataFrame:
         """Deprecated alias of `get` (pico_vdb.py:959-974)."""
@@ -378,7 +404,26 @@ class VectorStore:
             "total": total,
             "dim": self.dim,
             "storage_path": self.storage_path,
+            # on-disk footprint parity (pico_vdb.py:804-826): per-artifact
+            # byte sizes of the persisted layout, empty if never saved
+            "file_sizes": self._file_sizes(),
         }
+
+    def _file_sizes(self) -> dict[str, int]:
+        sizes: dict[str, int] = {}
+        if not self.storage_path or not os.path.isdir(self.storage_path):
+            return sizes
+        for name in sorted(os.listdir(self.storage_path)):
+            p = os.path.join(self.storage_path, name)
+            if os.path.isfile(p):
+                sizes[name] = os.path.getsize(p)
+            elif os.path.isdir(p):  # vectors.parquet is a directory of parts
+                sizes[name] = sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for root, _, files in os.walk(p)
+                    for f in files
+                )
+        return sizes
 
     # ------------------------------------------------------------- persistence
 
@@ -386,10 +431,23 @@ class VectorStore:
     def save(self, path: str | None = None) -> str:
         """Atomic persist (pico_vdb.py:330-393): write to a staging dir,
         then rename into place — the Spark analog of tmp+os.replace.
-        Layout: `{path}/vectors.parquet` + `{path}/meta.json`."""
+        Layout: `{path}/vectors.parquet` + `{path}/meta.json`.
+
+        The directory swap can't be a single rename (POSIX rename won't
+        replace a non-empty dir), so a `{path}.swap-in-progress` marker
+        brackets the two-step swap: a crash inside the window is detected
+        on the next open and the swap is finished (staging is complete by
+        then) or rolled back — never a silent empty-store init. After the
+        swap, the instance must not depend on the replaced part-files, so
+        the store snapshots into block storage (localCheckpoint) FIRST —
+        a lazily-loaded store whose scan pointed at `path` stays live
+        after its own save, and other instances' saves to the same path
+        can't invalidate it either (snapshot isolation)."""
         path = path or self.storage_path
         if not path:
             raise ValueError("no storage path configured")
+        # detach from any files the swap may replace
+        self._df = self._df.localCheckpoint(eager=True)
         staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         os.makedirs(staging, exist_ok=True)
         try:
@@ -403,8 +461,12 @@ class VectorStore:
                 json.dump(meta, f)
             if os.path.exists(path):
                 old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+                marker = _swap_marker(path)
+                with open(marker, "w") as f:
+                    json.dump({"old": old, "staging": staging}, f)
                 os.replace(path, old)
                 os.replace(staging, path)
+                os.remove(marker)
                 shutil.rmtree(old, ignore_errors=True)
             else:
                 os.replace(staging, path)
@@ -461,6 +523,35 @@ class VectorStore:
             sample = next((it[k] for it in items if it.get(k) is not None), None)
             fields.append(T.StructField(k, _infer_type(sample), True))
         return self.spark.createDataFrame(rows, schema=T.StructType(fields))
+
+
+def _swap_marker(path: str) -> str:
+    return f"{path}.swap-in-progress"
+
+
+def _recover_interrupted_save(path: str) -> None:
+    """Detect and repair a crash inside save()'s two-step directory swap.
+    If the live dir is missing, finish the swap from the (complete)
+    staging dir, else roll back to the preserved old dir; leftovers are
+    cleaned best-effort. No-op without a marker."""
+    marker = _swap_marker(path)
+    if not os.path.exists(marker):
+        return
+    try:
+        with open(marker) as f:
+            info = json.load(f)
+    except (OSError, ValueError):
+        info = {}
+    staging, old = info.get("staging"), info.get("old")
+    if not os.path.exists(path):
+        if staging and os.path.exists(os.path.join(staging, "meta.json")):
+            os.replace(staging, path)  # staging was complete: finish
+        elif old and os.path.exists(os.path.join(old, "meta.json")):
+            os.replace(old, path)  # staging gone/partial: roll back
+    os.remove(marker)
+    for d in (staging, old):
+        if d and os.path.exists(d):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def _infer_type(sample: Any) -> T.DataType:

@@ -118,3 +118,25 @@ def test_dim_and_metric_validation(spark, tmp_path):
     db = PicoVectorDB(embedding_dim=4, storage_file=str(tmp_path / "v"), no_faiss=True, spark=spark)
     with pytest.raises(ValueError, match=r"\(n, 4\)"):
         db.query(np.zeros((2, 7), dtype=np.float32))
+
+
+def test_query_and_get_strip_absent_metadata_keys(spark, tmp_path):
+    """Dicts from query()/get() contain ONLY the keys stored with that
+    doc — schemaless columns absent on a doc must not surface as None
+    (matches reference dict-out and get_all()'s existing behavior)."""
+    db = PicoVectorDB(embedding_dim=4, spark=spark)
+    db.upsert(
+        [
+            {"_id_": "with-tag", "_vector_": [1.0, 0, 0, 0], "tag": "x"},
+            {"_id_": "plain", "_vector_": [0, 1.0, 0, 0]},
+        ]
+    )
+    hits = db.query([0, 1.0, 0, 0], top_k=2)
+    plain = next(h for h in hits if h["_id_"] == "plain")
+    assert "tag" not in plain
+    tagged = next(h for h in hits if h["_id_"] == "with-tag")
+    assert tagged["tag"] == "x"
+    rec = db.get("plain")
+    assert rec is not None and "tag" not in rec
+    recs = db.get(["with-tag", "plain"])
+    assert "tag" in recs[0] and "tag" not in recs[1]

@@ -95,3 +95,21 @@ def test_chunked_read(spark, tmp_path):
     df = read_picovdb_store(spark, base, chunk_rows=64)
     assert df.count() == n
     assert df.rdd.getNumPartitions() >= 2  # actually chunked
+
+
+def test_meta_docs_length_mismatch_raises(spark, tmp_path):
+    """meta.json whose data list is shorter than ids = corrupt store —
+    must raise, not silently truncate rows via zip."""
+    import json
+
+    import numpy as np
+
+    base = str(tmp_path / "short_meta")
+    ids = ["a", "b", "c"]
+    np.save(base + ".vecs.npy", np.eye(3, 4, dtype=np.float32))
+    with open(base + ".ids.json", "w") as f:
+        json.dump(ids, f)
+    with open(base + ".meta.json", "w") as f:
+        json.dump({"data": [{"_id_": "a"}, {"_id_": "b"}], "additional_data": {}}, f)
+    with pytest.raises(ValueError, match="corrupt store"):
+        read_picovdb_store(spark, base)

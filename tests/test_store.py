@@ -7,6 +7,7 @@ reference's own technique (test_task14_faiss_vs_numpy_results.py:11-13).
 """
 
 import math
+import os
 
 import numpy as np
 import pytest
@@ -286,3 +287,73 @@ def test_build_ann_index_empty_store_noop(spark):
     store = VectorStore(spark, embedding_dim=2, checkpoint_mutations=False)
     assert store.build_ann_index() is None
     assert store.query_one([1.0, 0.0], top_k=3, ann=True).count() == 0
+
+
+def test_save_after_load_keeps_instance_live(spark, tmp_path):
+    """ADVICE (medium): saving a freshly-LOADED store to its own path
+    replaces the parquet dir the instance's lazy scan points at; save()
+    must rebind so later actions don't hit FILE_NOT_EXIST."""
+    path = str(tmp_path / "live_store")
+    st = VectorStore(spark, DIM)
+    st.upsert([{K_ID: f"v{i}", K_VECTOR: basis(i)} for i in range(4)])
+    st.save(path)
+    re = VectorStore(spark, DIM, storage_path=path)  # lazy scan of path
+    re.save()  # overwrite in place
+    assert re.count() == 4  # would throw FAILED_READ_FILE before the fix
+    assert re.query_one(basis(1), top_k=1).collect()[0][K_ID] == "v1"
+
+
+def test_vectors_without_meta_is_corruption(spark, tmp_path):
+    """A half-written store (vectors.parquet, no meta.json) must raise,
+    not silently open empty (data would appear lost)."""
+    path = str(tmp_path / "half_store")
+    st = VectorStore(spark, DIM)
+    st.upsert([{K_ID: "a", K_VECTOR: basis(0)}])
+    st.save(path)
+    os.remove(os.path.join(path, "meta.json"))
+    with pytest.raises(ValueError, match="corrupt store"):
+        VectorStore(spark, DIM, storage_path=path)
+
+
+def test_interrupted_swap_recovers_on_open(spark, tmp_path):
+    """Crash window between the two os.replace calls: marker present,
+    live dir missing, staging complete — the next open finishes the
+    swap instead of initializing empty."""
+    import json as _json
+
+    path = str(tmp_path / "swap_store")
+    st = VectorStore(spark, DIM)
+    st.upsert([{K_ID: f"v{i}", K_VECTOR: basis(i)} for i in range(3)])
+    st.save(path)
+    # simulate the crash: live dir moved away, staging holds the new data
+    staging = f"{path}.tmp-deadbeef"
+    old = f"{path}.old-deadbeef"
+    os.rename(path, staging)
+    with open(f"{path}.swap-in-progress", "w") as f:
+        _json.dump({"old": old, "staging": staging}, f)
+    recovered = VectorStore(spark, DIM, storage_path=path)
+    assert recovered.count() == 3
+    assert not os.path.exists(f"{path}.swap-in-progress")
+    assert not os.path.exists(staging)
+
+
+def test_stats_file_sizes(spark, tmp_path):
+    """stats() reports on-disk byte sizes once saved (pico_vdb.py:804-826
+    parity); unsaved stores report an empty dict."""
+    st = VectorStore(spark, DIM)
+    st.upsert([{K_ID: "a", K_VECTOR: basis(0)}])
+    assert st.stats()["file_sizes"] == {}
+    path = str(tmp_path / "sized_store")
+    st.save(path)
+    sizes = st.stats()["file_sizes"]
+    assert sizes["meta.json"] > 0 and sizes["vectors.parquet"] > 0
+
+
+def test_get_preserve_order(store):
+    """get(preserve_order=True) returns rows in input-id order with
+    missing ids skipped (pico_vdb.py:945-957)."""
+    got = [
+        r[K_ID]
+        for r in store.get(["v5", "v1", "no-such", "v3"], preserve_order=True).collect()
+    ]
+    assert got == ["v5", "v1", "v3"]
