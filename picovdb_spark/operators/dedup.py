@@ -322,16 +322,30 @@ def embedding_near_dup(
     threshold: float = 0.4,
     round_to: int = 6,
     method: str = "auto",
+    broadcast_cap_bytes: int = 1 << 30,
+    n_bits: int = 32,
+    n_bands: int = 8,
+    seed: int = 7,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold — embedding-space near-dup detection.
 
-    ``method="gemm"`` (the auto default): one side of the O(n²) product
-    is collected+broadcast as a dense matrix; each partition computes a
-    block GEMM and emits only pairs above the threshold — exact results,
-    BLAS speed, shuffle carries only surviving pairs. Broadcastable to
-    ~1M × 256-dim (≈1 GB); beyond that, pre-bucket with RP-LSH
-    (operators/ann.py lsh_ann_join) and verify per bucket, or block both
-    sides.
+    ``method="gemm"``: one side of the O(n²) product is collected +
+    broadcast as a dense matrix; each partition computes a block GEMM and
+    emits only pairs above the threshold — exact results, BLAS speed,
+    shuffle carries only surviving pairs. Broadcastable to ~1M × 256-dim
+    (≈1 GB float32-equivalent working set).
+
+    ``method="lsh"``: the 100 TB path — RP-LSH banded candidates (a
+    bucketed EQUI-join on (band_idx, band_key), never a cross product)
+    followed by exact per-pair cosine verification. High-recall
+    approximate: a true pair is missed only if all `n_bands` band keys
+    differ (P ≈ (1-p^r)^b, p = 1-θ/π — e.g. ~2·10⁻⁴ at cosine 0.95 with
+    32 bits / 8 bands).
+
+    ``method="auto"`` routes by an estimated broadcast footprint
+    (rows × dim × 8 bytes vs `broadcast_cap_bytes`): GEMM under the cap,
+    LSH above it — the collect-and-broadcast step is never attempted on
+    an input too big to hold driver-side.
 
     ``method="sql"``: pure Catalyst cross-join formulation (the DuckDB
     oracle shape)."""
@@ -339,13 +353,65 @@ def embedding_near_dup(
         F.col(id_col).alias("id"),
         l2_normalize(F.col(vec_col)).alias("v"),
     )
-    if method in ("auto", "gemm"):
+    if method == "auto":
+        dim_row = n.select(F.size("v")).first()
+        if dim_row is None:
+            return _near_dup_gemm(n, threshold=threshold, round_to=round_to)
+        est_bytes = n.count() * dim_row[0] * 8
+        method = "gemm" if est_bytes <= broadcast_cap_bytes else "lsh"
+    if method == "gemm":
         return _near_dup_gemm(n, threshold=threshold, round_to=round_to)
+    if method == "lsh":
+        return _near_dup_lsh(
+            n,
+            threshold=threshold,
+            round_to=round_to,
+            n_bits=n_bits,
+            n_bands=n_bands,
+            seed=seed,
+        )
     a = n.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = n.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot(F.col("va"), F.col("vb")), round_to))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _near_dup_lsh(
+    n: DataFrame,
+    *,
+    threshold: float,
+    round_to: int,
+    n_bits: int,
+    n_bands: int,
+    seed: int,
+) -> DataFrame:
+    """RP-LSH bucketed candidates + exact cosine verify. Shuffles on
+    (band_idx, band_key) for candidates and on id for the vector
+    join-back — both narrow equi-joins; the full vector set is never
+    collected driver-side."""
+    from picovdb_spark.operators.ann import rp_signatures
+
+    sig = rp_signatures(
+        n, id_col="id", vector_col="v", n_bits=n_bits, n_bands=n_bands, seed=seed
+    )
+    a = sig.select(F.col("id").alias("id_a"), "band_idx", "band_key")
+    b = sig.select(F.col("id").alias("id_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, on=["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = n.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = n.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", F.round(dot(F.col("va"), F.col("vb")), round_to))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
