@@ -223,19 +223,22 @@ def bench_queries(spark):
             )
         )
 
-    def q_ref100k_batch_1000_resident():
-        # serving mode: node-local float32 shards (operators/resident.py)
-        # — the regime the baseline's 1000 q/s is measured in (store
-        # matrix resident in memory). Materialization is one extra pass,
-        # excluded like the corpus build.
+    def _prepare_resident():
+        # serving mode setup: pin node-local float32 shards + one warm
+        # pass — one-time costs, excluded like the corpus build
         from picovdb_spark.operators.resident import ResidentGemmStore
 
         s, q = _ref_store()
         if "resident" not in ref_state:
             rs = ResidentGemmStore(s, normalized=True)
             rs.materialize()
-            _force(rs.query(q, top_k=10))  # warm pass, same regime as above
+            _force(rs.query(q, top_k=10))
             ref_state["resident"] = rs
+
+    def q_ref100k_batch_1000_resident():
+        # serving mode: the regime the baseline's 1000 q/s is measured in
+        # (store matrix resident in memory; operators/resident.py)
+        _, q = _ref_store()
         _force(ref_state["resident"].query(q, top_k=10))
 
     def q_ref100k_ivf_build():
@@ -280,6 +283,7 @@ def bench_queries(spark):
         # clears the sf-scale caches, so it runs after the sf workloads)
         "_prepare_ref_corpus": lambda: _ref_store(),
         "ref100k_batch_1000": q_ref100k_batch_1000,
+        "_prepare_resident": _prepare_resident,
         "ref100k_batch_1000_resident": q_ref100k_batch_1000_resident,
         "ref100k_ivf_build": q_ref100k_ivf_build,
         "ref100k_ivf_query_100": q_ref100k_ivf_query_100,
