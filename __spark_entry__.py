@@ -1471,3 +1471,129 @@ def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.min("ts")).alias("start_epoch"),
         F.unix_timestamp(F.max("ts")).alias("end_epoch"),
     ).withColumnRenamed("n", "n_events")
+
+
+# ------------------------------------------------------- round-2 additions
+
+_BM25_QUERIES = [
+    ("q1", "hash join table"),
+    ("q2", "fast scan slow"),
+    ("q3", "merge batch value"),
+    ("q4", "key row part nosuchterm"),
+]
+_BM25_Q_VALUES = ", ".join(f"('{qid}', '{qt}')" for qid, qt in _BM25_QUERIES)
+
+
+@_register(
+    "text_bm25_search",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_D_TOK}) AS term FROM documents
+),
+post AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+q(query_id, query) AS (VALUES {_BM25_Q_VALUES}),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id,
+           unnest(list_filter(string_split(lower(query), ' '), t -> t <> '')) AS term
+    FROM q)
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY 1),
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         round(sum(
+           ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+         ), 6) AS score
+  FROM qterms qt
+  JOIN post p USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl l ON l.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, score, rank FROM ranked WHERE rank <= 10
+""",
+)
+def _bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75, Lucene +1 idf smoothing)
+    over the documents corpus — the lexical half of hybrid retrieval.
+    Scores rounded before ranking; ties by doc_id (engine convention)."""
+    from picovdb_spark.operators.retrieval import bm25_search
+
+    from picovdb_spark.session import local_df
+
+    queries = local_df(spark, _BM25_QUERIES, "query_id string, query string")
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, queries, top_k=10)
+
+
+def _components_oracle() -> str:
+    # pair generation = the dedup_minhash_lsh oracle verbatim (nested
+    # WITH), then symmetric closure + recursive min-label reachability
+    return f"""
+WITH RECURSIVE pairs AS (
+{_minhash_oracle()}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(comp) AS component_id, (min(comp) <> id) AS is_dup
+FROM reach GROUP BY id
+"""
+
+
+@_register("dedup_components", _components_oracle())
+def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair list → connected components → one canonical doc per
+    cluster (transitive closure of minhash_lsh_pairs: a~b, b~c collapse
+    to one keeper). Iterative hash-min propagation; the DuckDB twin is a
+    recursive CTE over the same pair SQL."""
+    from picovdb_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return connected_components(minhash_lsh_pairs(docs), docs)
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.8, "es": 0.25, "zh": 1.0}  # fr -> default 0.2
+
+
+@_register(
+    "text_stratified_sample",
+    f"""
+WITH bucketed AS (
+  SELECT doc_id, lang,
+         round((('0x' || substr(md5('sample-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)::DOUBLE
+               / 4294967296.0, 6) AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket FROM bucketed
+WHERE bucket < CASE lang
+  WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.8 WHEN 'es' THEN 0.25 WHEN 'zh' THEN 1.0
+  ELSE 0.2 END
+""",
+)
+def _stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based per-language downsampling (domain
+    rebalancing): md5-uniform bucket per doc id, kept iff below the
+    stratum rate — a pure map-side filter, stable across engines/runs."""
+    from picovdb_spark.operators.textops import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, _SAMPLE_RATES, default_rate=0.2).select(
+        "doc_id", "lang", "bucket"
+    )

@@ -111,6 +111,26 @@ def bench_queries(spark):
         _force(token_stats(docs))
         _force(quality_score(docs))
 
+    bm25_state = {}
+
+    def q_bm25_build():
+        from picovdb_spark.operators.retrieval import build_bm25_index
+
+        bm25_state["idx"] = build_bm25_index(docs, storage="memory")
+        bm25_state["idx"].postings.count()  # materialize the cache
+
+    def q_bm25_query():
+        queries = spark.createDataFrame(
+            [("q1", "hash join table"), ("q2", "fast scan slow"), ("q3", "merge batch value")],
+            schema="query_id string, query string",
+        )
+        _force(bm25_state["idx"].query(queries, top_k=10))
+
+    def q_dedup_components():
+        from picovdb_spark.operators.dedup import connected_components
+
+        _force(connected_components(minhash_lsh_pairs(docs), docs))
+
     def q_sessionize():
         import __spark_entry__ as entry_mod
 
@@ -273,6 +293,9 @@ def bench_queries(spark):
         "dedup_simhash": q_dedup_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         "text_analysis": q_text_analysis,
+        "bm25_index_build": q_bm25_build,
+        "bm25_query_batch": q_bm25_query,
+        "dedup_components": q_dedup_components,
         "sessionize": q_sessionize,
         "ann_ivf_build": q_ann_build,
         "ann_ivf_query_1000": q_ann_query_1000,

@@ -14,6 +14,10 @@ LLM-corpus dedup ladder, each designed Spark-first:
 - simhash_pairs          — simhash + pigeonhole block join + Hamming
                            verify (guaranteed recall at the threshold)
 - embedding_near_dup     — cosine-threshold self-join over embeddings
+                           (GEMM under the broadcast cap, RP-LSH
+                           bucketed candidates above it)
+- connected_components   — pair list → transitive dup clusters with one
+                           canonical doc each (hash-min propagation)
 
 All hashes are md5-derived (functions/text.py) so every operator has a
 bit-identical DuckDB oracle.
@@ -461,3 +465,79 @@ def _near_dup_gemm(n: DataFrame, *, threshold: float, round_to: int) -> DataFram
             )
 
     return n.mapInPandas(block, schema=out_schema)
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    max_iter: int = 30,
+) -> DataFrame:
+    """Near-dup CLUSTERS from a pair list: assign every node the minimum
+    id reachable through the pair graph. Output (id, component_id,
+    is_dup) — component_id is the canonical (kept) document, everything
+    else in the component is the dup set. This is the step that turns
+    pairwise dedup output (minhash/simhash/embedding pairs) into an
+    actionable keep/drop decision when duplicates form chains (a~b, b~c
+    must collapse to ONE canonical doc, which pair output alone doesn't
+    give).
+
+    Algorithm: iterative hash-min label propagation — each round every
+    node takes min(own label, neighbors' labels); converges in
+    O(graph diameter) rounds (near-dup clusters are shallow — diameter
+    is small in practice; cf. the large-star/small-star MapReduce CC
+    family, Kiveris et al. 2014, for adversarially deep graphs). Each
+    round is one equi-join + one groupBy, both shuffling ONLY the
+    (src, label) edge projection — never document payloads; lineage is
+    cut per round with an eager localCheckpoint so the plan stays flat
+    at 100 TB. The convergence check is a single-row count per round —
+    driver control flow, not data movement."""
+    a, b = pair_cols
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # iterate ONLY over nodes that touch an edge: isolated nodes can
+    # never change label, and at corpus scale the dup subgraph is a tiny
+    # fraction of the corpus — the loop must not carry the other 99%
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, on=F.col("src") == F.col("id"))
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new = (
+            labels.join(nbr, on=F.col("id") == F.col("dst"), how="left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+                (F.col("nbr_comp") < F.col("comp")).alias("__changed"),
+            )
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = new.filter(F.col("__changed")).limit(1).count()
+        labels = new.drop("__changed")
+        if changed == 0:
+            break
+    # singletons rejoin here: component = own id, never a dup
+    out = nodes.select(F.col(id_col)).join(
+        labels, on=F.col(id_col) == F.col("id"), how="left"
+    )
+    comp = F.coalesce(F.col("comp"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        comp.alias("component_id"),
+        (comp != F.col(id_col)).alias("is_dup"),
+    )

@@ -1,0 +1,196 @@
+"""Keyword retrieval over a document corpus: inverted index and BM25
+ranking, Spark-first.
+
+The reference engine is vector-only; a corpus engine needs the lexical
+side too (hybrid retrieval pairs BM25 with `similarity.batch_query`).
+Everything here is pure DataFrame algebra — no UDFs, no collected
+corpus state:
+
+- `build_bm25_index` — ONE tokenize+explode pass over the corpus into
+  (doc_id, term, tf) postings (the classic inverted-index job: shuffle
+  key (doc_id, term), map-side combine). Doc lengths are DERIVED from
+  postings (dl = Σ tf), so the corpus text is read exactly once; the
+  two corpus scalars (N, avgdl) come back to the driver.
+- `Bm25Index.query` — query terms (tiny) BROADCAST-joined onto the
+  postings; df(term) via a window count over the matched subset (equal
+  to global df for those terms — the full vocabulary is never
+  aggregated); score = Σ idf·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))
+  (Okapi BM25, Lucene's +1 idf smoothing); per-query top-k through the
+  shared WindowGroupLimit path.
+
+At 100 TB: build is one shuffle of (doc_id, term, tf) rows — text never
+leaves the map side; a query batch costs one scan of the *matched*
+postings plus a k-row shuffle, not a corpus pass. `storage="memory"`
+persists the index in the cluster cache; `storage="checkpoint"` cuts
+lineage for transient use; `storage=None` leaves it lazy (re-derived
+per action — only for tiny inputs or oracle twins).
+
+BM25: Robertson & Spärck Jones probabilistic relevance framework
+(Okapi at TREC-3, 1994); k1=1.2, b=0.75 are the standard defaults.
+N counts documents with at least one token (a no-token doc can never
+match; the DuckDB oracle's unnest has the same semantics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from picovdb_spark.functions.text import tokens
+from picovdb_spark.operators.topk import topk_per_query
+
+
+def postings(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted-index postings: (doc_id, term, tf). Tokenization is the
+    engine-wide whitespace split (functions/text.py tokens)."""
+    return (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+
+
+def doc_lengths(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, dl): token count per document — map-side, no shuffle."""
+    return docs.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).cast("double").alias("dl")
+    )
+
+
+@dataclass
+class Bm25Index:
+    """Materialized inverted index: build once, serve query batches."""
+
+    postings: DataFrame  # (id_col, term, tf)
+    doc_len: DataFrame  # (id_col, dl)
+    n: float
+    avgdl: float
+    id_col: str
+
+    def query(
+        self,
+        queries: DataFrame,
+        *,
+        query_id_col: str = "query_id",
+        query_text_col: str = "query",
+        k1: float = 1.2,
+        b: float = 0.75,
+        top_k: int = 10,
+        round_to: int = 6,
+    ) -> DataFrame:
+        """BM25 top-k per query: (query_id, doc_id, score, rank).
+
+        Scores are rounded to `round_to` BEFORE ranking and ties break
+        by ascending doc id — the engine-wide deterministic-ranking
+        convention, which also makes the result insensitive to floating
+        summation order (oracle-comparable)."""
+        id_col = self.id_col
+        # a query batch is small by construction — materialize its term
+        # pairs driver-side into a JVM LocalRelation (session.local_df):
+        # both broadcast builds below then cost milliseconds instead of a
+        # Python-RDD round trip each
+        from picovdb_spark.session import local_df
+
+        spark = self.postings.sparkSession
+        qrows = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(F.array_distinct(tokens(F.col(query_text_col)))).alias("term"),
+        ).collect()
+        qterms = local_df(
+            spark,
+            sorted((r["query_id"], r["term"]) for r in qrows),
+            "query_id string, term string",
+        )
+        # restrict postings to query terms FIRST (broadcast semi-join):
+        # everything downstream touches matched rows only
+        qpost = self.postings.join(F.broadcast(qterms.select("term").distinct()), on="term")
+        qpost = qpost.withColumn(
+            "df", F.count("*").over(Window.partitionBy("term")).cast("double")
+        )
+        matched = qpost.join(F.broadcast(qterms), on="term").join(self.doc_len, on=id_col)
+        idf = F.log(
+            F.lit(1.0) + (F.lit(self.n) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
+        tf_part = (
+            F.col("tf")
+            * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(self.avgdl)))
+        )
+        scored = (
+            matched.withColumn("__s", idf * tf_part)
+            .groupBy("query_id", id_col)
+            .agg(F.round(F.sum("__s"), round_to).alias("score"))
+        )
+        return topk_per_query(
+            scored, top_k, id_col=id_col, score_col="score", query_col="query_id"
+        )
+
+    def unpersist(self) -> None:
+        for df in (self.postings, self.doc_len):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    storage: str | None = "memory",
+) -> Bm25Index:
+    """One corpus pass → reusable `Bm25Index`. `storage`: "memory"
+    (cluster cache), "checkpoint" (eager localCheckpoint — cuts lineage,
+    freed when the index is garbage-collected), or None (lazy)."""
+    post = postings(docs, id_col=id_col, text_col=text_col)
+    if storage == "memory":
+        post = post.persist()
+    elif storage == "checkpoint":
+        post = post.localCheckpoint(eager=True)
+    # dl = Σ tf — derived from postings, so text is tokenized exactly once
+    dl = post.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    if storage == "memory":
+        dl = dl.persist()
+    elif storage == "checkpoint":
+        dl = dl.localCheckpoint(eager=True)
+    row = dl.agg(
+        F.count("*").cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    ).first()
+    n = float(row["n"]) if row["n"] else 0.0
+    avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 1.0
+    return Bm25Index(postings=post, doc_len=dl, n=n, avgdl=avgdl, id_col=id_col)
+
+
+def bm25_search(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-shot convenience: build a transient (checkpointed) index and
+    query it. For repeated batches, `build_bm25_index` once and call
+    `.query(...)` — the build is the expensive part."""
+    idx = build_bm25_index(docs, id_col=id_col, text_col=text_col, storage="checkpoint")
+    return idx.query(
+        queries,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+        k1=k1,
+        b=b,
+        top_k=top_k,
+        round_to=round_to,
+    )

@@ -92,8 +92,10 @@ def candidate_set(
         cand = cand.filter(~F.col(K_DELETED))
     if ids is not None:
         if not isinstance(ids, DataFrame):
-            ids_df = store.sparkSession.createDataFrame(
-                [(str(i),) for i in ids], schema=f"{K_ID} string"
+            from picovdb_spark.session import local_df
+
+            ids_df = local_df(
+                store.sparkSession, [(str(i),) for i in ids], f"{K_ID} string"
             )
         else:
             ids_df = ids
@@ -241,9 +243,12 @@ def query_one(store: DataFrame, vector: list[float], **kwargs: Any) -> DataFrame
     """Single-vector sugar over `batch_query`
     (/root/reference/picovdb/pico_vdb.py:777-796)."""
     spark = store.sparkSession
-    q = spark.createDataFrame(
+    from picovdb_spark.session import local_df
+
+    q = local_df(
+        spark,
         [("q0", [float(x) for x in vector])],
-        schema=T.StructType(
+        T.StructType(
             [
                 T.StructField("query_id", T.StringType()),
                 T.StructField(K_VECTOR, T.ArrayType(T.FloatType())),

@@ -247,3 +247,34 @@ def pii_scan(
     return out.withColumn("n_pii", total.cast("long")).withColumn(
         "has_pii", F.col("n_pii") > 0
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    salt: str = "sample-v1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the domain-mixing /
+    rebalancing primitive of corpus curation (e.g. keep 10% of lang "en",
+    100% of lang "zh").
+
+    Same md5-uniform trick as `dataset_split`: a row survives iff
+    md5(salt ':' id) maps below its stratum's rate — stable across runs
+    and engines, independent of row order and partitioning, and a pure
+    map-side filter (NO shuffle, no RNG state). Strata absent from
+    `rates` get `default_rate`. Output keeps all input columns plus the
+    rounded sampling bucket (so downstream audits can re-derive the
+    decision)."""
+    u = md5_hash32(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))) / F.lit(
+        4294967296.0
+    )
+    rate = None
+    for name, r in rates.items():
+        cond = F.col(stratum_col) == F.lit(name)
+        rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(cond, F.lit(float(r)))
+    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(F.lit(float(default_rate)))
+    return docs.withColumn("bucket", F.round(u, 6)).filter(F.col("bucket") < rate)

@@ -52,6 +52,7 @@ from pyspark.sql import types as T
 
 from picovdb_spark.functions.vector import assert_dim, auto_id, l2_normalize
 from picovdb_spark.schema import K_DELETED, K_ID, K_METRICS, K_VECTOR
+from picovdb_spark.session import local_df
 
 _RESERVED = (K_ID, K_VECTOR, K_DELETED)
 
@@ -295,9 +296,10 @@ class VectorStore:
         nprobe = kwargs.pop("nprobe", 8)
         if not isinstance(queries, DataFrame):
             rows = [(str(i), [float(x) for x in v]) for i, v in enumerate(queries)]
-            queries = self.spark.createDataFrame(
+            queries = local_df(
+                self.spark,
                 rows,
-                schema=T.StructType(
+                T.StructType(
                     [
                         T.StructField("query_id", T.StringType()),
                         T.StructField(K_VECTOR, T.ArrayType(T.FloatType())),
@@ -347,9 +349,10 @@ class VectorStore:
         out = self.active().filter(F.col(K_ID).isin(id_list))
         out = self._project(out, include_vector)
         if preserve_order:
-            pos = self.spark.createDataFrame(
+            pos = local_df(
+                self.spark,
                 [(sid, p) for p, sid in enumerate(id_list)],
-                schema=f"{K_ID} string, __pos int",
+                f"{K_ID} string, __pos int",
             )
             out = out.join(F.broadcast(pos), on=K_ID).orderBy("__pos").drop("__pos")
         return out

@@ -125,3 +125,32 @@ def test_point_lookup_entry_pushes_physical_key(spark, sf_dir):
     df = entry_mod.queries()["point_lookup"](spark, sf_dir)
     fs = pushed_filters(df)
     assert any("vec_id" in f and ("In(" in f or "EqualTo" in f or "Or(" in f) for f in fs), fs
+
+
+def test_driver_built_side_is_local_relation(store, queries):
+    """Small driver-built join sides (id lists, query batches) must plan
+    as LocalTableScan (JVM LocalRelation via session.local_df), never as
+    a broadcast over `Scan ExistingRDD` — explicitly broadcasting a
+    Python-RDD-backed relation costs a Python-worker round trip per
+    build (~6 s vs ~0.3 s measured at local[32])."""
+    plan = explain_str(
+        batch_query(store, queries, top_k=5, ids=[str(i) for i in range(50)], method="sql")
+    )
+    assert "LocalTableScan" in plan
+    assert "Scan ExistingRDD" not in plan
+
+
+def test_bm25_query_side_is_local_relation(spark):
+    from picovdb_spark.operators.retrieval import bm25_search
+    from picovdb_spark.session import local_df
+
+    docs = local_df(
+        spark,
+        [(1, "apple banana"), (2, "banana cherry")],
+        "doc_id long, text string",
+    )
+    q = local_df(spark, [("q", "banana")], "query_id string, query string")
+    plan = explain_str(bm25_search(docs, q, top_k=3))
+    # the qterms side must be a LocalRelation; the checkpointed postings
+    # legitimately scan as ExistingRDD but must never be the broadcast side
+    assert "LocalTableScan" in plan
