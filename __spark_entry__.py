@@ -1597,3 +1597,98 @@ def _stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, _SAMPLE_RATES, default_rate=0.2).select(
         "doc_id", "lang", "bucket"
     )
+
+
+_HYBRID_QTEXT = "hash join table fast scan part"
+_HYBRID_DIM = 64
+
+
+def _hybrid_oracle() -> str:
+    h = _d_hash32("tt")
+    qtoks = f"list_filter(string_split(lower('{_HYBRID_QTEXT}'), ' '), t -> t <> '')"
+    embed = (
+        f"list_transform(range(0, {_HYBRID_DIM}), "
+        f"dd -> CAST(len(list_filter(hs, h -> h % {_HYBRID_DIM} = dd)) AS DOUBLE))"
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, {_D_TOK} AS t FROM documents),
+toks AS (SELECT doc_id, unnest(t) AS term FROM tok),
+post AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+qterms AS (SELECT DISTINCT term FROM (SELECT unnest({qtoks}) AS term)),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY 1),
+sparse_scored AS (
+  SELECT p.doc_id,
+         round(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))), 6) AS score
+  FROM qterms qt JOIN post p USING (term) JOIN dfreq d USING (term)
+  JOIN dl l ON l.doc_id = p.doc_id CROSS JOIN stats s
+  GROUP BY 1
+),
+sparse AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS r
+    FROM sparse_scored) WHERE r <= 20
+),
+hemb AS (
+  SELECT doc_id, {embed} AS v
+  FROM (SELECT doc_id, list_transform(t, tt -> {h}) AS hs FROM tok WHERE len(t) > 0)
+),
+qv AS (
+  SELECT {embed} AS v
+  FROM (SELECT list_transform({qtoks}, tt -> {h}) AS hs)
+),
+dense_scored AS (
+  SELECT e.doc_id, round(list_cosine_similarity(e.v, q.v), 6) AS score
+  FROM hemb e CROSS JOIN qv q
+),
+dense AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS r
+    FROM dense_scored) WHERE r <= 20
+),
+fused AS (
+  SELECT coalesce(s.doc_id, d2.doc_id) AS doc_id,
+         round(coalesce(1.0 / (60 + s.r), 0) + coalesce(1.0 / (60 + d2.r), 0), 6) AS rrf
+  FROM sparse s FULL OUTER JOIN dense d2 ON s.doc_id = d2.doc_id
+)
+SELECT doc_id, rrf, rank FROM (
+  SELECT doc_id, rrf,
+         CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM fused) WHERE rank <= 10
+"""
+
+
+@_register("pipeline_hybrid_rrf", _hybrid_oracle())
+def _hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 + dense (hash-embed cosine) top-20,
+    fused by reciprocal-rank fusion (k=60, Cormack et al. 2009) — the
+    standard sparse+dense serving composition, every stage this engine's
+    own operator and the whole chain stated in one SQL oracle."""
+    from picovdb_spark.functions.text import tokens as _tokens
+    from picovdb_spark.functions.vector import dot, l2_normalize
+    from picovdb_spark.operators.embedding import embed_chunks, hash_embed_text
+    from picovdb_spark.operators.retrieval import bm25_search, hybrid_rrf
+    from picovdb_spark.operators.topk import topk_per_query
+    from picovdb_spark.session import local_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = local_df(spark, [("q0", _HYBRID_QTEXT)], "query_id string, query string")
+    sparse = bm25_search(docs, q, top_k=20)
+
+    nonempty = docs.filter(F.size(_tokens(F.col("text"))) > 0)
+    demb = embed_chunks(
+        nonempty, text_col="text", keep_cols=["doc_id"], dim=_HYBRID_DIM
+    )
+    qvec = hash_embed_text(_HYBRID_QTEXT, _HYBRID_DIM)
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    dense_scored = demb.select(
+        "doc_id",
+        F.round(dot(l2_normalize(F.col("embedding")), l2_normalize(qlit)), 6).alias(
+            "score"
+        ),
+        F.lit("q").alias("__q"),
+    )
+    dense = topk_per_query(dense_scored, 20, id_col="doc_id", score_col="score", query_col="__q")
+    return hybrid_rrf(sparse, dense, top_k=10)

@@ -194,3 +194,40 @@ def bm25_search(
         top_k=top_k,
         round_to=round_to,
     )
+
+
+def hybrid_rrf(
+    sparse_hits: DataFrame,
+    dense_hits: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked hit lists (Cormack et al.
+    2009): rrf(d) = Σ_lists 1/(k + rank_list(d)), k=60 standard. A doc
+    present in one list only gets that list's contribution. Output
+    (doc_id, rrf, rank) — rrf rounded before ranking, ties by id (engine
+    convention).
+
+    Both inputs are top-N lists — tiny by construction — so the fusion
+    is a full-outer equi-join of two k-row relations: negligible at any
+    corpus scale (the heavy lifting happened upstream)."""
+    s = sparse_hits.select(F.col(id_col), F.col(rank_col).alias("__rs"))
+    d = dense_hits.select(F.col(id_col), F.col(rank_col).alias("__rd"))
+    fused = (
+        s.join(d, on=id_col, how="full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (F.lit(k) + F.col("__rs")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(k) + F.col("__rd")), F.lit(0.0)),
+                round_to,
+            ),
+        )
+        .withColumn("__q", F.lit("q"))
+    )
+    out = topk_per_query(fused, top_k, id_col=id_col, score_col="rrf", query_col="__q")
+    return out.select(id_col, "rrf", "rank")

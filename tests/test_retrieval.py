@@ -113,3 +113,18 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in kept)
     # full-rate stratum keeps everything
     assert stratified_sample(docs, {"en": 1.0, "xx": 1.0}).count() == 2000
+
+
+def test_hybrid_rrf_fusion(spark):
+    """RRF math: doc in both lists sums both contributions; single-list
+    docs get one; rounding + id tiebreak pin the order."""
+    from picovdb_spark.operators.retrieval import hybrid_rrf
+    from picovdb_spark.session import local_df
+
+    sparse = local_df(spark, [(1, 1), (2, 2)], "doc_id long, rank int")
+    dense = local_df(spark, [(2, 1), (3, 2)], "doc_id long, rank int")
+    out = {r["doc_id"]: (r["rrf"], r["rank"]) for r in
+           hybrid_rrf(sparse, dense, top_k=10).collect()}
+    assert out[2] == (round(1 / 62 + 1 / 61, 6), 1)  # both lists
+    assert out[1] == (round(1 / 61, 6), 2)
+    assert out[3] == (round(1 / 62, 6), 3)
