@@ -73,9 +73,37 @@ def _apply_where(cand: DataFrame, where: WhereClause) -> DataFrame:
     if callable(where):
         # the reference passes the FULL doc dict including _id_
         # (pico_vdb.py:643-648; docs store meta[K_ID]) — only the vector
-        # and the tombstone flag are engine-internal
+        # and the tombstone flag are engine-internal. Arrow-batched
+        # pandas UDF (one Python call per batch, not per row); each
+        # record is converted back to the reference's dict shape: nulls
+        # as None (not NaN/NaT), arrays as Python lists.
         meta_cols = [c for c in cand.columns if c not in (K_VECTOR, K_DELETED)]
-        pred = F.udf(lambda row: bool(where(row.asDict())), T.BooleanType())
+
+        def _as_ref_dict(rec: dict) -> dict:
+            import numpy as np
+            import pandas as pd
+
+            out = {}
+            for k, v in rec.items():
+                if isinstance(v, np.ndarray):
+                    v = v.tolist()
+                elif isinstance(v, np.generic):
+                    v = v.item()
+                elif v is pd.NaT or (isinstance(v, float) and v != v):
+                    v = None
+                elif isinstance(v, pd.Timestamp):
+                    v = v.to_pydatetime()
+                out[k] = v
+            return out
+
+        def batch_pred(pdf):
+            import pandas as pd
+
+            return pd.Series(
+                [bool(where(_as_ref_dict(rec))) for rec in pdf.to_dict("records")]
+            )
+
+        pred = F.pandas_udf(batch_pred, T.BooleanType())
         return cand.filter(pred(F.struct(*[F.col(c) for c in meta_cols])))
     raise TypeError(f"unsupported where clause: {type(where)}")
 

@@ -15,6 +15,14 @@ so no single task or RPC carries the whole thing, and the result lands as
 a normal distributed DataFrame. Export (`write_picovdb_store`) streams
 partitions back via toLocalIterator — same bound, and the write is
 atomic (tmp + os.replace per file, pico_vdb.py:342-378).
+
+`.faiss` sidecar: the reference additionally persists a serialized FAISS
+HNSW index at `{base}.vecs.npy.faiss` (pico_vdb.py:261, :347). This
+engine neither reads nor writes it — its ANN layout is the IVF parquet
+store (operators/ann.py), and FAISS is not a dependency. Consequence for
+round-tripping users: a reference process reopening an engine-written
+store pays one HNSW rebuild (the reference rebuilds automatically when
+the sidecar is absent); the data files are fully compatible.
 """
 
 from __future__ import annotations

@@ -141,7 +141,9 @@ class VectorStore:
     # ---------------------------------------------------------------- mutation
 
     @_timed("upsert")
-    def upsert(self, items: list[dict] | DataFrame) -> dict[str, list[str]]:
+    def upsert(
+        self, items: list[dict] | DataFrame, *, report: str = "dict"
+    ) -> dict[str, list[str]] | DataFrame:
         """Batch insert-or-update by id (pico_vdb.py:403-498).
 
         - validates vector dim (fail-fast, :413-421)
@@ -152,7 +154,16 @@ class VectorStore:
 
         Upserting an id that was tombstoned revives the slot — the Spark
         analog of free-slot reuse (:434-439).
+
+        `report="dict"` (reference parity) COLLECTS the id lists to the
+        driver — fine for API-sized batches, not for a 10⁹-row bulk load.
+        `report="dataframe"` keeps the report relational: returns a
+        DataFrame of (_id_, action ∈ {update, insert}) and collects only
+        per-class counts (needed for the capacity check and the ANN
+        incremental-maintenance ratio).
         """
+        if report not in ("dict", "dataframe"):
+            raise ValueError(f"unknown report mode: {report!r}")
         batch = self._items_to_df(items) if not isinstance(items, DataFrame) else items
         if K_ID not in batch.columns:
             batch = batch.withColumn(K_ID, F.lit(None).cast("string"))
@@ -184,8 +195,24 @@ class VectorStore:
         # its index (pico_vdb.py:527-531), so re-upserting a tombstoned id
         # is an INSERT (slot revive), not an update
         active_ids = existing.filter(~F.col(K_DELETED)).select(K_ID)
-        updated = [r[0] for r in batch.select(K_ID).join(active_ids, K_ID, "left_semi").collect()]
-        inserted = [r[0] for r in batch.select(K_ID).join(active_ids, K_ID, "left_anti").collect()]
+        report_df = batch.select(K_ID).join(active_ids, K_ID, "left_semi").select(
+            K_ID, F.lit("update").alias("action")
+        ).unionByName(
+            batch.select(K_ID).join(active_ids, K_ID, "left_anti").select(
+                K_ID, F.lit("insert").alias("action")
+            )
+        )
+        if report == "dict":
+            rows = report_df.collect()
+            updated = [r[K_ID] for r in rows if r["action"] == "update"]
+            inserted = [r[K_ID] for r in rows if r["action"] == "insert"]
+        else:
+            # relational report: never ship ids driver-side. The pending
+            # ANN change-set is a driver-side structure, so a bulk load
+            # drops the index instead (full rebuild on next use — the
+            # right maintenance mode for a bulk change anyway).
+            report_df = report_df.localCheckpoint(eager=True)
+            updated = inserted = None
 
         merged = existing.join(batch.select(K_ID), K_ID, "left_anti").select(*cols).unionByName(
             batch.select(*cols)
@@ -200,8 +227,13 @@ class VectorStore:
                     f"capacity exceeded: {active_after} > {self._capacity} "
                     "(fixed-capacity store, pico_vdb.py:440-442)"
                 )
-        self._set(merged, changed_ids=updated + inserted)
+        self._set(
+            merged,
+            changed_ids=None if updated is None else updated + inserted,
+        )
         batch.unpersist()  # merged is eagerly checkpointed; don't pin the batch
+        if report == "dataframe":
+            return report_df
         return {"update": sorted(updated), "insert": sorted(inserted)}
 
     @_timed("delete")

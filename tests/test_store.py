@@ -357,3 +357,47 @@ def test_get_preserve_order(store):
         for r in store.get(["v5", "v1", "no-such", "v3"], preserve_order=True).collect()
     ]
     assert got == ["v5", "v1", "v3"]
+
+
+def test_upsert_report_dataframe_mode(spark):
+    """report="dataframe" keeps the upsert report relational — (_id_,
+    action) rows, no driver-side id lists — and still merges correctly."""
+    st = VectorStore(spark, DIM)
+    st.upsert([{K_ID: f"v{i}", K_VECTOR: basis(i)} for i in range(3)])
+    rep = st.upsert(
+        [
+            {K_ID: "v1", K_VECTOR: basis(1)},  # update
+            {K_ID: "v9", K_VECTOR: basis(4)},  # insert
+        ],
+        report="dataframe",
+    )
+    got = {(r[K_ID], r["action"]) for r in rep.collect()}
+    assert got == {("v1", "update"), ("v9", "insert")}
+    assert st.count() == 4
+    with pytest.raises(ValueError, match="report mode"):
+        st.upsert([], report="json")
+
+
+def test_where_callable_null_and_dict_parity(spark):
+    """The Arrow-batched callable-where path must present rows as the
+    reference's dicts: absent metadata is None (never NaN), and the
+    predicate sees _id_."""
+    st = VectorStore(spark, DIM)
+    st.upsert(
+        [
+            {K_ID: "a", K_VECTOR: basis(0), "tag": "x", "score": 1.5},
+            {K_ID: "b", K_VECTOR: basis(1)},  # no tag/score -> None
+        ]
+    )
+    def pred(doc):
+        # `is None` is False for NaN/NaT, so this predicate only matches
+        # doc "b" if the batch path converts missing values exactly like
+        # Row.asDict(); it also requires _id_ to be present and a str
+        return (
+            isinstance(doc["_id_"], str)
+            and doc["tag"] is None
+            and doc["score"] is None
+        )
+
+    hits = st.query([list(basis(1))], top_k=5, where=pred).collect()
+    assert [h[K_ID] for h in hits] == ["b"]
