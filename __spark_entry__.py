@@ -1692,3 +1692,36 @@ def _hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dense = topk_per_query(dense_scored, 20, id_col="doc_id", score_col="score", query_col="__q")
     return hybrid_rrf(sparse, dense, top_k=10)
+
+
+@_register("ann_pq_topk", _topk_oracle(10))
+def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN at FULL refine width (operators/pq.py):
+    ADC candidates = the whole store, rescored exactly against the true
+    vectors, so the result is definitionally the exact top-k and the
+    entire PQ machinery (per-subspace codebook fit, code encoding, ADC
+    table scoring, candidate join-back) is hash-checked against the
+    exact SQL oracle — the PQ analog of the IVF full-probe entry. The
+    honest compressed regime (ADC-only / partial refine, recall < 1 by
+    design) is pinned in tests/test_pq.py."""
+    from picovdb_spark.operators.pq import PqIndex
+
+    store = load_embeddings_store(spark, sf_dir)
+    index = PqIndex.build(store, m=16, k=64, seed=42, storage="checkpoint")
+    out = index.query(_queries_df(spark, sf_dir), top_k=10, refine_k=store.count())
+    # metadata recovery via broadcast of the tiny top-k side (the same
+    # join-back shape as the GEMM path; oracle emits label too)
+    return F.broadcast(out).join(store.select(K_ID, "label"), on=K_ID).select(
+        "query_id", K_ID, "label", K_METRICS, "rank"
+    )
+
+
+@_register("ann_pq_topk_adc")  # rows-only: compressed-domain recall regime
+def _ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC-only top-k — scores are the compressed-domain cosine
+    approximation (no SQL oracle; the recall band is in tests/test_pq.py)."""
+    from picovdb_spark.operators.pq import PqIndex
+
+    store = load_embeddings_store(spark, sf_dir)
+    index = PqIndex.build(store, m=16, k=64, seed=42, storage="checkpoint")
+    return index.query(_queries_df(spark, sf_dir), top_k=10)

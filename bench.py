@@ -261,6 +261,20 @@ def bench_queries(spark):
         _, q = _ref_store()
         _force(ref_state["resident"].query(q, top_k=10))
 
+    def q_ref100k_pq_build():
+        # codebook fit (25k sample, driver Lloyd) + full encode pass:
+        # 1024 float32 -> 16 bytes/vector (256x)
+        from picovdb_spark.operators.pq import PqIndex
+
+        s, _ = _ref_store()
+        ref_state["pq"] = PqIndex.build(s, m=16, k=256, seed=42, storage="memory")
+        ref_state["pq"].codes.count()  # materialize the code cache
+
+    def q_ref100k_pq_query_1000():
+        # compressed-domain ADC batch + exact refine of top-50
+        s, q = _ref_store()
+        _force(ref_state["pq"].query(q, top_k=10, refine_k=50))
+
     def q_ref100k_ivf_build():
         from picovdb_spark.operators.ann import IvfIndex
 
@@ -308,6 +322,8 @@ def bench_queries(spark):
         "ref100k_batch_1000": q_ref100k_batch_1000,
         "_prepare_resident": _prepare_resident,
         "ref100k_batch_1000_resident": q_ref100k_batch_1000_resident,
+        "ref100k_pq_build": q_ref100k_pq_build,
+        "ref100k_pq_query_1000": q_ref100k_pq_query_1000,
         "ref100k_ivf_build": q_ref100k_ivf_build,
         "ref100k_ivf_query_100": q_ref100k_ivf_query_100,
         "ref100k_upsert": q_ref100k_upsert,

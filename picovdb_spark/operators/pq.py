@@ -1,0 +1,312 @@
+"""Product quantization (PQ) — compressed-vector ANN for stores whose
+raw float vectors don't fit hot storage.
+
+At 100 TB the raw vector column dominates everything (4·dim bytes/row);
+PQ stores m one-byte codes instead (dim=1024, m=16 → 4 KB → 16 B,
+256×). Queries score against the codes with ADC (asymmetric distance
+computation: the query stays full-precision, each subspace contributes
+a table lookup), then optionally re-rank a small candidate set against
+the true vectors ("refine"). This is the memory/recall trade every
+billion-scale ANN system makes (FAISS IVFPQ; Jégou, Douze, Schmid,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+Spark shape (mirrors operators/ann.py IVF):
+- `fit_pq`       — per-subspace k-means on a bounded distributed sample
+                   (driver-side Lloyd on ≤ sample_size rows, like
+                   `fit_centroids`; the codebook is m·k·dsub floats —
+                   kilobytes — and broadcasts everywhere)
+- `pq_encode`    — one Arrow-batched map over the store: argmax inner
+                   product per subspace → (id, codes array<byte-ish>).
+                   No shuffle; the codes table is what you persist/cache.
+- `PqIndex.query`— ADC scoring kernel over code partitions: per batch,
+                   table = q_sub @ codebook_subᵀ (m × k floats per
+                   query), score = Σ_sub table[sub, code]; partition-
+                   local tie-complete top-R, k-row shuffle, optional
+                   exact refine via a broadcast join of the tiny
+                   candidate set back to the store (the same join-back
+                   shape as similarity._gemm_topk).
+
+Scoring is INNER PRODUCT on unit-normalized inputs (== cosine), matching
+the engine's metric everywhere. With `refine_k >= store size` the result
+is exactly the exact top-k (candidates = everything, rescored with true
+vectors) — that configuration is the oracle-checkable twin, mirroring
+the IVF full-probe entry; honest partial-refine recall is pinned in
+tests/test_pq.py instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from picovdb_spark.operators.ann import _as_matrix, _normalize_rows
+from picovdb_spark.schema import K_ID, K_METRICS, K_VECTOR
+
+
+def fit_pq(
+    store: DataFrame,
+    *,
+    vector_col: str = K_VECTOR,
+    m: int = 8,
+    k: int = 256,
+    sample_size: int = 25_000,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Fit per-subspace codebooks on a bounded sample: returns
+    (m, k, dim/m) float64. dim must divide evenly by m (standard PQ
+    constraint; pad upstream if not)."""
+    total = store.count()
+    frac = min(1.0, (sample_size * 1.2) / max(total, 1))
+    rows = (
+        store.select(vector_col).sample(fraction=frac, seed=seed).limit(sample_size).collect()
+    )
+    if not rows:
+        raise ValueError("cannot fit PQ codebooks on an empty store")
+    x = _normalize_rows(_as_matrix(rows, vector_col))
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    kk = min(k, len(x))
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, kk, dsub))
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        cent = xs[rng.choice(len(xs), size=kk, replace=False)]
+        for _ in range(n_iter):
+            # Euclidean Lloyd per subspace (subvectors are NOT unit);
+            # expansion form avoids the (n, k, dsub) broadcast temp
+            d2 = (
+                (xs * xs).sum(axis=1)[:, None]
+                - 2.0 * (xs @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            assign = np.argmin(d2, axis=1)
+            for c in range(kk):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def pq_encode(
+    store: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = K_ID,
+    vector_col: str = K_VECTOR,
+) -> DataFrame:
+    """(id, codes array<int>) — one map pass, no shuffle. Vectors are
+    unit-normalized before encoding (store invariant; zero ⇒ e₀)."""
+    spark = store.sparkSession
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(codebooks))
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, store.schema[id_col].dataType),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        books = bc.value
+        m, _, dsub = books.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = _normalize_rows(
+                np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vector_col]])
+            )
+            codes = np.empty((len(v), m), dtype=np.int32)
+            for s in range(m):
+                xs = v[:, s * dsub : (s + 1) * dsub]
+                cent = books[s]
+                d2 = (
+                    (xs * xs).sum(axis=1)[:, None]
+                    - 2.0 * (xs @ cent.T)
+                    + (cent * cent).sum(axis=1)[None, :]
+                )
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return store.select(id_col, vector_col).mapInPandas(kernel, schema=out_schema)
+
+
+@dataclass
+class PqIndex:
+    """codes + codebooks + (for refine) the original store."""
+
+    codes: DataFrame  # (id, codes)
+    codebooks: np.ndarray  # (m, k, dsub)
+    store: DataFrame | None = None  # needed for refine
+    id_col: str = K_ID
+    vector_col: str = K_VECTOR
+
+    @classmethod
+    def build(
+        cls,
+        store: DataFrame,
+        *,
+        id_col: str = K_ID,
+        vector_col: str = K_VECTOR,
+        m: int = 8,
+        k: int = 256,
+        sample_size: int = 25_000,
+        seed: int = 42,
+        storage: str = "memory",
+    ) -> "PqIndex":
+        books = fit_pq(
+            store, vector_col=vector_col, m=m, k=k, sample_size=sample_size, seed=seed
+        )
+        codes = pq_encode(store, books, id_col=id_col, vector_col=vector_col)
+        if storage == "memory":
+            codes = codes.persist()
+        elif storage == "checkpoint":
+            codes = codes.localCheckpoint(eager=True)
+        return cls(codes=codes, codebooks=books, store=store, id_col=id_col, vector_col=vector_col)
+
+    def query(
+        self,
+        queries: DataFrame,
+        *,
+        top_k: int = 10,
+        refine_k: int | None = None,
+        query_id: str = "query_id",
+        vector_col: str | None = None,
+        round_to: int = 6,
+    ) -> DataFrame:
+        """ADC top-k per query: (query_id, _id_, _metrics_, rank).
+
+        Without refine, `_metrics_` is the ADC approximation of cosine
+        (table-lookup sum). With `refine_k=R`, the ADC top-R candidates
+        are rescored EXACTLY against the true vectors (broadcast join of
+        the tiny candidate set — the store is never shuffled) and the
+        final top-k ranking/scores are exact cosine; R >= store size
+        degenerates to exact top-k (the oracle configuration)."""
+        from picovdb_spark.operators.similarity import collect_normalized_queries
+        from picovdb_spark.operators.topk import topk_per_query
+
+        spark = self.codes.sparkSession
+        qids, qmat = collect_normalized_queries(
+            queries, query_id, vector_col or self.vector_col
+        )
+        if qmat.size == 0:
+            return spark.createDataFrame(
+                [], schema=f"query_id string, {K_ID} string, {K_METRICS} double, rank int"
+            )
+        books = self.codebooks
+        m, kk, dsub = books.shape
+        # per-query lookup tables: (nq, m, k) — q_sub · centroid. float32:
+        # ADC is an approximation by construction (refine rescores in
+        # float64), and halving table bytes halves the gather traffic
+        tables = np.einsum(
+            "qsd,skd->qsk", qmat.reshape(len(qmat), m, dsub), books
+        ).astype(np.float32)
+        bc = spark.sparkContext.broadcast((np.asarray(qids, dtype=object), tables))
+        n_cand = int(refine_k or top_k)
+        pad = 1.5 * 10.0 ** (-round_to)
+        id_col = self.id_col
+
+        def kernel(batches: Iterator) -> Iterator:
+            import pyarrow as pa
+
+            b_qids, b_tables = bc.value
+            nq = len(b_qids)
+            for batch in batches:
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                # zero-copy flatten: list<int32> column → (n, m) matrix
+                codes = (
+                    batch.column(1).flatten().to_numpy(zero_copy_only=False)
+                    .reshape(n, m)
+                )
+                # ADC: scores[q, i] = Σ_s tables[q, s, codes[i, s]]
+                scores = np.zeros((nq, n), dtype=np.float32)
+                for s in range(m):
+                    scores += b_tables[:, s, :][:, codes[:, s]]
+                cut = min(n_cand, n)
+                kth = np.partition(scores, n - cut, axis=1)[:, n - cut]
+                qi, vi = np.nonzero(scores >= (kth - pad)[:, None])
+                ids = batch.column(0).to_numpy(zero_copy_only=False)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(b_qids[qi]),
+                        pa.array(ids[vi]),
+                        pa.array(scores[qi, vi].astype(np.float64)),
+                    ],
+                    names=["query_id", id_col, "__adc"],
+                )
+
+        id_ddl = self.codes.schema[id_col].dataType.simpleString()
+        local = self.codes.select(id_col, "codes").mapInArrow(
+            kernel, schema=f"query_id string, {id_col} {id_ddl}, __adc double"
+        )
+        if refine_k is None:
+            scored = local.select(
+                "query_id", id_col, F.round(F.col("__adc"), round_to).alias(K_METRICS)
+            )
+        else:
+            if self.store is None:
+                raise ValueError("refine requires the original store on the index")
+            # candidate union across partitions, broadcast-joined back to
+            # the store's raw vectors, then EXACT rescore in an Arrow
+            # kernel — never a Catalyst fold over the vector (interpreted
+            # per-element, pathological at high dim) and the store is
+            # never shuffled (the candidate side is the broadcast side)
+            cand = topk_per_query(
+                local.select("query_id", id_col, F.col("__adc").alias(K_METRICS)),
+                n_cand,
+                id_col=id_col,
+                rank_col=None,
+            ).select("query_id", id_col)
+            joined = self.store.select(id_col, self.vector_col).join(
+                F.broadcast(cand), on=id_col
+            )
+            qindex = {str(q): i for i, q in enumerate(qids)}
+            bq = spark.sparkContext.broadcast((qindex, qmat))
+            vec_col = self.vector_col
+
+            rs_schema = T.StructType(
+                [
+                    T.StructField("query_id", T.StringType()),
+                    T.StructField(id_col, self.codes.schema[id_col].dataType),
+                    T.StructField(K_METRICS, T.DoubleType()),
+                ]
+            )
+
+            def rescore(batches: Iterator) -> Iterator:
+                import pandas as pd
+
+                b_qindex, b_qmat = bq.value
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    v = _normalize_rows(
+                        np.asarray(
+                            [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+                        )
+                    )
+                    qidx = np.fromiter(
+                        (b_qindex[str(q)] for q in pdf["query_id"]), dtype=np.int64
+                    )
+                    s = np.round((v * b_qmat[qidx]).sum(axis=1), round_to)
+                    yield pd.DataFrame(
+                        {
+                            "query_id": pdf["query_id"].astype(str),
+                            id_col: pdf[id_col],
+                            K_METRICS: s,
+                        }
+                    )
+
+            scored = joined.mapInPandas(rescore, schema=rs_schema)
+        return topk_per_query(scored, top_k, id_col=id_col)
