@@ -1577,12 +1577,12 @@ _SAMPLE_RATES = {"en": 0.5, "de": 0.8, "es": 0.25, "zh": 1.0}  # fr -> default 0
     f"""
 WITH bucketed AS (
   SELECT doc_id, lang,
-         round((('0x' || substr(md5('sample-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)::DOUBLE
-               / 4294967296.0, 6) AS bucket
+         (('0x' || substr(md5('sample-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)::DOUBLE
+           / 4294967296.0 AS u
   FROM documents
 )
-SELECT doc_id, lang, bucket FROM bucketed
-WHERE bucket < CASE lang
+SELECT doc_id, lang, round(u, 6) AS bucket FROM bucketed
+WHERE u < CASE lang
   WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.8 WHEN 'es' THEN 0.25 WHEN 'zh' THEN 1.0
   ELSE 0.2 END
 """,

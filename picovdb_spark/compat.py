@@ -15,7 +15,12 @@ Documented deviations (SURVEY.md §7.2):
   routing batch queries through it);
 - persistence uses the reference's own file format
   ({storage_file}.ids.json/.vecs.npy/.meta.json) via sources/ — stores
-  SAVED HERE LOAD IN THE REFERENCE and vice versa.
+  SAVED HERE LOAD IN THE REFERENCE and vice versa;
+- result dicts contain only the keys present on the doc: a metadata
+  key explicitly stored with value None is indistinguishable from an
+  absent key in the columnar model (absent == null), so it is dropped
+  from query()/get()/get_all() results where the reference would
+  return {'key': None}.
 """
 
 from __future__ import annotations

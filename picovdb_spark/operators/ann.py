@@ -183,7 +183,10 @@ class IvfIndex:
 
         cent = np.load(os.path.join(path, "_centroids.npy"))
         df = spark.read.parquet(path)
-        return cls(df=df, centroids=cent, vector_col=vector_col)
+        # base_rows seeds add()'s drift ratio — one metadata-only count
+        # (Parquet row-group stats), without it auto-refit never fires
+        # on a reopened index
+        return cls(df=df, centroids=cent, vector_col=vector_col, base_rows=df.count())
 
     def refit(self, *, n_centroids: int | None = None, seed: int = 42) -> "IvfIndex":
         """rebuild_index() parity (pico_vdb.py:855-860)."""
@@ -216,6 +219,11 @@ class IvfIndex:
         for callers managing their own rebuild policy (VectorStore)."""
         n_new = new_rows.count()
         pending = self.added_rows + n_new
+        if auto_refit and self.base_rows is None:
+            # non-materialized build: price the base once, lazily, so the
+            # drift rule still governs (a silent None would disable
+            # auto-refit forever on this index)
+            self.base_rows = self.df.count()
         if (
             auto_refit
             and self.base_rows

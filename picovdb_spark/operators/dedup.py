@@ -145,6 +145,8 @@ def minhash_lsh_pairs(
         ).alias("band_idx", "band"),
     ).cache()  # consumed by BOTH sides of the self-join: without the
     # cache the md5-per-shingle signature subtree runs twice
+    band_rows_cached = band_rows  # keep the handle: unpersist must hit
+    # the CACHED plan even after the skew-guard rebinds band_rows below
     if max_bucket_size is not None:
         sizes = band_rows.groupBy("band_idx", "band").agg(F.count("*").alias("__n"))
         small = sizes.filter(F.col("__n") <= max_bucket_size).select("band_idx", "band")
@@ -172,7 +174,7 @@ def minhash_lsh_pairs(
     # RDD is context-cleaned once the result goes out of scope
     out = out.localCheckpoint(eager=True)
     sh.unpersist()
-    band_rows.unpersist()
+    band_rows_cached.unpersist()
     return out
 
 
@@ -531,6 +533,13 @@ def connected_components(
         labels = new.drop("__changed")
         if changed == 0:
             break
+    else:
+        # silently returning partial labels would split true clusters
+        # into several "canonical" docs — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter"
+        )
     # singletons rejoin here: component = own id, never a dup
     out = nodes.select(F.col(id_col)).join(
         labels, on=F.col(id_col) == F.col("id"), how="left"

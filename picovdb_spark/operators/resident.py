@@ -140,9 +140,35 @@ class ResidentGemmStore:
         out = src.mapInArrow(write_block, schema="pid int, rows long").collect()
         self.n_rows = sum(r["rows"] for r in out)
         self.n_partitions = len(out)
+        # which partition ids actually wrote a block: lets query() tell a
+        # legitimately-empty partition apart from a MISSING block (off-node
+        # task, changed partitioning) — the latter must fail, not skip
+        self.block_pids = frozenset(r["pid"] for r in out if r["rows"] > 0)
         return self.n_rows
 
     def close(self) -> None:
+        """Remove the shm blocks. Cleanup runs distributed (one pass over
+        the store's partitions — the same executors that wrote blocks,
+        by cache locality) AND on the driver; best-effort by nature: a
+        node whose executor is gone keeps its tmpfs blocks until reboot,
+        which is why the dir name carries a unique token (stale dirs are
+        identifiable and never collide with a new store's)."""
+        blk_dir = self.dir
+
+        def rm(batches: Iterator) -> Iterator:
+            import pyarrow as pa
+
+            shutil.rmtree(blk_dir, ignore_errors=True)
+            yield pa.RecordBatch.from_arrays([pa.array([1])], names=["ok"])
+            for _ in batches:
+                pass
+
+        try:
+            self.store.select(F.lit(True).alias("__probe")).mapInArrow(
+                rm, schema="ok long"
+            ).count()
+        except Exception:
+            pass  # session gone — driver-side cleanup still runs
         shutil.rmtree(self.dir, ignore_errors=True)
 
     def __enter__(self) -> "ResidentGemmStore":
@@ -182,6 +208,7 @@ class ResidentGemmStore:
             )
         bc = spark.sparkContext.broadcast((qids, qmat.astype(np.float32)))
         blk_dir = self.dir
+        block_pids = getattr(self, "block_pids", None)
         pad = 1.5 * 10.0 ** (-round_to)
 
         def score_block(batches: Iterator) -> Iterator:
@@ -193,13 +220,16 @@ class ResidentGemmStore:
                 pass
             mat_path = os.path.join(blk_dir, f"mat_{pid}.npy")
             if not os.path.exists(mat_path):
-                if not os.path.isdir(blk_dir):
-                    raise RuntimeError(
-                        f"resident blocks missing under {blk_dir} — store closed, "
-                        "or this task ran on a node that never materialized; "
-                        "re-materialize() or use batch_query()"
-                    )
-                return  # empty partition: materialize wrote no block
+                if block_pids is not None and pid not in block_pids:
+                    return  # legitimately empty: materialize wrote no block
+                # a block SHOULD exist for this pid — silently skipping
+                # would drop its vectors from every answer
+                raise RuntimeError(
+                    f"resident block for partition {pid} missing under "
+                    f"{blk_dir} — store closed, partitioning changed since "
+                    "materialize(), or this task ran on a node that never "
+                    "materialized; re-materialize() or use batch_query()"
+                )
             # mmap: pages shared node-wide via the OS page cache — no copy
             mat = np.load(mat_path, mmap_mode="r")
             ids = np.load(os.path.join(blk_dir, f"ids_{pid}.npy"), allow_pickle=True)

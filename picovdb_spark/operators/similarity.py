@@ -78,6 +78,16 @@ def _apply_where(cand: DataFrame, where: WhereClause) -> DataFrame:
         # record is converted back to the reference's dict shape: nulls
         # as None (not NaN/NaT), arrays as Python lists.
         meta_cols = [c for c in cand.columns if c not in (K_VECTOR, K_DELETED)]
+        # pandas promotes a nullable int column to float64 — restore the
+        # declared integral type so predicates see int, like Row.asDict()
+        int_cols = frozenset(
+            c
+            for c in meta_cols
+            if isinstance(
+                cand.schema[c].dataType,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+            )
+        )
 
         def _as_ref_dict(rec: dict) -> dict:
             import numpy as np
@@ -93,6 +103,8 @@ def _apply_where(cand: DataFrame, where: WhereClause) -> DataFrame:
                     v = None
                 elif isinstance(v, pd.Timestamp):
                     v = v.to_pydatetime()
+                if k in int_cols and isinstance(v, float):
+                    v = int(v)
                 out[k] = v
             return out
 

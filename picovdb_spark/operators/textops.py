@@ -277,4 +277,10 @@ def stratified_sample(
         cond = F.col(stratum_col) == F.lit(name)
         rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(cond, F.lit(float(r)))
     rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(F.lit(float(default_rate)))
-    return docs.withColumn("bucket", F.round(u, 6)).filter(F.col("bucket") < rate)
+    # filter on the UNROUNDED bucket: u is exact in both engines (md5 →
+    # integer → one IEEE divide), and rounding before the compare would
+    # make rate=1.0 drop the ~2⁻²¹ of ids whose bucket rounds up to 1.0;
+    # the emitted audit column is rounded for display/oracle hashing only
+    return docs.withColumn("__u", u).filter(F.col("__u") < rate).withColumn(
+        "bucket", F.round(F.col("__u"), 6)
+    ).drop("__u")

@@ -103,6 +103,7 @@ class VectorStore:
             )
         else:
             self._df = spark.createDataFrame([], schema=self._base_schema())
+            self._detached = True  # nothing on disk to detach from
 
     # ------------------------------------------------------------------ infra
 
@@ -127,6 +128,9 @@ class VectorStore:
         # Truncate lineage after each mutation so chained upsert/delete
         # don't grow an unbounded plan (the Delta-table analog of commit).
         self._df = df.localCheckpoint(eager=True) if self._checkpoint else df
+        # a checkpointed plan lives in block storage — no file dependence;
+        # an unchckpointed mutation still scans the loaded files
+        self._detached = self._checkpoint
         # dirty-flag parity (pico_vdb.py:496-497): mutations don't rebuild
         # eagerly — they accumulate a pending-change set, and the next ANN
         # query picks incremental vs full maintenance by the change ratio
@@ -481,8 +485,13 @@ class VectorStore:
         path = path or self.storage_path
         if not path:
             raise ValueError("no storage path configured")
-        # detach from any files the swap may replace
-        self._df = self._df.localCheckpoint(eager=True)
+        # detach from any files the swap may replace — but only when the
+        # current plan may still reference them (freshly loaded, or
+        # checkpoint_mutations=False); an already-checkpointed store
+        # would pay a pointless second full materialization per save
+        if not getattr(self, "_detached", False):
+            self._df = self._df.localCheckpoint(eager=True)
+            self._detached = True
         staging = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
         os.makedirs(staging, exist_ok=True)
         try:
@@ -520,6 +529,7 @@ class VectorStore:
             self.dim = int(meta["embedding_dim"])
         self._additional = meta.get("additional_data", {})
         self._df = self.spark.read.parquet(os.path.join(path, "vectors.parquet"))
+        self._detached = False  # lazy scan of the files under `path`
 
     def flush(self) -> None:
         """No-op for parity (memmap flush, pico_vdb.py:395-401)."""

@@ -69,7 +69,7 @@ def test_resident_close_removes_blocks_and_fails_loudly(store, queries):
     assert os.path.isdir(rs.dir)
     rs.close()
     assert not os.path.isdir(rs.dir)
-    with pytest.raises(Exception, match="resident blocks missing"):
+    with pytest.raises(Exception, match="resident block for partition"):
         rs.query(queries, top_k=5).collect()
 
 
