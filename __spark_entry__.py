@@ -1725,3 +1725,164 @@ def _ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = load_embeddings_store(spark, sf_dir)
     index = PqIndex.build(store, m=16, k=64, seed=42, storage="checkpoint")
     return index.query(_queries_df(spark, sf_dir), top_k=10)
+
+
+# ------------------------------------------------------------------
+# Time-series joins (operators/joins.py) + corpus-hygiene text ops.
+# ------------------------------------------------------------------
+
+@_register(
+    "events_asof_join",
+    """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+r0 AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+       FROM events WHERE event_type = 'click'),
+r AS (SELECT * FROM r0
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY click_id DESC) = 1)
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       epoch_us(r.ts) AS asof_ts_us, r.click_id,
+       round(r.click_value, 6) AS click_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts > r.ts
+""",
+)
+def _events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: every purchase gets the user's latest STRICTLY
+    EARLIER click (id + value). Engine = single-shuffle union+window
+    (operators/joins.py:asof_join); oracle = DuckDB's native ASOF JOIN —
+    two independent formulations of the same semantics. Ties at equal
+    click ts break to the greatest click_id on both sides."""
+    from picovdb_spark.operators.joins import asof_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), F.col("value").alias("click_value")
+    )
+    res = asof_join(left, right, on="user_id", strict=True, tie_break="click_id")
+    return res.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("asof_ts").alias("asof_ts_us"),
+        "click_id",
+        F.round("click_value", 6).alias("click_value"),
+    )
+
+
+@_register(
+    "events_range_count",
+    """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       CAST(COALESCE(SUM(CASE WHEN r.ts >= l.ts - INTERVAL 1 HOUR
+                               AND r.ts <  l.ts THEN 1 END), 0) AS BIGINT) AS n_in_range
+FROM l LEFT JOIN r ON l.user_id = r.user_id
+GROUP BY l.event_id, l.user_id, l.ts
+""",
+)
+def _events_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe window-count feature: clicks by the same user in the
+    hour before each purchase. Engine = bucketized equi-join
+    (operators/joins.py:range_count_join — never a theta join); oracle =
+    the naive inequality join, tractable at oracle scale only."""
+    from picovdb_spark.operators.joins import range_count_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    res = range_count_join(left, right, on="user_id", lower_s=-3600.0, upper_s=0.0)
+    return res.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "n_in_range"
+    )
+
+
+_D_SHING5 = (
+    "list_distinct(list_transform(range(1, greatest(len(t) - 3, 1)), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))"
+)
+
+
+@_register(
+    "docs_decontaminate",
+    f"""
+WITH tok AS (SELECT doc_id, {_D_TOK} AS t FROM documents),
+sh AS (SELECT doc_id, {_D_SHING5} AS s FROM tok),
+tr AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS gh
+       FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 17 <> 0)),
+ev AS (SELECT DISTINCT ('0x' || substr(md5(g), 1, 8))::BIGINT AS gh
+       FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 17 = 0))
+SELECT tr.doc_id, CAST(count(DISTINCT tr.gh) AS BIGINT) AS n_hits
+FROM tr JOIN ev USING (gh)
+GROUP BY tr.doc_id
+""",
+)
+def _docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs (doc_id % 17 != 0) sharing
+    any word 5-gram with the held-out eval slice (doc_id % 17 == 0).
+    Map-side broadcast semi-join on the md5-32 gram hash — the train
+    side never shuffles (operators/textops.py:decontaminate)."""
+    from picovdb_spark.operators.textops import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 17 == 0)
+    return decontaminate(train, eval_docs, n=5)
+
+
+@_register(
+    "docs_repetition",
+    f"""
+WITH tok AS (SELECT doc_id, {_D_TOK} AS t FROM documents),
+base AS (
+  SELECT doc_id, len(t) AS n_words,
+         CASE WHEN len(t) > 0
+              THEN 1.0 - (len(list_distinct(t))::DOUBLE / len(t))
+              ELSE 0.0 END AS dup_word_frac,
+         t
+  FROM tok),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+       FROM tok WHERE len(t) >= 2),
+bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+tb AS (SELECT doc_id, max(c) AS mx FROM bgc GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words, b.dup_word_frac,
+       COALESCE(tb.mx::DOUBLE / (b.n_words - 1), 0.0) AS top_bigram_frac,
+       (b.dup_word_frac <= 0.5 AND COALESCE(tb.mx::DOUBLE / (b.n_words - 1), 0.0) <= 0.05) AS keep
+FROM base b LEFT JOIN tb USING (doc_id)
+""",
+)
+def _docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (dup-word fraction, top-bigram
+    coverage) — shuffle-free Arrow kernel vs a three-CTE SQL oracle.
+    Fractions are single IEEE divisions on both sides, so no rounding
+    is needed for hash parity (operators/textops.py:repetition_stats)."""
+    from picovdb_spark.operators.textops import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, max_dup_word_frac=0.5, max_top_bigram_frac=0.05)
+
+
+@_register(
+    "docs_top_bigrams",
+    f"""
+WITH tok AS (SELECT {_D_TOK} AS t FROM documents),
+sh AS (SELECT list_distinct(list_transform(range(1, greatest(len(t), 1)), i -> t[i] || ' ' || t[i+1])) AS s FROM tok),
+g AS (SELECT unnest(s) AS gram FROM sh),
+c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram)
+SELECT gram, CAST(cnt AS BIGINT) AS cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, gram ASC) AS INT) AS rank
+FROM c
+QUALIFY rank <= 20
+""",
+)
+def _docs_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams by document frequency — the boilerplate
+    audit. One shuffle with map-side partial counts; the global top-k
+    window ranks only the tiny aggregated result
+    (operators/textops.py:top_ngrams)."""
+    from picovdb_spark.operators.textops import top_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_ngrams(docs, n=2, k=20)

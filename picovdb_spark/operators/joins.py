@@ -1,0 +1,155 @@
+"""Time-series joins Spark's DataFrame API lacks as primitives: as-of
+join and range(-count) join, built as compositions of existing operators
+(union + window, bucketized equi-join) so Catalyst plans them with one
+key-shuffle each — no cross products, no theta-join fallback.
+
+These have no counterpart in the reference (a vector store), but they
+are the event/feature-alignment primitives a large-scale training-data
+pipeline needs next to it (point-in-time-correct feature joins, leakage
+windows, context counting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    strict: bool = True,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """For every left row, attach the LATEST right row of the same `on`
+    key with ``right_ts < left_ts`` (``strict=False``: ``<=``) — the
+    point-in-time-correct "as-of" join (DuckDB's ASOF JOIN, pandas
+    ``merge_asof``). Left rows with no prior right row get nulls.
+
+    Distributed shape: NOT a join at all — both sides are unioned,
+    shuffled ONCE on the key, and sorted by time within each key; a
+    running ``last(right_payload, ignorenulls)`` window then carries the
+    most recent right row forward onto each left row. Cost is one
+    hash-shuffle + per-key sort, independent of how many right rows
+    precede each left row (a naive inequality join is O(|L|·|R|) per
+    key). Per-key data volume bounds a task — same skew profile as any
+    keyed window (salt upstream if one key dominates).
+
+    The right payload travels as ONE struct column so that a legitimately
+    null right attribute is not "looked through" to an older right row.
+
+    Tie semantics at equal ``right_ts``: the row with the greatest
+    `tie_break` value wins (pass a unique right column for deterministic
+    output; without it, ties are resolved arbitrarily).
+
+    Output: all left columns, then each right non-key column (matched
+    ``right_ts`` included, renamed ``asof_<right_ts>``).
+    """
+    r_payload = [c for c in right.columns if c != on]
+    # right_ts is renamed to asof_<right_ts> on output, so only the
+    # OUTPUT names may not collide with left's columns
+    out_names = {f"asof_{c}" if c == right_ts else c for c in r_payload}
+    clash = out_names & set(left.columns)
+    if clash:
+        raise ValueError(f"rename right columns colliding with left: {sorted(clash)}")
+    # ordering tags: at equal ts the LEFT row must see the right row
+    # iff non-strict — so right sorts before left exactly when strict=False
+    l_tag, r_tag = (0, 1) if strict else (1, 0)
+    tie = F.col(tie_break) if tie_break else F.lit(0)
+
+    l2 = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(l_tag).alias("__tag"),
+        F.lit(None).cast(right.schema[tie_break].dataType if tie_break else "int").alias("__tie"),
+        F.struct(*left.columns).alias("__lpay"),
+        F.lit(None).cast(T.StructType([right.schema[c] for c in r_payload])).alias("__rpay"),
+    )
+    r2 = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(r_tag).alias("__tag"),
+        tie.alias("__tie"),
+        F.lit(None).cast(l2.schema["__lpay"].dataType).alias("__lpay"),
+        F.struct(*r_payload).alias("__rpay"),
+    )
+    w = (
+        W.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__tag").asc(), F.col("__tie").asc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    matched = l2.unionByName(r2).withColumn(
+        "__m", F.last("__rpay", ignorenulls=True).over(w)
+    )
+    out_cols = [F.col(f"__lpay.{c}").alias(c) for c in left.columns]
+    out_cols += [
+        F.col(f"__m.{c}").alias(f"asof_{c}" if c == right_ts else c) for c in r_payload
+    ]
+    return matched.filter(F.col("__lpay").isNotNull()).select(*out_cols)
+
+
+def range_count_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_s: float = -3600.0,
+    upper_s: float = 0.0,
+    count_alias: str = "n_in_range",
+) -> DataFrame:
+    """Per left row, COUNT right rows of the same key whose timestamp
+    falls in ``[left_ts + lower_s, left_ts + upper_s)`` seconds — the
+    "activity in the preceding window" feature (leakage-safe when
+    ``upper_s <= 0``). Left rows with an empty window keep count 0.
+
+    Distributed shape: a bucketized range join. Timestamps are hashed to
+    fixed buckets of width ``upper_s - lower_s``; any window of that
+    span overlaps at most TWO buckets, so each left row explodes to ≤2
+    (key, bucket) probes and joins the right side on (key, bucket) —
+    a pure equi-join Catalyst can hash/sort-merge — then the exact range
+    predicate filters inside the bucket and a groupBy restores one row
+    per left row (map-side partial counts). A naive implementation is an
+    inequality theta-join = BroadcastNestedLoop at best; this never
+    leaves equi-join land and scales with rows-per-bucket, not |L|·|R|.
+    """
+    lo = int(round(lower_s * 1_000_000))
+    up = int(round(upper_s * 1_000_000))
+    if up <= lo:
+        raise ValueError("upper_s must be > lower_s")
+    width = up - lo
+
+    l2 = left.withColumn("__le", F.unix_micros(F.col(left_ts))).withColumn(
+        "__b",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("__le") + F.lit(lo)) / F.lit(width)),
+                    F.floor((F.col("__le") + F.lit(up) - 1) / F.lit(width)),
+                )
+            )
+        ),
+    )
+    r2 = right.select(
+        F.col(on).alias("__rk"),
+        F.unix_micros(F.col(right_ts)).alias("__re"),
+    ).withColumn("__b", F.floor(F.col("__re") / F.lit(width)))
+    j = l2.join(
+        r2,
+        (l2[on] == r2["__rk"]) & (l2["__b"] == r2["__b"]),
+        "left",
+    )
+    in_range = (F.col("__re") >= F.col("__le") + F.lit(lo)) & (
+        F.col("__re") < F.col("__le") + F.lit(up)
+    )
+    return (
+        j.groupBy(*[l2[c] for c in left.columns])
+        .agg(F.sum(F.when(in_range, 1).otherwise(0)).cast("long").alias(count_alias))
+    )

@@ -249,6 +249,151 @@ def pii_scan(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with an evaluation set (the overlap screen run before
+    pre-training so eval answers don't leak into the corpus).
+
+    Distributed shape: both sides explode to distinct per-doc n-grams;
+    the (small) eval n-gram set is broadcast — the train side is never
+    shuffled, making this a map-side semi-join + one count-distinct agg
+    keyed by doc. At 100 TB the eval side is benchmarks (MBs), so
+    broadcast always applies; set ``broadcast_eval=False`` to fall back
+    to a shuffle hash join when it genuinely doesn't fit. Joining on the
+    md5-derived 32-bit hash of the gram (not the string) keeps the
+    broadcast table and the probe narrow; collisions can only ADD a
+    candidate hit, and the count is of distinct matched grams, so a
+    collision inflates `n_hits` by at most its own count (1 in 2^32-level
+    rare) — acceptable for a screen whose action is "route to review".
+
+    Output: one row per CONTAMINATED train doc — (id, n_hits = distinct
+    overlapping n-grams).
+    """
+    grams = F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("__g")
+    t = train.select(F.col(id_col), grams).select(
+        F.col(id_col), md5_hash32(F.col("__g")).alias("__gh")
+    )
+    e = (
+        eval_docs.select(grams)
+        .select(md5_hash32(F.col("__g")).alias("__gh"))
+        .distinct()
+    )
+    if broadcast_eval:
+        e = F.broadcast(e)
+    return (
+        t.join(e, "__gh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__gh").cast("long").alias("n_hits"))
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_word_frac: float = 0.5,
+    max_top_bigram_frac: float = 0.05,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-word fraction and the
+    fraction of the text covered by its single most frequent bigram.
+    Degenerate machine-generated text scores high on both; `keep` is the
+    conjunction of the thresholds.
+
+    Map-side ONLY — the per-doc bigram histogram is built inside an
+    Arrow-batched kernel (collections.Counter per row), not via
+    explode + groupBy: no shuffle, no per-doc aggregation state leaves
+    the task, so the operator scales linearly and pipelines with the
+    scan. (A Catalyst-only formulation needs two shuffles keyed by
+    doc_id or an O(len²) higher-order fold.)
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} {docs.schema[id_col].dataType.simpleString()}, n_words long, "
+        "dup_word_frac double, top_bigram_frac double, keep boolean"
+    )
+
+    def kernel(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            ids, nw, dup, topbi = [], [], [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                ws = [w for w in (txt or "").split(" ") if w]
+                nwords = len(ws)
+                d = 1.0 - (len(set(ws)) / nwords) if nwords else 0.0
+                if nwords >= 2:
+                    c = Counter(zip(ws, ws[1:]))
+                    tb = max(c.values()) / (nwords - 1)
+                else:
+                    tb = 0.0
+                ids.append(i)
+                nw.append(nwords)
+                # default: no rounding — both fracs are single correctly-
+                # rounded IEEE divisions, bit-identical to any SQL engine
+                # computing the same expression (a round() here can DIVERGE
+                # from SQL round on exact-half binary fractions)
+                dup.append(d if round_to is None else round(d, round_to))
+                topbi.append(tb if round_to is None else round(tb, round_to))
+            out = pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_words": nw,
+                    "dup_word_frac": dup,
+                    "top_bigram_frac": topbi,
+                }
+            )
+            out["keep"] = (out["dup_word_frac"] <= max_dup_word_frac) & (
+                out["top_bigram_frac"] <= max_top_bigram_frac
+            )
+            yield out
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
+
+
+def top_ngrams(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by DOCUMENT frequency (each doc
+    contributes each distinct gram once) — the boilerplate audit (a
+    boilerplate phrase shows up as an outlier here long before any
+    per-doc filter sees it). Document frequency, not raw occurrence
+    count, is the right statistic for boilerplate: a phrase repeated
+    1000× inside one degenerate doc is repetition_stats' job.
+
+    explode → count is ONE shuffle with map-side partial aggregation
+    (counts combine before moving); the final global top-k ranks the
+    tiny aggregated result (≤ distinct-gram count) in a single-partition
+    window — fine because k and the distinct set are small by
+    construction; ties break deterministically by gram ascending.
+    """
+    g = docs.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    )
+    counts = g.groupBy("gram").agg(F.count("*").cast("long").alias("cnt"))
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     rates: dict[str, float],

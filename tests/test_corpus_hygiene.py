@@ -1,0 +1,86 @@
+"""Corpus-hygiene text operators: decontamination, repetition filters,
+document-frequency n-gram audit (operators/textops.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from picovdb_spark.operators.textops import decontaminate, repetition_stats, top_ngrams
+from picovdb_spark.plans import explain_str
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely different words nothing shared here at all folks"),
+        (3, "spam spam spam spam spam spam spam spam"),
+        (4, "a b a b a b a b a b"),
+        (5, ""),
+        (6, "solo"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark, docs):
+    eval_docs = spark.createDataFrame(
+        [(100, "quick brown fox jumps over"), (101, "zzz yyy xxx www vvv")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_hits"] for r in decontaminate(docs, eval_docs, n=5).collect()}
+    # doc 1 contains the eval 5-gram "quick brown fox jumps over"; no other doc does
+    assert got == {1: 1}
+
+
+def test_decontaminate_counts_distinct_grams(spark):
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(9, "a b c d e f")], "doc_id long, text string"
+    )
+    # train shares two distinct 5-grams with eval: "a b c d e", "b c d e f"
+    got = decontaminate(train, ev, n=5).collect()
+    assert got[0]["n_hits"] == 2
+
+
+def test_decontaminate_plan_broadcasts_eval(spark, docs):
+    ev = docs.limit(1)
+    plan = explain_str(decontaminate(docs, ev, n=3), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    # train side reaches the broadcast join without an Exchange before it
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_repetition_stats_values(spark, docs):
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # doc 3: 8 words, 1 distinct -> dup 7/8; bigram "spam spam" covers 7/7
+    assert got[3]["dup_word_frac"] == pytest.approx(7 / 8, abs=0)
+    assert got[3]["top_bigram_frac"] == pytest.approx(1.0, abs=0)
+    assert got[3]["keep"] is False
+    # doc 4: "a b" x5 alternating: 10 words 2 distinct; top bigram "a b" 5/9
+    assert got[4]["dup_word_frac"] == pytest.approx(0.8, abs=0)
+    assert got[4]["top_bigram_frac"] == pytest.approx(5 / 9, abs=0)
+    # doc 1: 10 words, 9 distinct ("the" twice), all bigrams unique (1/9)
+    assert got[1]["dup_word_frac"] == pytest.approx(1 - 9 / 10, rel=1e-15)
+    assert got[1]["keep"] is False  # top_bigram_frac 1/9 > 0.05
+    # empty doc: zeros, kept
+    assert got[5]["n_words"] == 0 and got[5]["keep"] is True
+    # one-word doc: no bigram exists
+    assert got[6]["top_bigram_frac"] == 0.0 and got[6]["keep"] is True
+
+
+def test_repetition_stats_no_shuffle(spark, docs):
+    plan = explain_str(repetition_stats(docs), mode="simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_top_ngrams_doc_frequency_not_occurrences(spark, docs):
+    got = top_ngrams(docs, n=2, k=3).collect()
+    # "spam spam" appears in ONE doc (doc frequency 1) despite 7 occurrences;
+    # no bigram spans two docs, so every cnt is 1 and gram-asc breaks ties
+    assert [r["cnt"] for r in got] == [1, 1, 1]
+    grams = [r["gram"] for r in got]
+    assert grams == sorted(grams)
+    assert [r["rank"] for r in got] == [1, 2, 3]

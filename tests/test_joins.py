@@ -1,0 +1,143 @@
+"""As-of join and bucketized range-count join (operators/joins.py):
+brute-force correctness on adversarial fixtures (ties, bucket
+boundaries, empty windows) plus plan pins — asof must compile to ONE
+key-shuffle with NO join operator; range-count must stay an equi-join
+(never BroadcastNestedLoopJoin)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from picovdb_spark.operators.joins import asof_join, range_count_join
+from picovdb_spark.plans import explain_str
+
+
+def _ts(s: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def fixture_dfs(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # left: (lid, key, ts) ; right: (key, ts, rid, val)
+    left = [
+        (1, "a", _ts(10.0)),
+        (2, "a", _ts(20.0)),
+        (3, "a", _ts(20.0)),  # duplicate left ts
+        (4, "b", _ts(5.0)),   # before any right row
+        (5, "b", _ts(3600.0)),
+        (6, "c", _ts(50.0)),  # key with no right rows at all
+    ]
+    right = [
+        ("a", _ts(10.0), 100, 1.0),   # == left ts 10: strict excludes
+        ("a", _ts(15.0), 101, 2.0),
+        ("a", _ts(15.0), 102, 3.0),   # tie on ts: max rid (102) must win
+        ("a", _ts(19.0), 103, None),  # null payload attr must NOT fall through
+        ("b", _ts(6.0), 104, 4.0),
+        ("b", _ts(3599.0), 105, 5.0),
+    ]
+    ldf = spark.createDataFrame(left, "lid int, key string, ts timestamp")
+    rdf = spark.createDataFrame(right, "key string, ts timestamp, rid int, val double")
+    return ldf, rdf
+
+
+def _brute_asof(left, right, strict):
+    out = {}
+    for lid, k, lts in left:
+        cands = [r for r in right if r[0] == k and (r[1] < lts if strict else r[1] <= lts)]
+        if cands:
+            best = max(cands, key=lambda r: (r[1], r[2]))
+            out[lid] = (best[1], best[2], best[3])
+        else:
+            out[lid] = (None, None, None)
+    return out
+
+
+@pytest.mark.parametrize("strict", [True, False])
+def test_asof_matches_brute_force(spark, fixture_dfs, strict):
+    ldf, rdf = fixture_dfs
+    res = asof_join(ldf, rdf, on="key", strict=strict, tie_break="rid")
+    got = {
+        r["lid"]: (r["asof_ts"], r["rid"], r["val"])
+        for r in res.collect()
+    }
+    left = [tuple(r) for r in ldf.collect()]
+    right = [tuple(r) for r in rdf.collect()]
+    assert got == _brute_asof(left, right, strict)
+
+
+def test_asof_null_attr_not_looked_through(spark, fixture_dfs):
+    """Right row at t=19 has val=None; a struct-naive impl would carry
+    the older non-null val (3.0) forward. The payload must arrive as the
+    whole winning row: val is None, rid is 103."""
+    ldf, rdf = fixture_dfs
+    row = {
+        r["lid"]: r
+        for r in asof_join(ldf, rdf, on="key", tie_break="rid").collect()
+    }[2]
+    assert row["rid"] == 103 and row["val"] is None
+
+
+def test_asof_plan_one_shuffle_no_join(spark, fixture_dfs):
+    ldf, rdf = fixture_dfs
+    plan = explain_str(asof_join(ldf, rdf, on="key", tie_break="rid"), mode="simple")
+    assert "Join" not in plan, plan
+    n_exch = plan.count("Exchange hashpartitioning")
+    assert n_exch == 1, plan
+
+
+def test_asof_collision_check_allows_shared_ts_name(spark, fixture_dfs):
+    ldf, rdf = fixture_dfs
+    # both sides named ts: fine (output renames to asof_ts) …
+    cols = set(asof_join(ldf, rdf, on="key").columns)
+    assert "asof_ts" in cols and "ts" in cols
+    # … but a genuine output collision still raises
+    with pytest.raises(ValueError, match="colliding"):
+        asof_join(ldf.withColumnRenamed("lid", "rid"), rdf, on="key")
+
+
+def _brute_range_count(left, right, lo, up):
+    return {
+        lid: sum(
+            1
+            for rk, rts in right
+            if rk == k
+            and rts >= lts + dt.timedelta(seconds=lo)
+            and rts < lts + dt.timedelta(seconds=up)
+        )
+        for lid, k, lts in left
+    }
+
+
+def test_range_count_matches_brute_force(spark, fixture_dfs):
+    ldf, rdf = fixture_dfs
+    rslim = rdf.select("key", "ts")
+    for lo, up in [(-3600.0, 0.0), (-10.0, 0.0), (-5.0, 5.0), (0.0, 100.0)]:
+        res = range_count_join(ldf, rslim, on="key", lower_s=lo, upper_s=up)
+        got = {r["lid"]: r["n_in_range"] for r in res.collect()}
+        left = [tuple(r) for r in ldf.collect()]
+        right = [tuple(r) for r in rslim.collect()]
+        assert got == _brute_range_count(left, right, lo, up), (lo, up)
+
+
+def test_range_count_bucket_boundary_exact(spark):
+    """Windows landing exactly on bucket edges: right rows at the window's
+    closed lower bound count, at the open upper bound don't."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ldf = spark.createDataFrame([(1, "k", _ts(100.0))], "lid int, key string, ts timestamp")
+    rdf = spark.createDataFrame(
+        [("k", _ts(40.0)), ("k", _ts(99.999999)), ("k", _ts(100.0)), ("k", _ts(39.999999))],
+        "key string, ts timestamp",
+    )
+    res = range_count_join(ldf, rdf, on="key", lower_s=-60.0, upper_s=0.0).collect()
+    assert res[0]["n_in_range"] == 2  # 40.0 (closed lo) + 99.999999; 100.0 open
+
+
+def test_range_count_plan_is_equi_join(spark, fixture_dfs):
+    ldf, rdf = fixture_dfs
+    plan = explain_str(range_count_join(ldf, rdf.select("key", "ts"), on="key"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
