@@ -261,6 +261,25 @@ def bench_queries(spark):
         _, q = _ref_store()
         _force(ref_state["resident"].query(q, top_k=10))
 
+    def _prepare_resident_ivf():
+        # cluster-routed serving setup: fit 256 centroids, repartition by
+        # cluster, pin inverted-list blocks node-local, one warm pass
+        from picovdb_spark.operators.resident import ResidentIvfStore
+
+        s, q = _ref_store()
+        if "resident_ivf" not in ref_state:
+            rs = ResidentIvfStore(s, n_centroids=256, seed=42)
+            rs.materialize()
+            _force(rs.query(q, top_k=10, nprobe=8))
+            ref_state["resident_ivf"] = rs
+
+    def q_ref100k_ivf_resident_query_1000():
+        # routed IVF serving: each task scores only its clusters' blocks
+        # against the queries probing them — nprobe/n_centroids (1/32) of
+        # the exact pass's FLOPs; compare ref100k_batch_1000_resident
+        _, q = _ref_store()
+        _force(ref_state["resident_ivf"].query(q, top_k=10, nprobe=8))
+
     def q_ref100k_pq_build():
         # codebook fit (25k sample, driver Lloyd) + full encode pass:
         # 1024 float32 -> 16 bytes/vector (256x)
@@ -296,6 +315,14 @@ def bench_queries(spark):
         batch = s.limit(100_000)
         _force(merge_upsert(s, batch, id_col="_id_"))
 
+    def _cleanup_resident():
+        # drop the node-local shm blocks: they live in /dev/shm, which
+        # outlives this process — leaking them accumulates across runs
+        for key in ("resident", "resident_ivf"):
+            rs = ref_state.pop(key, None)
+            if rs is not None:
+                rs.close()
+
     return {
         "batch_1000_gemm": q_batch_1000_gemm,
         "batch_100_sql": q_batch_100_sql,
@@ -322,11 +349,14 @@ def bench_queries(spark):
         "ref100k_batch_1000": q_ref100k_batch_1000,
         "_prepare_resident": _prepare_resident,
         "ref100k_batch_1000_resident": q_ref100k_batch_1000_resident,
+        "_prepare_resident_ivf": _prepare_resident_ivf,
+        "ref100k_ivf_resident_query_1000": q_ref100k_ivf_resident_query_1000,
         "ref100k_pq_build": q_ref100k_pq_build,
         "ref100k_pq_query_1000": q_ref100k_pq_query_1000,
         "ref100k_ivf_build": q_ref100k_ivf_build,
         "ref100k_ivf_query_100": q_ref100k_ivf_query_100,
         "ref100k_upsert": q_ref100k_upsert,
+        "_cleanup_resident": _cleanup_resident,
     }
 
 

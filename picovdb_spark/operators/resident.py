@@ -262,3 +262,284 @@ class ResidentGemmStore:
         if better_than is not None:
             out = out.filter(F.col(K_METRICS) >= F.lit(float(better_than)))
         return out
+
+
+class ResidentIvfStore:
+    """Cluster-routed resident serving: IVF pruning ON TOP of the
+    resident-block layout — the batch analog of FAISS IVF serving
+    (reference `pico_vdb.py` keeps an in-process index; here the
+    inverted lists live node-local, partitioned by cluster).
+
+    Two differences from `ResidentGemmStore.query`:
+
+    1. The store is REPARTITIONED BY CLUSTER before block write, so each
+       node-local block holds a few whole inverted lists (contiguous
+       row segments, sorted by cluster) instead of a random slice.
+    2. The driver routes the query batch: one tiny GEMM against the
+       centroid matrix picks each query's `nprobe` clusters, and the
+       inverted routing table (cluster -> query indices, CSR layout)
+       broadcasts with the query matrix. A task then scores each of its
+       cluster segments against ONLY the queries probing that cluster —
+       total scored work is `nprobe / n_centroids` of the exact pass,
+       while the per-(query, cluster) tie-padded partial top-k keeps the
+       global merge identical to the exact kernel's.
+
+    Full probe (`nprobe >= n_centroids`) routes every query to every
+    cluster and is therefore EXACTLY the brute-force result — that is
+    the oracle-checked configuration; partial-probe recall is a pytest
+    band (mirrors the reference's tests/test_task14 FAISS-vs-numpy
+    recall assertions).
+
+    Scale: the routing table is O(nq * nprobe) ints and the query
+    matrix O(nq * dim) float32 — both broadcast-sized by construction
+    (a 1M-query batch at dim 1024 is 4 GB and should be chunked by the
+    caller). Blocks are whole inverted lists, so skewed clusters skew
+    blocks; `n_blocks` > n_centroids spreads nothing (a cluster is
+    atomic here) — keep n_centroids >= ~8x parallelism, the standard
+    IVF sizing (sqrt(N) centroids; ann.py:fit_centroids docstring).
+    """
+
+    def __init__(
+        self,
+        store: DataFrame,
+        *,
+        n_centroids: int = 256,
+        seed: int = 42,
+        n_blocks: int | None = None,
+        vector_col: str = K_VECTOR,
+        id_col: str = K_ID,
+        centroids: "np.ndarray | None" = None,
+        dtype: str = "float32",
+        shm_dir: str | None = None,
+    ):
+        if dtype not in ("float32", "float64"):
+            raise ValueError("dtype must be 'float32' or 'float64'")
+        self.store = store
+        self.dtype = dtype
+        self.n_centroids = n_centroids
+        self.seed = seed
+        self.n_blocks = n_blocks
+        self.vector_col = vector_col
+        self.id_col = id_col
+        self.centroids = centroids
+        self.token = uuid.uuid4().hex[:12]
+        self.dir = shm_dir or os.path.join(_shm_root(), f"picovdb_rivf_{self.token}")
+        self.n_rows: int | None = None
+        self._blocks_df: DataFrame | None = None
+
+    # ------------------------------------------------------------ lifecycle
+
+    def materialize(self) -> int:
+        """Fit (or accept) centroids, assign clusters executor-side,
+        repartition by cluster, and write per-partition blocks of whole
+        inverted lists: (ids.npy, mat.npy unit-normalized in `dtype` —
+        float32 serving default, float64 for oracle-exact parity with
+        the double-scoring SQL path — clus.npy sorted
+        int32). One shuffle of the vector column — the same cost as any
+        IVF build's cluster-layout write (ann.IvfIndex.write)."""
+        from picovdb_spark.operators.ann import assign_clusters, fit_centroids
+
+        spark = self.store.sparkSession
+        if self.centroids is None:
+            self.centroids = fit_centroids(
+                self.store, self.n_centroids, vector_col=self.vector_col, seed=self.seed
+            )
+        self._cent32 = np.ascontiguousarray(self.centroids.astype(np.float32))
+        k = len(self._cent32)
+        n_blocks = self.n_blocks or min(spark.sparkContext.defaultParallelism, k)
+
+        src = self.store.select(
+            F.col(self.id_col).cast("string").alias(self.id_col), F.col(self.vector_col)
+        )
+        blocks = assign_clusters(src, self.centroids, vector_col=self.vector_col).repartition(
+            n_blocks, F.col("__cluster")
+        )
+        blocks = blocks.persist()
+        self._blocks_df = blocks
+        blk_dir = self.dir
+        vec_col, id_col = self.vector_col, self.id_col
+        blk_dtype = self.dtype
+
+        def write_block(batches: Iterator) -> Iterator:
+            import pyarrow as pa
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            ids_parts, mat_parts, clus_parts = [], [], []
+            for batch in batches:
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                cols = {name: i for i, name in enumerate(batch.schema.names)}
+                vals = batch.column(cols[vec_col]).flatten().to_numpy(zero_copy_only=False)
+                mat = vals.reshape(n, -1).astype(blk_dtype)
+                norms = np.sqrt((mat * mat).sum(axis=1))
+                zero = norms == 0.0
+                if zero.any():  # zero vector => e0 (pico_vdb.py:62-67)
+                    mat[zero] = 0.0
+                    mat[zero, 0] = 1.0
+                    norms[zero] = 1.0
+                mat /= norms[:, None]
+                ids_parts.append(batch.column(cols[id_col]).to_numpy(zero_copy_only=False))
+                mat_parts.append(mat)
+                clus_parts.append(
+                    batch.column(cols["__cluster"]).to_numpy(zero_copy_only=False)
+                )
+            rows = 0
+            if mat_parts:
+                ids = np.concatenate(ids_parts)
+                mat = np.vstack(mat_parts)
+                clus = np.concatenate(clus_parts).astype(np.int32)
+                order = np.argsort(clus, kind="stable")
+                ids, mat, clus = ids[order], np.ascontiguousarray(mat[order]), clus[order]
+                rows = len(ids)
+                os.makedirs(blk_dir, exist_ok=True)
+                for name, arr in (("ids", ids), ("mat", mat), ("clus", clus)):
+                    tmp = os.path.join(blk_dir, f".{name}_{pid}.tmp.npy")
+                    np.save(tmp, arr, allow_pickle=(name == "ids"))
+                    os.replace(tmp, os.path.join(blk_dir, f"{name}_{pid}.npy"))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([pid], type=pa.int32()), pa.array([rows], type=pa.int64())],
+                names=["pid", "rows"],
+            )
+
+        out = blocks.mapInArrow(write_block, schema="pid int, rows long").collect()
+        self.n_rows = sum(r["rows"] for r in out)
+        self.block_pids = frozenset(r["pid"] for r in out if r["rows"] > 0)
+        return self.n_rows
+
+    def close(self) -> None:
+        blk_dir = self.dir
+
+        def rm(batches: Iterator) -> Iterator:
+            import pyarrow as pa
+
+            shutil.rmtree(blk_dir, ignore_errors=True)
+            yield pa.RecordBatch.from_arrays([pa.array([1])], names=["ok"])
+            for _ in batches:
+                pass
+
+        if self._blocks_df is not None:
+            try:
+                self._blocks_df.select(F.lit(True).alias("__probe")).mapInArrow(
+                    rm, schema="ok long"
+                ).count()
+            except Exception:
+                pass
+            try:
+                self._blocks_df.unpersist()
+            except Exception:
+                pass
+        shutil.rmtree(self.dir, ignore_errors=True)
+
+    def __enter__(self) -> "ResidentIvfStore":
+        self.materialize()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -------------------------------------------------------------- queries
+
+    def query(
+        self,
+        queries: DataFrame,
+        *,
+        top_k: int = 10,
+        nprobe: int = 8,
+        round_to: int = 6,
+        query_id: str = "query_id",
+        vector_col: str | None = None,
+    ) -> DataFrame:
+        """Routed batch top-k over the probed clusters only. Output shape
+        matches `ResidentGemmStore.query` / `batch_query(method="gemm")`:
+        (query_id, _id_, _metrics_, rank); with `nprobe >= n_centroids`
+        the result equals exact top-k bit-for-bit."""
+        from picovdb_spark.operators.similarity import collect_normalized_queries
+        from picovdb_spark.operators.topk import topk_per_query
+
+        if self.n_rows is None or self._blocks_df is None:
+            raise RuntimeError("resident IVF store not materialized — call materialize()")
+        spark = self.store.sparkSession
+        qids, qmat = collect_normalized_queries(
+            queries, query_id, vector_col or self.vector_col
+        )
+        if qmat.size == 0:
+            return spark.createDataFrame(
+                [], schema=f"query_id string, {K_ID} string, {K_METRICS} double, rank int"
+            )
+        q32 = np.ascontiguousarray(qmat.astype(self.dtype))
+        k = len(self._cent32)
+        npb = min(nprobe, k)
+        nq = len(q32)
+        cscores = q32 @ self._cent32.T  # (nq, k) — the routing GEMM
+        probes = np.argpartition(-cscores, npb - 1, axis=1)[:, :npb]
+        # invert to CSR: for cluster c, sort_q[starts[c]:ends[c]] = queries probing c
+        flat_c = probes.ravel()
+        flat_q = np.repeat(np.arange(nq, dtype=np.int64), npb)
+        order = np.argsort(flat_c, kind="stable")
+        sort_c, sort_q = flat_c[order], flat_q[order]
+        starts = np.searchsorted(sort_c, np.arange(k))
+        ends = np.searchsorted(sort_c, np.arange(k), side="right")
+
+        bc = spark.sparkContext.broadcast((qids, q32, sort_q, starts, ends))
+        blk_dir = self.dir
+        block_pids = self.block_pids
+        pad = 1.5 * 10.0 ** (-round_to)
+
+        def score_block(batches: Iterator) -> Iterator:
+            import pyarrow as pa
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            for batch in batches:
+                pass
+            mat_path = os.path.join(blk_dir, f"mat_{pid}.npy")
+            if not os.path.exists(mat_path):
+                if pid not in block_pids:
+                    return
+                raise RuntimeError(
+                    f"resident IVF block for partition {pid} missing under "
+                    f"{blk_dir} — store closed, partitioning changed since "
+                    "materialize(), or this task ran on a node that never "
+                    "materialized; re-materialize() or use ann_query()"
+                )
+            mat = np.load(mat_path, mmap_mode="r")
+            ids = np.load(os.path.join(blk_dir, f"ids_{pid}.npy"), allow_pickle=True)
+            clus = np.load(os.path.join(blk_dir, f"clus_{pid}.npy"))
+            b_qids, b_q32, b_sq, b_st, b_en = bc.value
+            seg_clusters, seg_starts = np.unique(clus, return_index=True)
+            seg_bounds = np.append(seg_starts, len(clus))
+            out_q, out_v, out_s = [], [], []
+            for ci, c in enumerate(seg_clusters):
+                qidx = b_sq[b_st[c] : b_en[c]]
+                if len(qidx) == 0:
+                    continue
+                s, e = seg_bounds[ci], seg_bounds[ci + 1]
+                scores = b_q32[qidx] @ mat[s:e].T  # (nq_c, n_seg)
+                n = scores.shape[1]
+                kk = min(top_k, n)
+                kth = np.partition(scores, n - kk, axis=1)[:, n - kk]
+                qi, vi = np.nonzero(scores >= (kth - pad)[:, None])
+                out_q.append(qidx[qi])
+                out_v.append(vi + s)
+                out_s.append(scores[qi, vi])
+            if not out_q:
+                return
+            oq = np.concatenate(out_q)
+            ov = np.concatenate(out_v)
+            osc = np.round(np.concatenate(out_s).astype(np.float64), round_to)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(b_qids[oq], type=pa.string()),
+                    pa.array(ids[ov], type=pa.string()),
+                    pa.array(osc, type=pa.float64()),
+                ],
+                names=["query_id", K_ID, K_METRICS],
+            )
+
+        probe = self._blocks_df.select(F.lit(True).alias("__probe"))
+        local = probe.mapInArrow(
+            score_block, schema=f"query_id string, {K_ID} string, {K_METRICS} double"
+        )
+        return topk_per_query(local, top_k)

@@ -77,3 +77,55 @@ def test_resident_empty_queries(store, queries):
     with ResidentGemmStore(store.select(K_ID, "_vector_")) as rs:
         out = rs.query(queries.filter(F.col("query_id") == "no-such"), top_k=5)
         assert out.count() == 0
+
+
+# ------------------------------------------------------- cluster-routed IVF
+
+
+def test_resident_ivf_full_probe_equals_exact(store, queries):
+    """nprobe >= n_centroids routes every query everywhere: the routed
+    kernel must reproduce the exact float32 GEMM result bit-for-bit."""
+    from picovdb_spark.operators.resident import ResidentIvfStore
+
+    with ResidentIvfStore(store.select(K_ID, "_vector_"), n_centroids=16, seed=42) as rs:
+        a = rs.query(queries, top_k=10, nprobe=16).collect()
+    b = batch_query(
+        store, queries, top_k=10, method="gemm", score_dtype="float32"
+    ).select("query_id", K_ID, K_METRICS, "rank").collect()
+    assert _key(a) == _key(b)
+
+
+def test_resident_ivf_partial_probe_recall_band(store, queries):
+    """nprobe=4 of 16: pruned result must stay a subset of the store and
+    keep recall@10 >= 0.6 vs exact on this corpus — the same band as
+    test_ann.py::test_ivf_recall_band (mirrors the reference's
+    FAISS-vs-numpy recall assertions, tests/test_task14)."""
+    from picovdb_spark.operators.resident import ResidentIvfStore
+
+    with ResidentIvfStore(store.select(K_ID, "_vector_"), n_centroids=16, seed=42) as rs:
+        ann = rs.query(queries, top_k=10, nprobe=4).collect()
+    exact = batch_query(
+        store, queries, top_k=10, method="gemm", score_dtype="float32"
+    ).select("query_id", K_ID, "rank").collect()
+    got = {}
+    for r in ann:
+        got.setdefault(r["query_id"], set()).add(r[K_ID])
+    want = {}
+    for r in exact:
+        want.setdefault(r["query_id"], set()).add(r[K_ID])
+    recalls = [len(got.get(q, set()) & ids) / len(ids) for q, ids in want.items()]
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+    # routed result is never larger than the probe can justify
+    assert all(len(v) <= 10 + 5 for v in got.values())
+
+
+def test_resident_ivf_lifecycle(store, queries):
+    from picovdb_spark.operators.resident import ResidentIvfStore
+
+    rs = ResidentIvfStore(store.select(K_ID, "_vector_"), n_centroids=8)
+    with pytest.raises(RuntimeError, match="not materialized"):
+        rs.query(queries)
+    rs.materialize()
+    assert rs.query(queries, top_k=3, nprobe=8).count() > 0
+    rs.close()
+    assert not os.path.exists(rs.dir)
