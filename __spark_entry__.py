@@ -1763,8 +1763,8 @@ def _events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        F.unix_micros("asof_ts").alias("asof_ts_us"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("asof_ts").cast("timestamp")).alias("asof_ts_us"),
         "click_id",
         F.round("click_value", 6).alias("click_value"),
     )
@@ -1795,7 +1795,10 @@ def _events_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
     res = range_count_join(left, right, on="user_id", lower_s=-3600.0, upper_s=0.0)
     return res.select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "n_in_range"
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "n_in_range",
     )
 
 

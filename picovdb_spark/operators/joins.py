@@ -17,6 +17,15 @@ from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 
+def _ts_micros(col: str) -> F.Column:
+    """Epoch microseconds of a timestamp column. The cast makes this
+    total over both TIMESTAMP and TIMESTAMP_NTZ inputs (parquet written
+    without isAdjustedToUTC — e.g. pandas/pyarrow output — reads back as
+    NTZ, which `unix_micros` rejects); under a UTC session the NTZ wall
+    time maps to the same epoch DuckDB's `epoch_us` computes."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -126,7 +135,7 @@ def range_count_join(
         raise ValueError("upper_s must be > lower_s")
     width = up - lo
 
-    l2 = left.withColumn("__le", F.unix_micros(F.col(left_ts))).withColumn(
+    l2 = left.withColumn("__le", _ts_micros(left_ts)).withColumn(
         "__b",
         F.explode(
             F.array_distinct(
@@ -139,7 +148,7 @@ def range_count_join(
     )
     r2 = right.select(
         F.col(on).alias("__rk"),
-        F.unix_micros(F.col(right_ts)).alias("__re"),
+        _ts_micros(right_ts).alias("__re"),
     ).withColumn("__b", F.floor(F.col("__re") / F.lit(width)))
     j = l2.join(
         r2,

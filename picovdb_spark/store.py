@@ -545,6 +545,14 @@ class VectorStore:
     # ------------------------------------------------------------------ helpers
 
     def _items_to_df(self, items: list[dict]) -> DataFrame:
+        # eager Python-side dim check for list inputs, matching the
+        # reference's fail-fast ValueError before any work is scheduled
+        # (pico_vdb.py:413-421); DataFrame inputs keep the distributed
+        # assert_dim expression instead
+        for it in items:
+            n = len(it[K_VECTOR])
+            if n != self.dim:
+                raise ValueError(f"vector dim mismatch: expected {self.dim}, got {n}")
         meta_keys: list[str] = []
         for it in items:
             for k in it:
