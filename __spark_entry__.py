@@ -1727,6 +1727,47 @@ def _ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index.query(_queries_df(spark, sf_dir), top_k=10)
 
 
+@_register("ann_ivfpq_topk", _topk_oracle(10))
+def _ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (operators/ivfpq.py) in its oracle configuration: nprobe =
+    n_centroids (every cluster probed) + refine_k = store size (every row
+    a candidate, rescored exactly in float64) — definitionally the exact
+    top-k, so the WHOLE composition (k-means routing, probe masks,
+    cluster-pruned code scan, ADC table lookups, candidate merge, exact
+    refine join-back) is hash-checked against the exact SQL oracle. The
+    honest routed regime (partial probe, recall < 1 by design) is the
+    rows-only entry below with its band pinned in tests/test_ivfpq.py.
+    Scale role: the engine's substitute for the reference's FAISS HNSW
+    path (pico_vdb.py:716-751) at sizes where raw vectors can't be
+    scanned per batch."""
+    from picovdb_spark.operators.ivfpq import IvfPqIndex
+
+    store = load_embeddings_store(spark, sf_dir)
+    index = IvfPqIndex.build(
+        store, n_centroids=16, m=16, k=64, seed=42, storage="checkpoint"
+    )
+    out = index.query(
+        _queries_df(spark, sf_dir), top_k=10, nprobe=16, refine_k=store.count()
+    )
+    return F.broadcast(out).join(store.select(K_ID, "label"), on=K_ID).select(
+        "query_id", K_ID, "label", K_METRICS, "rank"
+    )
+
+
+@_register("ann_ivfpq_routed")  # rows-only: routed compressed recall regime
+def _ann_ivfpq_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ in the pruning regime (nprobe 4/16, ADC top-50 refined
+    exactly): the plan that scans (nprobe/n_centroids)·(1/256) of the
+    store's bytes. Recall band pinned in tests/test_ivfpq.py."""
+    from picovdb_spark.operators.ivfpq import IvfPqIndex
+
+    store = load_embeddings_store(spark, sf_dir)
+    index = IvfPqIndex.build(
+        store, n_centroids=16, m=16, k=64, seed=42, storage="checkpoint"
+    )
+    return index.query(_queries_df(spark, sf_dir), top_k=10, nprobe=4, refine_k=50)
+
+
 # ------------------------------------------------------------------
 # Time-series joins (operators/joins.py) + corpus-hygiene text ops.
 # ------------------------------------------------------------------

@@ -294,6 +294,25 @@ def bench_queries(spark):
         s, q = _ref_store()
         _force(ref_state["pq"].query(q, top_k=10, refine_k=50))
 
+    def q_ref100k_ivfpq_build():
+        # the 100 TB layout: centroid fit + codebook fit (bounded
+        # samples, driver Lloyd) + one distributed encode pass emitting
+        # (id, cluster, 16-byte codes) — 256x smaller than the store
+        from picovdb_spark.operators.ivfpq import IvfPqIndex
+
+        s, _ = _ref_store()
+        ref_state["ivfpq"] = IvfPqIndex.build(
+            s, n_centroids=256, m=16, k=256, seed=42, storage="memory"
+        )
+        ref_state["ivfpq"].codes.count()  # materialize the code cache
+
+    def q_ref100k_ivfpq_query_1000():
+        # routed compressed serving: scan = codes of probed clusters
+        # only (nprobe/n_centroids of the rows, 1/256 of the bytes),
+        # ADC + exact refine of top-50
+        _, q = _ref_store()
+        _force(ref_state["ivfpq"].query(q, top_k=10, nprobe=8, refine_k=50))
+
     def q_ref100k_ivf_build():
         from picovdb_spark.operators.ann import IvfIndex
 
@@ -353,6 +372,8 @@ def bench_queries(spark):
         "ref100k_ivf_resident_query_1000": q_ref100k_ivf_resident_query_1000,
         "ref100k_pq_build": q_ref100k_pq_build,
         "ref100k_pq_query_1000": q_ref100k_pq_query_1000,
+        "ref100k_ivfpq_build": q_ref100k_ivfpq_build,
+        "ref100k_ivfpq_query_1000": q_ref100k_ivfpq_query_1000,
         "ref100k_ivf_build": q_ref100k_ivf_build,
         "ref100k_ivf_query_100": q_ref100k_ivf_query_100,
         "ref100k_upsert": q_ref100k_upsert,

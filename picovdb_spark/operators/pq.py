@@ -103,16 +103,19 @@ def pq_encode(
     *,
     id_col: str = K_ID,
     vector_col: str = K_VECTOR,
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, codes array<int>) — one map pass, no shuffle. Vectors are
-    unit-normalized before encoding (store invariant; zero ⇒ e₀)."""
+    """(id, [passthrough…,] codes array<int>) — one map pass, no shuffle.
+    Vectors are unit-normalized before encoding (store invariant;
+    zero ⇒ e₀). `passthrough_cols` carry narrow columns (e.g. the IVF
+    cluster id) through the kernel unchanged."""
     spark = store.sparkSession
+    extra = list(passthrough_cols or [])
     bc = spark.sparkContext.broadcast(np.ascontiguousarray(codebooks))
     out_schema = T.StructType(
-        [
-            T.StructField(id_col, store.schema[id_col].dataType),
-            T.StructField("codes", T.ArrayType(T.IntegerType())),
-        ]
+        [T.StructField(id_col, store.schema[id_col].dataType)]
+        + [T.StructField(c, store.schema[c].dataType) for c in extra]
+        + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
     )
 
     def kernel(batches: Iterator) -> Iterator:
@@ -136,9 +139,78 @@ def pq_encode(
                     + (cent * cent).sum(axis=1)[None, :]
                 )
                 codes[:, s] = np.argmin(d2, axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+            out = {id_col: pdf[id_col]}
+            for c in extra:
+                out[c] = pdf[c]
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out)
 
-    return store.select(id_col, vector_col).mapInPandas(kernel, schema=out_schema)
+    return store.select(id_col, *extra, vector_col).mapInPandas(kernel, schema=out_schema)
+
+
+def adc_tables(codebooks: np.ndarray, qmat: np.ndarray) -> np.ndarray:
+    """Per-query ADC lookup tables: (nq, m, k) float32 — q_sub · centroid
+    per subspace. float32: ADC is an approximation by construction
+    (refine rescores in float64), and halving table bytes halves the
+    executor gather traffic."""
+    m, _, dsub = codebooks.shape
+    return np.einsum(
+        "qsd,skd->qsk", qmat.reshape(len(qmat), m, dsub), codebooks
+    ).astype(np.float32)
+
+
+def exact_rescore(
+    store: DataFrame,
+    candidates: DataFrame,
+    qids,
+    qmat: np.ndarray,
+    *,
+    id_col: str = K_ID,
+    vector_col: str = K_VECTOR,
+    round_to: int = 6,
+) -> DataFrame:
+    """Rescore a tiny (query_id, id) candidate set EXACTLY against the
+    store's raw vectors: broadcast join of the candidates (the store is
+    never shuffled), then a float64 dot kernel. Shared by the PQ and
+    IVF-PQ refine paths."""
+    spark = store.sparkSession
+    joined = store.select(id_col, vector_col).join(
+        F.broadcast(candidates.select("query_id", id_col)), on=id_col
+    )
+    qindex = {str(q): i for i, q in enumerate(qids)}
+    bq = spark.sparkContext.broadcast((qindex, qmat))
+
+    rs_schema = T.StructType(
+        [
+            T.StructField("query_id", T.StringType()),
+            T.StructField(id_col, store.schema[id_col].dataType),
+            T.StructField(K_METRICS, T.DoubleType()),
+        ]
+    )
+
+    def rescore(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        b_qindex, b_qmat = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = _normalize_rows(
+                np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vector_col]])
+            )
+            qidx = np.fromiter(
+                (b_qindex[str(q)] for q in pdf["query_id"]), dtype=np.int64
+            )
+            s = np.round((v * b_qmat[qidx]).sum(axis=1), round_to)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].astype(str),
+                    id_col: pdf[id_col],
+                    K_METRICS: s,
+                }
+            )
+
+    return joined.mapInPandas(rescore, schema=rs_schema)
 
 
 @dataclass
@@ -204,13 +276,8 @@ class PqIndex:
                 [], schema=f"query_id string, {K_ID} string, {K_METRICS} double, rank int"
             )
         books = self.codebooks
-        m, kk, dsub = books.shape
-        # per-query lookup tables: (nq, m, k) — q_sub · centroid. float32:
-        # ADC is an approximation by construction (refine rescores in
-        # float64), and halving table bytes halves the gather traffic
-        tables = np.einsum(
-            "qsd,skd->qsk", qmat.reshape(len(qmat), m, dsub), books
-        ).astype(np.float32)
+        m = books.shape[0]
+        tables = adc_tables(books, qmat)
         bc = spark.sparkContext.broadcast((np.asarray(qids, dtype=object), tables))
         n_cand = int(refine_k or top_k)
         pad = 1.5 * 10.0 ** (-round_to)
@@ -269,44 +336,13 @@ class PqIndex:
                 id_col=id_col,
                 rank_col=None,
             ).select("query_id", id_col)
-            joined = self.store.select(id_col, self.vector_col).join(
-                F.broadcast(cand), on=id_col
+            scored = exact_rescore(
+                self.store,
+                cand,
+                qids,
+                qmat,
+                id_col=id_col,
+                vector_col=self.vector_col,
+                round_to=round_to,
             )
-            qindex = {str(q): i for i, q in enumerate(qids)}
-            bq = spark.sparkContext.broadcast((qindex, qmat))
-            vec_col = self.vector_col
-
-            rs_schema = T.StructType(
-                [
-                    T.StructField("query_id", T.StringType()),
-                    T.StructField(id_col, self.codes.schema[id_col].dataType),
-                    T.StructField(K_METRICS, T.DoubleType()),
-                ]
-            )
-
-            def rescore(batches: Iterator) -> Iterator:
-                import pandas as pd
-
-                b_qindex, b_qmat = bq.value
-                for pdf in batches:
-                    if pdf.empty:
-                        continue
-                    v = _normalize_rows(
-                        np.asarray(
-                            [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
-                        )
-                    )
-                    qidx = np.fromiter(
-                        (b_qindex[str(q)] for q in pdf["query_id"]), dtype=np.int64
-                    )
-                    s = np.round((v * b_qmat[qidx]).sum(axis=1), round_to)
-                    yield pd.DataFrame(
-                        {
-                            "query_id": pdf["query_id"].astype(str),
-                            id_col: pdf[id_col],
-                            K_METRICS: s,
-                        }
-                    )
-
-            scored = joined.mapInPandas(rescore, schema=rs_schema)
         return topk_per_query(scored, top_k, id_col=id_col)

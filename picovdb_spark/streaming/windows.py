@@ -18,32 +18,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# `ts` lands as LongType: the testdata parquet uses TIMESTAMP(NANOS),
-# which Spark only reads via nanosAsLong (see schema.load_events).
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(
     spark: SparkSession, source_dir: str, *, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-based event stream (each new parquet file = new data).
     Swap for `spark.readStream.format("kafka")` + from_json in
-    production; the downstream plans are source-agnostic."""
+    production; the downstream plans are source-agnostic.
+
+    A file stream needs an explicit schema, but the event corpus' `ts`
+    physical type varies by writer generation — TIMESTAMP(NANOS) (only
+    readable as a nanos long) vs TIMESTAMP(MICROS)/NTZ — so the schema is
+    inferred once from the files already present (metadata-only batch
+    read) and `ts` normalized to a session-zone TIMESTAMP either way,
+    mirroring the batch loader (schema.load_events)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    inferred = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(inferred)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(source_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(inferred["ts"].dataType, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_agg(

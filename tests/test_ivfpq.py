@@ -1,0 +1,127 @@
+"""IVF-PQ tests — the composition suite: (a) full-probe + full-refine
+equals exact top-k EXACTLY (the oracle configuration), (b) honest
+partial-probe recall band, (c) probe pruning really skips unprobed
+clusters, (d) write/read round-trip serves the same results.
+
+Mirrors the reference's FAISS-vs-NumPy equivalence strategy
+(/root/reference/tests/test_task14_faiss_vs_numpy_results.py) for the
+engine's scale ANN path."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from picovdb_spark.operators.ann import CLUSTER_COL
+from picovdb_spark.operators.ivfpq import IvfPqIndex
+from picovdb_spark.operators.similarity import batch_query
+from picovdb_spark.schema import K_ID, K_METRICS, K_VECTOR, load_embeddings_store, load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_embeddings_store(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def queries(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").cast("string").alias("query_id"),
+            F.col("embedding").alias(K_VECTOR),
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def index(emb):
+    return IvfPqIndex.build(emb, n_centroids=16, m=16, k=64, seed=42)
+
+
+def _sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r[K_ID])
+    return out
+
+
+def _recall(approx, exact):
+    e, a = _sets(exact), _sets(approx)
+    return sum(len(e[q] & a.get(q, set())) / len(e[q]) for q in e) / len(e)
+
+
+def test_full_probe_full_refine_equals_exact(emb, queries, index):
+    """nprobe = n_centroids, refine_k >= n: every row is a candidate and
+    rescoring is exact float64 — must match the exact GEMM path
+    bit-for-bit (ids, ranks, scores)."""
+    n = emb.count()
+    exact = batch_query(emb, queries, top_k=5, method="gemm")
+    ivfpq = index.query(queries, top_k=5, nprobe=16, refine_k=n)
+    a = sorted((r["query_id"], r["rank"], r[K_ID], r[K_METRICS]) for r in exact.collect())
+    b = sorted((r["query_id"], r["rank"], r[K_ID], r[K_METRICS]) for r in ivfpq.collect())
+    assert a == b
+
+
+def test_partial_probe_recall_band(emb, queries, index):
+    """The pruning regime (nprobe 4/16, refine 50): recall < 1.0 by
+    design, but must stay above a floor on the clustered fixture."""
+    exact = batch_query(emb, queries, top_k=10, method="gemm")
+    routed = index.query(queries, top_k=10, nprobe=4, refine_k=50)
+    assert _recall(routed, exact) >= 0.5
+
+
+def test_refine_beats_or_matches_adc(emb, queries, index):
+    exact = batch_query(emb, queries, top_k=10, method="gemm")
+    adc = index.query(queries, top_k=10, nprobe=8)
+    ref = index.query(queries, top_k=10, nprobe=8, refine_k=50)
+    assert _recall(ref, exact) >= _recall(adc, exact) - 1e-9
+
+
+def test_probe_prunes_unprobed_clusters(index, queries):
+    """The scan under a 1-probe query must touch only the probed
+    clusters: assert the candidate clusters of the output are a subset
+    of the probe union (and far fewer than all 16)."""
+    one = queries.limit(1)
+    out = index.query(one, top_k=5, nprobe=1)
+    hit_ids = [r[K_ID] for r in out.collect()]
+    clusters = {
+        r[CLUSTER_COL]
+        for r in index.codes.filter(F.col(index.id_col).isin(hit_ids)).collect()
+    }
+    assert len(clusters) == 1
+
+
+def test_codes_are_compact(index, emb):
+    row = index.codes.first()
+    assert len(row["codes"]) == 16  # 16 bytes-equivalent vs 64 floats
+    assert index.codes.count() == emb.count()
+
+
+def test_write_read_round_trip(tmp_path, emb, queries, index):
+    p = str(tmp_path / "ivfpq_idx")
+    index.write(p)
+    spark = index.codes.sparkSession
+    reopened = IvfPqIndex.read(spark, p, store=emb)
+    n = emb.count()
+    a = sorted(
+        (r["query_id"], r["rank"], r[K_ID], r[K_METRICS])
+        for r in index.query(queries, top_k=5, nprobe=16, refine_k=n).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r[K_ID], r[K_METRICS])
+        for r in reopened.query(queries, top_k=5, nprobe=16, refine_k=n).collect()
+    )
+    assert a == b
+
+
+def test_adc_only_requires_no_store(tmp_path, emb, queries, index):
+    """A reopened codes-only index still serves ADC queries; refine
+    without the raw store raises the documented error."""
+    p = str(tmp_path / "ivfpq_codes_only")
+    index.write(p)
+    spark = index.codes.sparkSession
+    reopened = IvfPqIndex.read(spark, p)
+    assert reopened.query(queries, top_k=5, nprobe=16).count() > 0
+    with pytest.raises(ValueError, match="refine requires"):
+        reopened.query(queries, top_k=5, refine_k=50)
