@@ -240,6 +240,60 @@ def _normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "vector_quantize_int8",
+    """
+WITH q AS (
+  SELECT vec_id,
+         embedding::DOUBLE[] AS v,
+         greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0, 0.0) AS raw_scale
+  FROM embeddings
+),
+qq AS (
+  SELECT vec_id, v,
+         CASE WHEN raw_scale = 0.0 THEN 1.0 ELSE raw_scale END AS scale
+  FROM q
+),
+enc AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS codes
+  FROM qq
+),
+dec AS (
+  SELECT vec_id, v, scale, codes,
+         list_transform(codes, c -> c * scale) AS recon
+  FROM enc
+)
+SELECT vec_id,
+       round(scale, 9) AS scale,
+       CAST(list_sum(codes) AS BIGINT) AS q_sum,
+       round(list_cosine_similarity(v, recon), 6) AS recon_cos
+FROM dec
+""",
+)
+def _vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization (functions/vector.py quantize_int8): the
+    4× memory lever for the vector column when PQ's 256× is too lossy.
+    Pure Catalyst — quantization lives in the scan projection. The entry
+    hash-checks the scale rule (max|x|/127, zero-safe), every code
+    (via their exact sum) and the reconstruction cosine against a DuckDB
+    re-implementation."""
+    from picovdb_spark.functions.vector import cosine, dequantize_int8, quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select("vec_id", F.col("embedding"), quantize_int8(F.col("embedding")).alias("qv"))
+    return qv.select(
+        "vec_id",
+        F.round(F.col("qv.scale"), 9).alias("scale"),
+        F.aggregate(
+            "qv.q", F.lit(0).cast("bigint"), lambda acc, x: acc + x.cast("bigint")
+        ).alias("q_sum"),
+        F.round(
+            cosine(F.col("embedding"), dequantize_int8(F.col("qv"))), 6
+        ).alias("recon_cos"),
+    )
+
+
 # ----------------------------------------------------------------- CRUD surface
 
 @_register(
@@ -540,6 +594,65 @@ FROM cand WHERE bit_count(xor(sha, shb)) <= 7
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit shingle SimHash near-dup pairs via pigeonhole block join."""
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "stream_exact_dedup_twin",
+    """
+SELECT doc_id, md5(text) AS content_hash
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+""",
+)
+def _stream_exact_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming ingest dedup (streaming/dedup.py:
+    stream_exact_dedup): one kept row per content digest, canonical =
+    smallest id — the deterministic stand-in for the stream's
+    first-arrival rule, hash-checked here; the cross-micro-batch
+    streaming form (dropDuplicatesWithinWatermark, watermark-bounded
+    state) is pinned in tests/test_stream_dedup.py."""
+    from picovdb_spark.streaming.dedup import content_digest, stream_exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stream_exact_dedup(docs, id_col="doc_id")
+    return kept.select("doc_id", content_digest().alias("content_hash"))
+
+
+@_register(
+    "stream_simhash_mark",
+    f"""
+WITH {_D_TOKSHING_CTE},
+expl AS (SELECT doc_id, unnest(sh) AS s FROM shing),
+hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h FROM expl),
+votes AS (
+  SELECT doc_id, r.b, sum(CASE WHEN (h >> CAST(r.b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hs, range(0, 48) r(b)
+  GROUP BY doc_id, r.b
+),
+sim AS (
+  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, CAST(0 AS BIGINT) AS simhash FROM shing WHERE len(sh) = 0
+)
+SELECT doc_id, simhash, r.i AS block_idx,
+       (simhash >> CAST(r.i * 6 AS INTEGER)) & 63 AS block_key
+FROM sim, range(0, 8) r(i)
+""",
+)
+def _stream_simhash_mark_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup MARK (streaming/dedup.py): the stateless
+    on-arrival fingerprint+block pass, exploded to one row per (doc,
+    block) so the hash check covers both the fingerprints (identical to
+    the batch sweep's kernel) and the pigeonhole block keys a downstream
+    corpus join would use."""
+    from picovdb_spark.streaming.dedup import stream_simhash_mark
+
+    docs = load_table(spark, sf_dir, "documents")
+    marked = stream_simhash_mark(docs)
+    return marked.select(
+        "doc_id", "simhash", F.posexplode("blocks").alias("block_idx", "block_key")
+    )
 
 
 @_register(

@@ -63,6 +63,37 @@ def cosine(a: Column, b: Column, *, normalized: bool = False) -> Column:
     return dot(l2_normalize(a), l2_normalize(b))
 
 
+def quantize_int8(v: Column) -> Column:
+    """Symmetric per-vector int8 quantization: struct(scale double,
+    q array<tinyint>) with qᵢ = round(xᵢ / scale), scale = max|x| / 127.
+
+    The 4× memory lever for a 100 TB vector column when PQ's 256× is too
+    lossy: int8 keeps ~0.5% cosine error on unit vectors vs PQ's ~5-15%.
+    All-zero (and empty) vectors get scale 1.0 so they round-trip to
+    themselves. Pure Catalyst expression — quantization happens in the
+    scan projection, no Python. `round` is HALF_UP on .5 like the DuckDB
+    oracle's round(), so the twins agree exactly."""
+    scale = F.aggregate(
+        v,
+        F.lit(0.0).cast("double"),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    ) / F.lit(127.0)
+    safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
+    return F.struct(
+        safe.alias("scale"),
+        F.transform(
+            v, lambda x: F.round(x.cast("double") / safe).cast("tinyint")
+        ).alias("q"),
+    )
+
+
+def dequantize_int8(qv: Column) -> Column:
+    """Inverse of `quantize_int8`: array<double> = q * scale."""
+    return F.transform(
+        qv["q"], lambda x: x.cast("double") * qv["scale"]
+    )
+
+
 def auto_id(v: Column) -> Column:
     """Content-hash id for records without `_id_`: md5 over a canonical
     string encoding of the normalized vector (6-decimal fixed point).

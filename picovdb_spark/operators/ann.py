@@ -56,6 +56,28 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / norms[:, None]
 
 
+def kmeans_mean_update(x: np.ndarray, assign: np.ndarray, prev: np.ndarray) -> np.ndarray:
+    """One vectorized Lloyd mean-update: new centroid = mean of members,
+    empty clusters keep their previous value. One sorted pass + reduceat
+    instead of k boolean scans (the k-loop was 50-85 s of the PQ
+    codebook fit at m=16, k=256; bench history). Deterministic, but NOT
+    bit-identical to the `x[assign == c].mean(axis=0)` loop it replaces:
+    reduceat sums sequentially where numpy mean sums pairwise (~1 ulp
+    apart). Every consumer is a cluster assignment — argmax/argmin over
+    centroids — where a 1-ulp centroid shift is noise; accuracy is
+    band-tested downstream and the oracle-checked full-probe/full-refine
+    configurations are invariant to the clustering entirely."""
+    order = np.argsort(assign, kind="stable")
+    xs = x[order]
+    a = assign[order]
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(a)) + 1))
+    sums = np.add.reduceat(xs, starts, axis=0)
+    counts = np.diff(np.concatenate((starts, [len(a)])))
+    out = prev.copy()
+    out[a[starts]] = sums / counts[:, None]
+    return out
+
+
 def fit_centroids(
     store: DataFrame,
     n_centroids: int,
@@ -82,18 +104,16 @@ def fit_centroids(
     )
     if not rows:
         raise ValueError("cannot fit IVF centroids on an empty store")
-    x = _normalize_rows(_as_matrix(rows, vector_col))
+    x = _normalize_rows(_as_matrix(rows, vector_col)).astype(np.float32)
+    # f32 fit: clustering tolerates it (assignments are argmax over well-
+    # separated scores), query-time scoring keeps its own precision
     k = min(n_centroids, len(x))
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=k, replace=False)]
     for _ in range(n_iter):
         assign = np.argmax(x @ cent.T, axis=1)  # cosine on unit vectors
-        for c in range(k):
-            members = x[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
-        cent = _normalize_rows(cent)
-    return cent
+        cent = _normalize_rows(kmeans_mean_update(x, assign, cent))
+    return _normalize_rows(cent.astype(np.float64))
 
 
 def assign_clusters(

@@ -202,6 +202,35 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_fingerprint(text, *, shingle_n: int = 3, bits: int = 48) -> int:
+    """One document's SimHash: word shingles → md5-derived `bits`-bit
+    hashes (bit-identical to the `md5_hash48` Catalyst kernel and the
+    DuckDB oracle) → signed bit vote → sign pattern. Shared by the batch
+    fingerprint pass and the streaming mark operator so stream and batch
+    sweeps produce identical fingerprints."""
+    import hashlib
+
+    import numpy as np
+
+    toks = [t for t in str(text).lower().split(" ") if t]
+    if len(toks) >= shingle_n:
+        shingles = {
+            " ".join(toks[i : i + shingle_n]) for i in range(len(toks) - shingle_n + 1)
+        }
+    else:
+        shingles = set()
+    if not shingles:
+        return 0
+    hs = np.fromiter(
+        (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16) for s in shingles),
+        dtype=np.int64,
+        count=len(shingles),
+    )
+    bits_m = (hs[:, None] >> np.arange(bits)) & 1  # (n_shingles, bits)
+    votes = (2 * bits_m - 1).sum(axis=0)
+    return int((1 << np.arange(bits, dtype=np.int64))[votes > 0].sum())
+
+
 def simhash(
     docs: DataFrame,
     *,
@@ -212,13 +241,10 @@ def simhash(
 ) -> DataFrame:
     """48-bit SimHash over word-shingle multisets → (id, simhash).
 
-    Per-doc vectorized kernel (mapInPandas): shingle → md5-derived 48-bit
-    hash (bit-identical to the `md5_hash48` Catalyst kernel and the
-    DuckDB oracle), unpack bits, signed vote sum, sign → fingerprint.
+    Per-doc vectorized kernel (mapInPandas) around `simhash_fingerprint`.
     Embarrassingly parallel — NO shuffle at all (the earlier pure-SQL
     formulation exploded bits×shingles into a 48×|shingles| row shuffle;
     at sf0.1 that was 12s vs <2s for this kernel — bench history)."""
-    import hashlib
     from collections.abc import Iterator
 
     import numpy as np
@@ -231,7 +257,6 @@ def simhash(
             T.StructField("simhash", T.LongType()),
         ]
     )
-    bit_weights = (1 << np.arange(bits, dtype=np.int64))
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -241,30 +266,10 @@ def simhash(
                 continue
             out_ids, out_hashes = [], []
             for sid, text in zip(pdf[id_col], pdf[text_col]):
-                toks = [t for t in str(text).lower().split(" ") if t]
-                if len(toks) >= shingle_n:
-                    shingles = {
-                        " ".join(toks[i : i + shingle_n])
-                        for i in range(len(toks) - shingle_n + 1)
-                    }
-                else:
-                    shingles = set()
-                if not shingles:
-                    out_ids.append(sid)
-                    out_hashes.append(0)
-                    continue
-                hs = np.fromiter(
-                    (
-                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
-                        for s in shingles
-                    ),
-                    dtype=np.int64,
-                    count=len(shingles),
-                )
-                bits_m = (hs[:, None] >> np.arange(bits)) & 1  # (n_shingles, bits)
-                votes = (2 * bits_m - 1).sum(axis=0)
                 out_ids.append(sid)
-                out_hashes.append(int(bit_weights[votes > 0].sum()))
+                out_hashes.append(
+                    simhash_fingerprint(text, shingle_n=shingle_n, bits=bits)
+                )
             yield pd.DataFrame({id_col: out_ids, "simhash": np.asarray(out_hashes, dtype=np.int64)})
 
     return docs.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)

@@ -75,25 +75,24 @@ def fit_pq(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     kk = min(k, len(x))
+    from picovdb_spark.operators.ann import kmeans_mean_update
+
     rng = np.random.default_rng(seed)
     books = np.empty((m, kk, dsub))
+    x32 = x.astype(np.float32)  # fit in f32: clustering tolerates it and
+    # it halves the memory traffic of the hot loop; ENCODING (pq_encode)
+    # and ADC stay at their own documented precisions
     for s in range(m):
-        xs = x[:, s * dsub : (s + 1) * dsub]
+        xs = x32[:, s * dsub : (s + 1) * dsub]
         cent = xs[rng.choice(len(xs), size=kk, replace=False)]
         for _ in range(n_iter):
-            # Euclidean Lloyd per subspace (subvectors are NOT unit);
-            # expansion form avoids the (n, k, dsub) broadcast temp
-            d2 = (
-                (xs * xs).sum(axis=1)[:, None]
-                - 2.0 * (xs @ cent.T)
-                + (cent * cent).sum(axis=1)[None, :]
-            )
+            # argmin_c |x - c|² = argmin_c (|c|² - 2 x·c): the |x|² term
+            # is constant per row and dropped — no (n, k) broadcast of
+            # row norms, half the FLOPs of the full expansion
+            d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (xs @ cent.T)
             assign = np.argmin(d2, axis=1)
-            for c in range(kk):
-                members = xs[assign == c]
-                if len(members):
-                    cent[c] = members.mean(axis=0)
-        books[s] = cent
+            cent = kmeans_mean_update(xs, assign, cent)
+        books[s] = cent.astype(np.float64)
     return books
 
 

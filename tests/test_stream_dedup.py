@@ -1,0 +1,108 @@
+"""Streaming dedup tests: cross-micro-batch exact dedup keeps the first
+arrival and drops later copies; the batch twin matches exact_dedup's
+canonical choice; the streaming SimHash mark carries identical
+fingerprints and block keys to the batch sweep."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from picovdb_spark.operators.dedup import exact_dedup, simhash, simhash_pairs
+from picovdb_spark.schema import load_table
+from picovdb_spark.streaming.dedup import (
+    stream_exact_dedup,
+    stream_simhash_mark,
+)
+
+
+def _write_doc_batch(spark, path, rows):
+    spark.createDataFrame(
+        rows, schema="doc_id long, ts timestamp, text string"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_exact_dedup_across_batches(spark, tmp_path):
+    """Two files (= two micro-batches under maxFilesPerTrigger=1): a
+    duplicate of batch-1 content arriving in batch 2 within the
+    watermark horizon must be dropped."""
+    d = str(tmp_path / "docs_stream")
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    t1 = datetime(2024, 1, 1, 12, 10, 0)
+    _write_doc_batch(
+        spark, d, [(1, t0, "alpha beta gamma"), (2, t0, "delta epsilon zeta")]
+    )
+    _write_doc_batch(
+        spark, d, [(3, t1, "alpha beta gamma"), (4, t1, "eta theta iota")]
+    )
+
+    src = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = stream_exact_dedup(src, ts_col="ts", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept = {r["doc_id"] for r in spark.table("dedup_stream").collect()}
+    # doc 3 duplicates doc 1's content and must be dropped
+    assert 3 not in kept
+    assert {1, 2, 4} <= kept
+
+
+def test_batch_twin_matches_exact_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stream_exact_dedup(docs, id_col="doc_id")
+    canon = exact_dedup(docs).filter(~F.col("is_dup"))
+    a = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in canon.select("doc_id").collect())
+    assert a == b
+
+
+def test_stream_mark_matches_batch_fingerprints(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    marked = stream_simhash_mark(docs)
+    batch = simhash(docs)
+    a = {r["doc_id"]: r["simhash"] for r in marked.select("doc_id", "simhash").collect()}
+    b = {r["doc_id"]: r["simhash"] for r in batch.collect()}
+    assert a == b
+    # block keys reproduce the batch pigeonhole split: joining marked
+    # blocks self-wise yields a candidate superset of the sweep's pairs
+    row = marked.select("simhash", "blocks").first()
+    blocks = row["blocks"]
+    assert len(blocks) == 8  # max_hamming 7 + 1
+    sh = row["simhash"]
+    for i, blk in enumerate(blocks):
+        assert blk == (sh >> (i * 6)) & 0x3F
+
+
+def test_stream_mark_runs_on_stream(spark, tmp_path):
+    """The mark is stateless — it must run under a streaming source
+    without requiring watermarks or output-mode gymnastics."""
+    d = str(tmp_path / "mark_stream")
+    from datetime import datetime
+
+    _write_doc_batch(
+        spark, d, [(1, datetime(2024, 1, 1), "alpha beta gamma delta epsilon")]
+    )
+    src = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(d)
+    out = stream_simhash_mark(src)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mark_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("mark_stream").collect()
+    assert len(rows) == 1 and rows[0]["simhash"] != 0
