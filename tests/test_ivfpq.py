@@ -125,3 +125,17 @@ def test_adc_only_requires_no_store(tmp_path, emb, queries, index):
     assert reopened.query(queries, top_k=5, nprobe=16).count() > 0
     with pytest.raises(ValueError, match="refine requires"):
         reopened.query(queries, top_k=5, refine_k=50)
+
+
+def test_written_index_partition_pruning_plan(tmp_path, emb, queries, index):
+    """The persisted codes layout must plan probe queries as Hive
+    partition pruning on __cluster — unprobed clusters cost zero IO."""
+    from picovdb_spark.plans import explain_str
+
+    p = str(tmp_path / "ivfpq_prune")
+    index.write(p)
+    spark = index.codes.sparkSession
+    reopened = IvfPqIndex.read(spark, p, store=emb)
+    plan = explain_str(reopened.query(queries, top_k=5, nprobe=2))
+    assert "PartitionFilters" in plan
+    assert "__cluster" in plan.split("PartitionFilters", 1)[1][:200]

@@ -98,3 +98,42 @@ def test_l2_normalize_empty_array_stays_empty(sess):
     got = [r[0] for r in df.select(l2_normalize(F.col("v"))).collect()]
     assert got[0] == []
     assert got[1] == [1.0, 0.0]  # zero vector of dim 2 ⇒ e0
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(vs=st.lists(vec, min_size=1, max_size=16))
+def test_quantize_int8_round_trip_bound(sess, vs):
+    """Codes stay in [-127, 127]; reconstruction error per component is
+    <= scale/2 (the rounding radius); zero vectors round-trip exactly."""
+    from picovdb_spark.functions.vector import dequantize_int8, quantize_int8
+
+    df = sess.createDataFrame(
+        [([float(x) for x in v],) for v in vs], schema="v array<float>"
+    )
+    got = df.select(
+        quantize_int8(F.col("v")).alias("qv"),
+        dequantize_int8(quantize_int8(F.col("v"))).alias("r"),
+    ).collect()
+    for v, row in zip(vs, got):
+        x = np.asarray(v, dtype=np.float32).astype(np.float64)
+        scale = row["qv"]["scale"]
+        codes = np.asarray(row["qv"]["q"], dtype=np.int64)
+        recon = np.asarray(row["r"])
+        assert codes.min() >= -127 and codes.max() <= 127
+        if np.abs(x).max() == 0.0:
+            assert scale == 1.0
+            assert np.array_equal(recon, x)
+        else:
+            assert math.isclose(scale, np.abs(x).max() / 127.0, rel_tol=1e-12)
+            assert np.abs(recon - x).max() <= scale / 2 + 1e-15
+
+
+def test_quantize_int8_empty_vector(sess):
+    from picovdb_spark.functions.vector import dequantize_int8, quantize_int8
+
+    df = sess.createDataFrame([([],)], schema="v array<float>")
+    row = df.select(
+        quantize_int8(F.col("v")).alias("qv"),
+        dequantize_int8(quantize_int8(F.col("v"))).alias("r"),
+    ).first()
+    assert row["qv"]["q"] == [] and row["r"] == []
