@@ -84,6 +84,31 @@ def bench_queries(spark):
     def q_better_than():
         _force(batch_query(store, _queries_df(spark, 100), top_k=10, better_than=0.1))
 
+    # the reference profiler's remaining selectivity scenarios
+    # (/root/reference/bench/numpy_query_profiler.py:107-118 — baseline,
+    # where 50%/10%, ids 10%/1%, better_than, where+bt); filtered_where
+    # and better_than above cover the where/bt rows
+    def q_profile_ids_10pct():
+        n_store = store.count()
+        ids = [str(i) for i in range(0, n_store, 10)]
+        _force(batch_query(store, _queries_df(spark, 100), top_k=10, ids=ids))
+
+    def q_profile_ids_1pct():
+        n_store = store.count()
+        ids = [str(i) for i in range(0, n_store, 100)]
+        _force(batch_query(store, _queries_df(spark, 100), top_k=10, ids=ids))
+
+    def q_profile_where_bt():
+        _force(
+            batch_query(
+                store,
+                _queries_df(spark, 100),
+                top_k=10,
+                where={"label": {"$in": [1, 2, 3]}},
+                better_than=0.1,
+            )
+        )
+
     def q_upsert_100k():
         batch = emb.select(
             F.col("vec_id").cast("string").alias("_id_"),
@@ -278,9 +303,18 @@ def bench_queries(spark):
     def q_ref100k_ivf_resident_query_1000():
         # routed IVF serving: each task scores only its clusters' blocks
         # against the queries probing them — nprobe/n_centroids (1/32) of
-        # the exact pass's FLOPs; compare ref100k_batch_1000_resident
+        # the exact pass's FLOPs; compare ref100k_batch_1000_resident.
+        # At nq=1000 the probe union saturates (8000 probes over 256
+        # clusters) so routing overhead ~cancels the FLOP savings —
+        # kept as the honest saturated-regime measurement
         _, q = _ref_store()
         _force(ref_state["resident_ivf"].query(q, top_k=10, nprobe=8))
+
+    def q_ref100k_ivf_resident_query_100():
+        # the SELECTIVE regime the routed path exists for: 100 queries
+        # probe ≤ 800/256 clusters; most blocks are never touched
+        _, q = _ref_store()
+        _force(ref_state["resident_ivf"].query(q.limit(100), top_k=10, nprobe=8))
 
     def q_ref100k_pq_build():
         # codebook fit (25k sample, driver Lloyd) + full encode pass:
@@ -349,6 +383,9 @@ def bench_queries(spark):
         "batch_100_sql": q_batch_100_sql,
         "filtered_where": q_filtered_where,
         "better_than": q_better_than,
+        "profile_ids_10pct": q_profile_ids_10pct,
+        "profile_ids_1pct": q_profile_ids_1pct,
+        "profile_where_bt": q_profile_where_bt,
         "upsert_merge": q_upsert_100k,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -372,6 +409,7 @@ def bench_queries(spark):
         "ref100k_batch_1000_resident": q_ref100k_batch_1000_resident,
         "_prepare_resident_ivf": _prepare_resident_ivf,
         "ref100k_ivf_resident_query_1000": q_ref100k_ivf_resident_query_1000,
+        "ref100k_ivf_resident_query_100": q_ref100k_ivf_resident_query_100,
         "ref100k_pq_build": q_ref100k_pq_build,
         "ref100k_pq_query_1000": q_ref100k_pq_query_1000,
         "ref100k_ivfpq_build": q_ref100k_ivfpq_build,
@@ -404,6 +442,7 @@ def main() -> None:
         "ref100k_batch_1000",
         "ref100k_batch_1000_resident",
         "ref100k_ivf_resident_query_1000",
+        "ref100k_ivf_resident_query_100",
         "ref100k_pq_query_1000",
         "ref100k_ivfpq_query_1000",
         "ref100k_ivf_query_100",
