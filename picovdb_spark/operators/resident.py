@@ -79,11 +79,22 @@ class ResidentGemmStore:
         id_col: str = K_ID,
         normalized: bool = False,
         shm_dir: str | None = None,
+        block_dtype: str = "float32",
     ):
+        if block_dtype not in ("float32", "int8"):
+            raise ValueError(f"block_dtype must be float32 or int8, got {block_dtype!r}")
         self.store = store
         self.vector_col = vector_col
         self.id_col = id_col
         self.normalized = normalized
+        # "int8": blocks hold symmetric per-row int8 codes + a float32
+        # scale column (max|x|/127 — the same rule as
+        # functions.vector.quantize_int8) — 4× more store per serving
+        # node at ~1e-3 cosine error on unit vectors. Scoring rescales
+        # the integer dot: score = scale_i · (q · codes_i). An
+        # APPROXIMATE serving mode by construction — accuracy is
+        # band-tested, not oracle-checked.
+        self.block_dtype = block_dtype
         self.token = uuid.uuid4().hex[:12]
         self.dir = shm_dir or os.path.join(_shm_root(), f"picovdb_resident_{self.token}")
         self.n_rows: int | None = None
@@ -98,6 +109,7 @@ class ResidentGemmStore:
         blk_dir = self.dir
         vec_col, id_col = self.vector_col, self.id_col
         pre_normalized = self.normalized
+        as_int8 = self.block_dtype == "int8"
 
         def write_block(batches: Iterator) -> Iterator:
             import pyarrow as pa
@@ -126,8 +138,22 @@ class ResidentGemmStore:
                 ids = np.concatenate(ids_parts)
                 mat = np.ascontiguousarray(np.vstack(mat_parts))
                 rows = len(ids)
+                artifacts = [("ids", ids)]
+                if as_int8:
+                    # symmetric per-row quantization, same rule as
+                    # functions.vector.quantize_int8 (zero rows can't
+                    # occur post-normalization)
+                    scales = (
+                        np.abs(mat).max(axis=1) / np.float32(127.0)
+                    ).astype(np.float32)
+                    codes = np.ascontiguousarray(
+                        np.round(mat / scales[:, None]).astype(np.int8)
+                    )
+                    artifacts += [("mat", codes), ("scales", scales)]
+                else:
+                    artifacts += [("mat", mat)]
                 os.makedirs(blk_dir, exist_ok=True)
-                for name, arr in (("ids", ids), ("mat", mat)):
+                for name, arr in artifacts:
                     tmp = os.path.join(blk_dir, f".{name}_{pid}.tmp.npy")
                     np.save(tmp, arr, allow_pickle=(name == "ids"))
                     os.replace(tmp, os.path.join(blk_dir, f"{name}_{pid}.npy"))
@@ -209,6 +235,7 @@ class ResidentGemmStore:
         bc = spark.sparkContext.broadcast((qids, qmat.astype(np.float32)))
         blk_dir = self.dir
         block_pids = getattr(self, "block_pids", None)
+        as_int8 = self.block_dtype == "int8"
         pad = 1.5 * 10.0 ** (-round_to)
 
         def score_block(batches: Iterator) -> Iterator:
@@ -234,7 +261,14 @@ class ResidentGemmStore:
             mat = np.load(mat_path, mmap_mode="r")
             ids = np.load(os.path.join(blk_dir, f"ids_{pid}.npy"), allow_pickle=True)
             b_qids, b_qmat = bc.value
-            scores = b_qmat @ mat.T  # float32 (nq, n_block)
+            if as_int8:
+                # rescaled integer dot: score = scale_i · (q · codes_i).
+                # The f32 cast materializes the block per pass (CPU cost);
+                # the int8 win is the 4× smaller RESIDENT footprint
+                scales = np.load(os.path.join(blk_dir, f"scales_{pid}.npy"))
+                scores = (b_qmat @ mat.T.astype(np.float32)) * scales[None, :]
+            else:
+                scores = b_qmat @ mat.T  # float32 (nq, n_block)
             n = scores.shape[1]
             kk = min(top_k, n)
             # raw-score selection with a rounding pad — tie-complete after

@@ -129,3 +129,43 @@ def test_resident_ivf_lifecycle(store, queries):
     assert rs.query(queries, top_k=3, nprobe=8).count() > 0
     rs.close()
     assert not os.path.exists(rs.dir)
+
+
+def test_resident_int8_accuracy_and_footprint(store, queries):
+    """int8 blocks: top-10 recall vs the exact float32 path stays >= 0.9
+    on the fixture, every score is within the quantization error bound,
+    and the on-disk block is ~4x smaller than float32."""
+    import numpy as np
+
+    exact = batch_query(
+        store, queries, top_k=10, method="gemm", score_dtype="float32"
+    ).select("query_id", K_ID, K_METRICS).collect()
+    rs = ResidentGemmStore(store.select(K_ID, "_vector_"), block_dtype="int8")
+    try:
+        rs.materialize()
+        got = rs.query(queries, top_k=10).collect()
+        e, a = {}, {}
+        for r in exact:
+            e.setdefault(r["query_id"], set()).add(r[K_ID])
+        for r in got:
+            a.setdefault(r["query_id"], set()).add(r[K_ID])
+        recall = sum(len(e[q] & a.get(q, set())) / len(e[q]) for q in e) / len(e)
+        assert recall >= 0.9, recall
+        # score error bound: |q . (x - x_q)| <= |x - x_q| <= sqrt(dim)*s/2
+        # with s <= 1/127 on unit vectors -> loose 0.04 at dim 64
+        es = {(r["query_id"], r[K_ID]): r[K_METRICS] for r in exact}
+        for r in got:
+            k = (r["query_id"], r[K_ID])
+            if k in es:
+                assert abs(r[K_METRICS] - es[k]) <= 0.04
+        mats = [f for f in os.listdir(rs.dir) if f.startswith("mat_")]
+        assert mats
+        blk = np.load(os.path.join(rs.dir, mats[0]), mmap_mode="r")
+        assert blk.dtype == np.int8
+    finally:
+        rs.close()
+
+
+def test_resident_bad_dtype_rejected(store):
+    with pytest.raises(ValueError, match="block_dtype"):
+        ResidentGemmStore(store.select(K_ID, "_vector_"), block_dtype="int4")
