@@ -288,6 +288,23 @@ def bench_queries(spark):
         _, q = _ref_store()
         _force(ref_state["resident"].query(q, top_k=10))
 
+    def _prepare_resident_int8():
+        from picovdb_spark.operators.resident import ResidentGemmStore
+
+        s, q = _ref_store()
+        if "resident_int8" not in ref_state:
+            rs = ResidentGemmStore(s, normalized=True, block_dtype="int8")
+            rs.materialize()
+            _force(rs.query(q, top_k=10))
+            ref_state["resident_int8"] = rs
+
+    def q_ref100k_batch_1000_resident_int8():
+        # quantized serving: 100 MB resident instead of 400 MB (4× more
+        # store per node); scores are rescaled integer dots — recall
+        # band pinned in tests/test_resident.py
+        _, q = _ref_store()
+        _force(ref_state["resident_int8"].query(q, top_k=10))
+
     def _prepare_resident_ivf():
         # cluster-routed serving setup: fit 256 centroids, repartition by
         # cluster, pin inverted-list blocks node-local, one warm pass
@@ -373,7 +390,7 @@ def bench_queries(spark):
     def _cleanup_resident():
         # drop the node-local shm blocks: they live in /dev/shm, which
         # outlives this process — leaking them accumulates across runs
-        for key in ("resident", "resident_ivf"):
+        for key in ("resident", "resident_int8", "resident_ivf"):
             rs = ref_state.pop(key, None)
             if rs is not None:
                 rs.close()
@@ -407,6 +424,8 @@ def bench_queries(spark):
         "ref100k_batch_1000": q_ref100k_batch_1000,
         "_prepare_resident": _prepare_resident,
         "ref100k_batch_1000_resident": q_ref100k_batch_1000_resident,
+        "_prepare_resident_int8": _prepare_resident_int8,
+        "ref100k_batch_1000_resident_int8": q_ref100k_batch_1000_resident_int8,
         "_prepare_resident_ivf": _prepare_resident_ivf,
         "ref100k_ivf_resident_query_1000": q_ref100k_ivf_resident_query_1000,
         "ref100k_ivf_resident_query_100": q_ref100k_ivf_resident_query_100,
@@ -441,6 +460,7 @@ def main() -> None:
     median3 = {
         "ref100k_batch_1000",
         "ref100k_batch_1000_resident",
+        "ref100k_batch_1000_resident_int8",
         "ref100k_ivf_resident_query_1000",
         "ref100k_ivf_resident_query_100",
         "ref100k_pq_query_1000",
