@@ -1682,6 +1682,72 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(minhash_lsh_pairs(docs), docs)
 
 
+def _quality_stopwords_sql() -> str:
+    from picovdb_spark.functions.text import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+
+
+def _keep_best_oracle() -> str:
+    # components oracle + quality oracle, joined; keep = best quality
+    # per component, ties to smallest id — the engine's exact rule
+    return f"""
+WITH RECURSIVE pairs AS (
+{_minhash_oracle()}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS doc_id, min(comp) AS component_id FROM reach GROUP BY id),
+tok AS (SELECT doc_id, {_D_TOK} AS t FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(t) AS DOUBLE) AS n,
+         CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dr,
+         CAST(len(list_filter(t, x -> list_contains({_quality_stopwords_sql()}, x))) AS DOUBLE) / len(t) AS sw
+  FROM tok
+),
+q AS (
+  SELECT doc_id,
+         round(0.4 * least(n / 256.0, 1.0) + 0.4 * dr + 0.2 * least(sw * 5.0, 1.0), 6) AS quality
+  FROM m
+)
+SELECT c.doc_id, c.component_id, q.quality,
+       row_number() OVER (PARTITION BY c.component_id
+                          ORDER BY q.quality DESC, c.doc_id ASC) = 1 AS keep
+FROM comp c JOIN q USING (doc_id)
+"""
+
+
+@_register("dedup_keep_best", _keep_best_oracle())
+def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup DECISION pipeline: near-dup components + quality
+    scores → keep the highest-quality doc per cluster (ties to smallest
+    id). Min-id canonical keeps an arbitrary copy; keep-best retains the
+    cleanest one — the rule corpus pipelines actually apply. One narrow
+    shuffle on component_id on top of the components job."""
+    from picovdb_spark.operators.dedup import (
+        connected_components,
+        keep_best_per_component,
+        minhash_lsh_pairs,
+    )
+    from picovdb_spark.operators.textops import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = connected_components(minhash_lsh_pairs(docs), docs)
+    q = quality_score(docs).select("doc_id", "quality")
+    return keep_best_per_component(comp, q).select(
+        "doc_id", "component_id", "quality", "keep"
+    )
+
+
 _SAMPLE_RATES = {"en": 0.5, "de": 0.8, "es": 0.25, "zh": 1.0}  # fr -> default 0.2
 
 

@@ -458,6 +458,7 @@ def main() -> None:
     # robust to one hiccup, can't cherry-pick. One-shot workloads
     # (builds, upserts, the sf0.1 suite) stay single-pass.
     median3 = {
+        "batch_1000_gemm",
         "ref100k_batch_1000",
         "ref100k_batch_1000_resident",
         "ref100k_batch_1000_resident_int8",

@@ -555,3 +555,30 @@ def connected_components(
         comp.alias("component_id"),
         (comp != F.col(id_col)).alias("is_dup"),
     )
+
+
+def keep_best_per_component(
+    components: DataFrame,
+    scores: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Turn dup components into a keep/drop decision by QUALITY instead
+    of min-id: within each component keep the best-scoring document
+    (ties break to the smallest id — deterministic). Output adds
+    (score_col, keep) to the component labels.
+
+    This is the decision rule real training-data pipelines use —
+    min-id canonical keeps an arbitrary copy; keep-best retains the
+    highest-quality one (longest/cleanest text) and drops the rest.
+    One narrow shuffle on component_id; document payloads never move."""
+    j = components.join(scores.select(id_col, score_col), on=id_col)
+    w = Window.partitionBy("component_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .withColumn("keep", F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -84,3 +84,21 @@ def test_top_ngrams_doc_frequency_not_occurrences(spark, docs):
     grams = [r["gram"] for r in got]
     assert grams == sorted(grams)
     assert [r["rank"] for r in got] == [1, 2, 3]
+
+
+def test_keep_best_per_component_rule(spark):
+    """Keep = highest score per component; ties break to smallest id;
+    singletons always keep."""
+    from picovdb_spark.operators.dedup import keep_best_per_component
+
+    comp = spark.createDataFrame(
+        [(1, 1, False), (2, 1, True), (3, 1, True), (4, 4, False), (5, 5, False)],
+        schema="doc_id long, component_id long, is_dup boolean",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.5)],
+        schema="doc_id long, quality double",
+    )
+    rows = {r["doc_id"]: r["keep"] for r in keep_best_per_component(comp, scores).collect()}
+    # component 1: docs 2 and 3 tie at 0.9 -> smallest id (2) keeps
+    assert rows == {1: False, 2: True, 3: False, 4: True, 5: True}
