@@ -496,6 +496,14 @@ class VectorStore:
         os.makedirs(staging, exist_ok=True)
         try:
             self._df.write.mode("overwrite").parquet(os.path.join(staging, "vectors.parquet"))
+            # ANN artifact parity: the reference's save() persists its
+            # FAISS index next to the vectors (pico_vdb.py:347, :362,
+            # after a lazy rebuild if dirty, :330-340). Here: if an IVF
+            # index was built, bring it current (same maintenance rule
+            # as query time) and persist it inside the same atomic swap.
+            idx = self._ensure_ann() if self._ann is not None else None
+            if idx is not None:
+                idx.write(os.path.join(staging, "ann_ivf"))
             meta = {
                 "embedding_dim": self.dim,
                 "additional_data": self._additional,
@@ -517,6 +525,13 @@ class VectorStore:
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
             raise
+        if idx is not None:
+            # re-point the in-memory index at the files that now live
+            # under `path` (the staging scan it was written from is gone)
+            from picovdb_spark.operators.ann import IvfIndex
+
+            self._ann = IvfIndex.read(self.spark, os.path.join(path, "ann_ivf"))
+            self._ann_ntotal = self._ann.base_rows or 0
         self.storage_path = path
         return path
 
@@ -530,6 +545,14 @@ class VectorStore:
         self._additional = meta.get("additional_data", {})
         self._df = self.spark.read.parquet(os.path.join(path, "vectors.parquet"))
         self._detached = False  # lazy scan of the files under `path`
+        ann_dir = os.path.join(path, "ann_ivf")
+        if os.path.isdir(ann_dir):
+            # persisted index reopens lazily — no rebuild on load, the
+            # reference's load-or-rebuild rule (pico_vdb.py:265-280)
+            from picovdb_spark.operators.ann import IvfIndex
+
+            self._ann = IvfIndex.read(self.spark, ann_dir)
+            self._ann_ntotal = self._ann.base_rows or 0
 
     def flush(self) -> None:
         """No-op for parity (memmap flush, pico_vdb.py:395-401)."""

@@ -401,3 +401,39 @@ def test_where_callable_null_and_dict_parity(spark):
 
     hits = st.query([list(basis(1))], top_k=5, where=pred).collect()
     assert [h[K_ID] for h in hits] == ["b"]
+
+
+def test_save_persists_ann_index_and_reload_serves_it(spark, tmp_path):
+    """Reference parity: save() persists the ANN artifact next to the
+    vectors (pico_vdb.py:347, :362) and a reopened store serves ANN
+    queries from it WITHOUT a rebuild; results equal the exact path on
+    a full-probe config."""
+    st = VectorStore(spark, DIM)
+    st.upsert([{K_ID: f"v{i}", K_VECTOR: basis(i % DIM)} for i in range(16)])
+    st.build_ann_index(n_centroids=4)
+    path = str(tmp_path / "ann_store")
+    st.save(path)
+    assert os.path.isdir(os.path.join(path, "ann_ivf"))
+
+    s2 = VectorStore(spark, DIM, storage_path=path)
+    assert s2._ann is not None  # loaded, not rebuilt
+    before = s2._last_ann_rebuild_mode
+    got = s2.query([basis(0)], top_k=3, ann=True, nprobe=4).collect()
+    exact = s2.query([basis(0)], top_k=3, ann=False).collect()
+    key = lambda rows: sorted((r[K_ID], r[K_METRICS]) for r in rows)
+    assert key(got) == key(exact)
+    assert s2._last_ann_rebuild_mode == before  # no rebuild happened
+
+    # a second save of the reloaded store (index scan points at `path`)
+    # must survive the swap and keep both store and index live
+    s2.save()
+    assert s2.count() == 16
+    assert s2.query([basis(1)], top_k=2, ann=True, nprobe=4).count() > 0
+
+
+def test_save_without_ann_writes_no_artifact(spark, tmp_path):
+    st = VectorStore(spark, DIM)
+    st.upsert([{K_ID: "a", K_VECTOR: basis(0)}])
+    path = str(tmp_path / "no_ann_store")
+    st.save(path)
+    assert not os.path.exists(os.path.join(path, "ann_ivf"))
