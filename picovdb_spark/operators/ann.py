@@ -45,6 +45,29 @@ def _as_matrix(rows, col: str) -> np.ndarray:
     return np.asarray([np.asarray(r[col], dtype=np.float64) for r in rows])
 
 
+def sample_matrix(
+    store: DataFrame,
+    *,
+    vector_col: str = K_VECTOR,
+    sample_size: int = 25_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Bounded distributed sample of the vector column as a dense (n, dim)
+    float64 matrix, fetched via Arrow (`toArrow` + zero-copy flatten).
+    The per-Row collect this replaces deserialized 25k array Rows through
+    Python objects — ~13 s at dim 1024 vs ~1 s here (bench history);
+    both k-means fits draw their sample through this one path."""
+    total = store.count()
+    frac = min(1.0, (sample_size * 1.2) / max(total, 1))
+    df = store.select(vector_col).sample(fraction=frac, seed=seed).limit(sample_size)
+    col = df.toArrow().column(0).combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0))
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, -1).astype(np.float64)
+
+
 def _normalize_rows(m: np.ndarray) -> np.ndarray:
     norms = np.sqrt((m * m).sum(axis=1))
     zero = norms == 0.0
@@ -86,6 +109,7 @@ def fit_centroids(
     sample_size: int = 25_000,
     n_iter: int = 10,
     seed: int = 42,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Spherical k-means on a bounded sample; returns (k, dim) float64
     unit centroids.
@@ -97,14 +121,13 @@ def fit_centroids(
     distributed fit via pyspark.ml KMeans is a drop-in upgrade; a
     bounded-sample fit is standard practice for IVF coarse quantizers.)
     """
-    total = store.count()
-    frac = min(1.0, (sample_size * 1.2) / max(total, 1))
-    rows = (
-        store.select(vector_col).sample(fraction=frac, seed=seed).limit(sample_size).collect()
-    )
-    if not rows:
+    if sample is None:
+        sample = sample_matrix(
+            store, vector_col=vector_col, sample_size=sample_size, seed=seed
+        )
+    if sample.size == 0:
         raise ValueError("cannot fit IVF centroids on an empty store")
-    x = _normalize_rows(_as_matrix(rows, vector_col)).astype(np.float32)
+    x = _normalize_rows(sample).astype(np.float32)
     # f32 fit: clustering tolerates it (assignments are argmax over well-
     # separated scores), query-time scoring keeps its own precision
     k = min(n_centroids, len(x))

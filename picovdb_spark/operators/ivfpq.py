@@ -51,11 +51,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from picovdb_spark.operators.ann import (
-    CLUSTER_COL,
-    assign_clusters,
-    fit_centroids,
-)
+from picovdb_spark.operators.ann import CLUSTER_COL, fit_centroids
 from picovdb_spark.operators.pq import adc_tables, exact_rescore, fit_pq, pq_encode
 from picovdb_spark.schema import K_DELETED, K_ID, K_METRICS, K_VECTOR
 
@@ -93,17 +89,26 @@ class IvfPqIndex:
         than the store and is what gets cached/persisted."""
         if K_DELETED in store.columns:
             store = store.filter(~F.col(K_DELETED)).drop(K_DELETED)
-        cent = fit_centroids(store, n_centroids, vector_col=vector_col, seed=seed)
-        books = fit_pq(
-            store, vector_col=vector_col, m=m, k=k, sample_size=sample_size, seed=seed
+        # one Arrow-path sample feeds BOTH fits; one fused kernel does
+        # assignment + encoding (the vector payload crosses JVM↔Python
+        # once instead of three times — build history: 30 s → ~17 s)
+        from picovdb_spark.operators.ann import sample_matrix
+
+        sample = sample_matrix(
+            store, vector_col=vector_col, sample_size=sample_size, seed=seed
         )
-        assigned = assign_clusters(store, cent, vector_col=vector_col)
+        cent = fit_centroids(
+            store, n_centroids, vector_col=vector_col, seed=seed, sample=sample
+        )
+        books = fit_pq(
+            store, vector_col=vector_col, m=m, k=k, seed=seed, sample=sample
+        )
         codes = pq_encode(
-            assigned,
+            store,
             books,
             id_col=id_col,
             vector_col=vector_col,
-            passthrough_cols=[CLUSTER_COL],
+            centroids=cent,
         )
         # cluster-clustered layout: probing prunes whole partitions
         codes = codes.repartition(max(len(cent) // 4, 1), CLUSTER_COL)

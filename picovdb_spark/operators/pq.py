@@ -58,18 +58,22 @@ def fit_pq(
     sample_size: int = 25_000,
     n_iter: int = 10,
     seed: int = 42,
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Fit per-subspace codebooks on a bounded sample: returns
+    """Fit per-subspace codebooks on a bounded sample (drawn via the
+    Arrow path, `ann.sample_matrix`; IVF-PQ passes one shared sample so
+    centroids and codebooks price the collect once): returns
     (m, k, dim/m) float64. dim must divide evenly by m (standard PQ
     constraint; pad upstream if not)."""
-    total = store.count()
-    frac = min(1.0, (sample_size * 1.2) / max(total, 1))
-    rows = (
-        store.select(vector_col).sample(fraction=frac, seed=seed).limit(sample_size).collect()
-    )
-    if not rows:
+    from picovdb_spark.operators.ann import sample_matrix
+
+    if sample is None:
+        sample = sample_matrix(
+            store, vector_col=vector_col, sample_size=sample_size, seed=seed
+        )
+    if sample.size == 0:
         raise ValueError("cannot fit PQ codebooks on an empty store")
-    x = _normalize_rows(_as_matrix(rows, vector_col))
+    x = _normalize_rows(sample)
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -103,24 +107,38 @@ def pq_encode(
     id_col: str = K_ID,
     vector_col: str = K_VECTOR,
     passthrough_cols: list[str] | None = None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """(id, [passthrough…,] codes array<int>) — one map pass, no shuffle.
-    Vectors are unit-normalized before encoding (store invariant;
-    zero ⇒ e₀). `passthrough_cols` carry narrow columns (e.g. the IVF
-    cluster id) through the kernel unchanged."""
+    """(id, [passthrough…,] [__cluster,] codes array<int>) — one map
+    pass, no shuffle. Vectors are unit-normalized before encoding (store
+    invariant; zero ⇒ e₀). `passthrough_cols` carry narrow columns
+    through the kernel unchanged. With `centroids`, the kernel ALSO
+    assigns each row's IVF cluster (argmax cosine) in the same pass —
+    chaining `assign_clusters` before this kernel would push the full
+    vector payload across the JVM↔Python boundary twice more; fused, it
+    crosses once (IVF-PQ build path)."""
+    from picovdb_spark.operators.ann import CLUSTER_COL
+
     spark = store.sparkSession
     extra = list(passthrough_cols or [])
-    bc = spark.sparkContext.broadcast(np.ascontiguousarray(codebooks))
+    with_cluster = centroids is not None
+    bc = spark.sparkContext.broadcast(
+        (
+            np.ascontiguousarray(codebooks),
+            np.ascontiguousarray(centroids) if with_cluster else None,
+        )
+    )
     out_schema = T.StructType(
         [T.StructField(id_col, store.schema[id_col].dataType)]
         + [T.StructField(c, store.schema[c].dataType) for c in extra]
+        + ([T.StructField(CLUSTER_COL, T.IntegerType())] if with_cluster else [])
         + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
     )
 
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        books = bc.value
+        books, cent_mat = bc.value
         m, _, dsub = books.shape
         for pdf in batches:
             if pdf.empty:
@@ -141,6 +159,8 @@ def pq_encode(
             out = {id_col: pdf[id_col]}
             for c in extra:
                 out[c] = pdf[c]
+            if cent_mat is not None:
+                out[CLUSTER_COL] = np.argmax(v @ cent_mat.T, axis=1).astype("int32")
             out["codes"] = list(codes)
             yield pd.DataFrame(out)
 
