@@ -106,3 +106,38 @@ def test_stream_mark_runs_on_stream(spark, tmp_path):
     q.awaitTermination()
     rows = spark.table("mark_stream").collect()
     assert len(rows) == 1 and rows[0]["simhash"] != 0
+
+
+def test_stream_dedup_to_parquet_sink_e2e(spark, tmp_path):
+    """The ingest shape end-to-end: file stream -> cross-batch exact
+    dedup -> parquet sink; the landed corpus holds exactly one copy per
+    distinct content."""
+    src_dir = str(tmp_path / "e2e_src")
+    out_dir = str(tmp_path / "e2e_out")
+    ckpt = str(tmp_path / "e2e_ckpt")
+    from datetime import datetime
+
+    t0 = datetime(2024, 3, 1, 9, 0, 0)
+    t1 = datetime(2024, 3, 1, 9, 5, 0)
+    _write_doc_batch(spark, src_dir, [(1, t0, "one two three"), (2, t0, "four five six")])
+    _write_doc_batch(spark, src_dir, [(3, t1, "one two three"), (4, t1, "seven eight nine")])
+
+    src = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream_exact_dedup(src, ts_col="ts", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    landed = spark.read.parquet(out_dir)
+    texts = [r["text"] for r in landed.collect()]
+    assert sorted(texts) == ["four five six", "one two three", "seven eight nine"]
+    assert landed.filter(F.col("doc_id") == 3).count() == 0
