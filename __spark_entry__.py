@@ -1748,6 +1748,53 @@ def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "docs_domain_stats",
+    r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' see http://site' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example.com/page/' || CAST(doc_id AS VARCHAR)
+                   || ' and https://mirror' || CAST(doc_id % 5 AS VARCHAR)
+                   || '.example.org/x'
+              ELSE text END AS text
+  FROM documents
+),
+u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url FROM aug),
+d AS (SELECT doc_id, lower(regexp_extract(url, 'https?://([^/\s:]+)', 1)) AS domain FROM u)
+SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+FROM d GROUP BY domain
+""",
+)
+def _docs_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL stats (operators/textops.py domain_stats) — the
+    blocklist-curation input. The corpus has no URLs, so deterministic
+    ones are injected (doc_id-derived, identically in the SQL twin);
+    extraction is map-side regex, aggregation one narrow groupBy on the
+    domain string."""
+    from picovdb_spark.operators.textops import domain_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see http://site"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.com/page/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" and https://mirror"),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit(".example.org/x"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return domain_stats(aug)
+
+
 _SAMPLE_RATES = {"en": 0.5, "de": 0.8, "es": 0.25, "zh": 1.0}  # fr -> default 0.2
 
 

@@ -429,3 +429,58 @@ def stratified_sample(
     return docs.withColumn("__u", u).filter(F.col("__u") < rate).withColumn(
         "bucket", F.round(F.col("__u"), 6)
     ).drop("__u")
+
+
+URL_PATTERN = r"https?://[^\s]+"
+DOMAIN_PATTERN = r"https?://([^/\s:]+)"
+
+
+def extract_urls(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per URL occurrence: (id, url, domain) — pure map-side
+    regex (regexp_extract_all + explode), no Python, no shuffle. The
+    domain is lowercased host (port/path stripped)."""
+    urls = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), F.lit(0))
+        ).alias("url"),
+    )
+    return urls.withColumn(
+        "domain", F.lower(F.regexp_extract(F.col("url"), DOMAIN_PATTERN, 1))
+    )
+
+
+def domain_stats(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-domain corpus stats: (domain, n_urls, n_docs) — THE input to
+    blocklist/allowlist curation (cut spam domains, cap boilerplate
+    mirrors). Map-side extraction, one narrow groupBy on the domain
+    string; document text never shuffles."""
+    u = extract_urls(docs, id_col=id_col, text_col=text_col)
+    return u.groupBy("domain").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+
+
+def filter_domains(
+    docs: DataFrame,
+    blocklist: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop documents containing a URL on a blocked domain — broadcast
+    anti-join of the (tiny) blocklist against the extracted domains."""
+    spark = docs.sparkSession
+    bl = spark.createDataFrame([(d.lower(),) for d in blocklist], schema="domain string")
+    bad_ids = (
+        extract_urls(docs, id_col=id_col, text_col=text_col)
+        .join(F.broadcast(bl), on="domain", how="left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(bad_ids, on=id_col, how="left_anti")

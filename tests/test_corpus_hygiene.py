@@ -102,3 +102,21 @@ def test_keep_best_per_component_rule(spark):
     rows = {r["doc_id"]: r["keep"] for r in keep_best_per_component(comp, scores).collect()}
     # component 1: docs 2 and 3 tie at 0.9 -> smallest id (2) keeps
     assert rows == {1: False, 2: True, 3: False, 4: True, 5: True}
+
+
+def test_filter_domains_blocklist(spark):
+    from picovdb_spark.operators.textops import domain_stats, filter_domains
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean doc no links"),
+            (2, "spam here http://bad.example/x and more"),
+            (3, "good link https://ok.example.org/page"),
+            (4, "mixed http://bad.example/y plus https://ok.example.org/z"),
+        ],
+        schema="doc_id long, text string",
+    )
+    kept = filter_domains(docs, ["bad.example"])
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+    stats = {r["domain"]: (r["n_urls"], r["n_docs"]) for r in domain_stats(docs).collect()}
+    assert stats == {"bad.example": (2, 2), "ok.example.org": (2, 2)}
