@@ -43,7 +43,6 @@ pinned in tests/test_ivfpq.py.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 from dataclasses import dataclass
 
 import numpy as np
@@ -52,8 +51,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from picovdb_spark.operators.ann import CLUSTER_COL, fit_centroids
-from picovdb_spark.operators.pq import adc_tables, exact_rescore, fit_pq, pq_encode
-from picovdb_spark.schema import K_DELETED, K_ID, K_METRICS, K_VECTOR
+from picovdb_spark.operators.pq import fit_pq, pq_encode
+from picovdb_spark.schema import K_DELETED, K_ID, K_VECTOR
 
 
 @dataclass
@@ -179,17 +178,19 @@ class IvfPqIndex:
         rescored exactly (float64) against the raw store; nprobe =
         n_centroids and R ≥ store size degenerates to exact top-k (the
         oracle configuration)."""
+        from picovdb_spark.operators.pq import (
+            adc_local_candidates,
+            empty_topk_result,
+            finish_adc_topk,
+            resolve_refine,
+        )
         from picovdb_spark.operators.similarity import collect_normalized_queries
-        from picovdb_spark.operators.topk import topk_per_query
 
-        spark = self.codes.sparkSession
         qids, qmat = collect_normalized_queries(
             queries, query_id, vector_col or self.vector_col
         )
         if qmat.size == 0:
-            return spark.createDataFrame(
-                [], schema=f"query_id string, {K_ID} string, {K_METRICS} double, rank int"
-            )
+            return empty_topk_result(self.codes, self.id_col)
         cent = self.centroids
         nprobe = min(nprobe, len(cent))
         # driver-side routing, dense probe mask (same shape as ann_query:
@@ -199,75 +200,29 @@ class IvfPqIndex:
         probe_bool = np.zeros((len(qids), len(cent)), dtype=bool)
         np.put_along_axis(probe_bool, probes, True, axis=1)
 
-        tables = adc_tables(self.codebooks, qmat)
-        bc = spark.sparkContext.broadcast(
-            (np.asarray(qids, dtype=object), tables, probe_bool)
-        )
-        m = self.codebooks.shape[0]
-        n_cand = int(refine_k or top_k)
-        pad = 1.5 * 10.0 ** (-round_to)
-        id_col = self.id_col
-
-        def kernel(batches: Iterator) -> Iterator:
-            import pyarrow as pa
-
-            b_qids, b_tables, b_probes = bc.value
-            nq = len(b_qids)
-            for batch in batches:
-                n = batch.num_rows
-                if n == 0:
-                    continue
-                clusters = batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
-                codes = (
-                    batch.column(2).flatten().to_numpy(zero_copy_only=False).reshape(n, m)
-                )
-                scores = np.zeros((nq, n), dtype=np.float32)
-                for s in range(m):
-                    scores += b_tables[:, s, :][:, codes[:, s]]
-                # rows outside a query's own probe set never become its
-                # candidates, even when another query probes that cluster
-                scores[~b_probes[:, clusters]] = -np.inf
-                cut = min(n_cand, n)
-                kth = np.partition(scores, n - cut, axis=1)[:, n - cut]
-                qi, vi = np.nonzero(
-                    (scores >= (kth - pad)[:, None]) & (scores > -np.inf)
-                )
-                ids = batch.column(0).to_numpy(zero_copy_only=False)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(b_qids[qi]),
-                        pa.array(ids[vi]),
-                        pa.array(scores[qi, vi].astype(np.float64)),
-                    ],
-                    names=["query_id", id_col, "__adc"],
-                )
-
-        id_ddl = self.codes.schema[id_col].dataType.simpleString()
-        # partition pruning: unprobed clusters are never scanned
+        n_cand, refine = resolve_refine(refine_k, top_k)
+        # partition pruning: unprobed clusters are never scanned; the
+        # shared ADC kernel applies the per-query probe mask
         pruned = self.codes.filter(F.col(CLUSTER_COL).isin(probed_union))
-        local = pruned.select(id_col, CLUSTER_COL, "codes").mapInArrow(
-            kernel, schema=f"query_id string, {id_col} {id_ddl}, __adc double"
+        local = adc_local_candidates(
+            pruned,
+            self.codebooks,
+            qids,
+            qmat,
+            id_col=self.id_col,
+            n_cand=n_cand,
+            round_to=round_to,
+            probe_bool=probe_bool,
         )
-        if refine_k is None:
-            scored = local.select(
-                "query_id", id_col, F.round(F.col("__adc"), round_to).alias(K_METRICS)
-            )
-        else:
-            if self.store is None:
-                raise ValueError("refine requires the original store on the index")
-            cand = topk_per_query(
-                local.select("query_id", id_col, F.col("__adc").alias(K_METRICS)),
-                n_cand,
-                id_col=id_col,
-                rank_col=None,
-            ).select("query_id", id_col)
-            scored = exact_rescore(
-                self.store,
-                cand,
-                qids,
-                qmat,
-                id_col=id_col,
-                vector_col=self.vector_col,
-                round_to=round_to,
-            )
-        return topk_per_query(scored, top_k, id_col=id_col)
+        return finish_adc_topk(
+            local,
+            self.store,
+            qids,
+            qmat,
+            id_col=self.id_col,
+            vector_col=self.vector_col,
+            top_k=top_k,
+            n_cand=n_cand,
+            refine=refine,
+            round_to=round_to,
+        )

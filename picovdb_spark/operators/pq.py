@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from picovdb_spark.operators.ann import _as_matrix, _normalize_rows
+from picovdb_spark.operators.ann import _normalize_rows
 from picovdb_spark.schema import K_ID, K_METRICS, K_VECTOR
 
 
@@ -232,6 +232,144 @@ def exact_rescore(
     return joined.mapInPandas(rescore, schema=rs_schema)
 
 
+def adc_local_candidates(
+    codes_df: DataFrame,
+    codebooks: np.ndarray,
+    qids,
+    qmat: np.ndarray,
+    *,
+    id_col: str,
+    n_cand: int,
+    round_to: int,
+    probe_bool: np.ndarray | None = None,
+) -> DataFrame:
+    """Partition-local ADC scoring + tie-complete top-`n_cand`:
+    (query_id, id, __adc). The ONE kernel behind both PQ (probe_bool
+    None — score everything) and IVF-PQ (probe_bool (nq, n_centroids)
+    — rows outside a query's probe set masked to -inf; `codes_df` must
+    then carry the `__cluster` column).
+
+    Tie semantics: selection on RAW float32 ADC scores padded by
+    1.5·10^-round_to so a rounded boundary tie can't be dropped (the
+    same rule as similarity._gemm_topk)."""
+    import pyarrow as pa  # noqa: F401  (workers import lazily)
+
+    from picovdb_spark.operators.ann import CLUSTER_COL
+
+    spark = codes_df.sparkSession
+    m = codebooks.shape[0]
+    tables = adc_tables(codebooks, qmat)
+    bc = spark.sparkContext.broadcast(
+        (np.asarray(qids, dtype=object), tables, probe_bool)
+    )
+    pad = 1.5 * 10.0 ** (-round_to)
+    with_probe = probe_bool is not None
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        b_qids, b_tables, b_probes = bc.value
+        nq = len(b_qids)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            if b_probes is not None:
+                clusters = (
+                    batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+                code_col = batch.column(2)
+            else:
+                clusters = None
+                code_col = batch.column(1)
+            # zero-copy flatten: list<int32> column → (n, m) matrix
+            codes = code_col.flatten().to_numpy(zero_copy_only=False).reshape(n, m)
+            # ADC: scores[q, i] = Σ_s tables[q, s, codes[i, s]]
+            scores = np.zeros((nq, n), dtype=np.float32)
+            for s in range(m):
+                scores += b_tables[:, s, :][:, codes[:, s]]
+            if clusters is not None:
+                # rows outside a query's own probe set never become its
+                # candidates, even when another query probes that cluster
+                scores[~b_probes[:, clusters]] = -np.inf
+            cut = min(n_cand, n)
+            kth = np.partition(scores, n - cut, axis=1)[:, n - cut]
+            qi, vi = np.nonzero((scores >= (kth - pad)[:, None]) & (scores > -np.inf))
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(b_qids[qi]),
+                    pa.array(ids[vi]),
+                    pa.array(scores[qi, vi].astype(np.float64)),
+                ],
+                names=["query_id", id_col, "__adc"],
+            )
+
+    id_ddl = codes_df.schema[id_col].dataType.simpleString()
+    cols = [id_col] + ([CLUSTER_COL] if with_probe else []) + ["codes"]
+    return codes_df.select(*cols).mapInArrow(
+        kernel, schema=f"query_id string, {id_col} {id_ddl}, __adc double"
+    )
+
+
+def finish_adc_topk(
+    local: DataFrame,
+    store: DataFrame | None,
+    qids,
+    qmat: np.ndarray,
+    *,
+    id_col: str,
+    vector_col: str,
+    top_k: int,
+    n_cand: int,
+    refine: bool,
+    round_to: int,
+) -> DataFrame:
+    """Shared ADC finishing: either round the ADC scores, or merge the
+    global top-`n_cand` candidates and rescore them EXACTLY against the
+    raw store (broadcast join — the store is never shuffled), then the
+    global per-query top-k."""
+    from picovdb_spark.operators.topk import topk_per_query
+
+    if not refine:
+        scored = local.select(
+            "query_id", id_col, F.round(F.col("__adc"), round_to).alias(K_METRICS)
+        )
+    else:
+        if store is None:
+            raise ValueError("refine requires the original store on the index")
+        cand = topk_per_query(
+            local.select("query_id", id_col, F.col("__adc").alias(K_METRICS)),
+            n_cand,
+            id_col=id_col,
+            rank_col=None,
+        ).select("query_id", id_col)
+        scored = exact_rescore(
+            store, cand, qids, qmat, id_col=id_col, vector_col=vector_col, round_to=round_to
+        )
+    return topk_per_query(scored, top_k, id_col=id_col)
+
+
+def resolve_refine(refine_k, top_k: int) -> tuple[int, bool]:
+    """(candidate width, refine?) from a `refine_k` argument; explicit
+    nonsense (< 1) is rejected instead of silently ignored."""
+    if refine_k is None:
+        return int(top_k), False
+    if int(refine_k) < 1:
+        raise ValueError(f"refine_k must be >= 1, got {refine_k}")
+    return int(refine_k), True
+
+
+def empty_topk_result(codes_df: DataFrame, id_col: str) -> DataFrame:
+    """Zero-row result with the SAME id column name/type as the
+    non-empty path (a hardcoded `_id_ string` broke downstream joins on
+    custom id columns only for empty query batches)."""
+    id_ddl = codes_df.schema[id_col].dataType.simpleString()
+    return codes_df.sparkSession.createDataFrame(
+        [], schema=f"query_id string, {id_col} {id_ddl}, {K_METRICS} double, rank int"
+    )
+
+
 @dataclass
 class PqIndex:
     """codes + codebooks + (for refine) the original store."""
@@ -255,6 +393,12 @@ class PqIndex:
         seed: int = 42,
         storage: str = "memory",
     ) -> "PqIndex":
+        from picovdb_spark.schema import K_DELETED
+
+        if K_DELETED in store.columns:
+            # tombstoned rows must not be encoded (they'd surface in
+            # top-k) — same rule as IvfIndex/IvfPqIndex.build
+            store = store.filter(~F.col(K_DELETED)).drop(K_DELETED)
         books = fit_pq(
             store, vector_col=vector_col, m=m, k=k, sample_size=sample_size, seed=seed
         )
@@ -284,84 +428,31 @@ class PqIndex:
         final top-k ranking/scores are exact cosine; R >= store size
         degenerates to exact top-k (the oracle configuration)."""
         from picovdb_spark.operators.similarity import collect_normalized_queries
-        from picovdb_spark.operators.topk import topk_per_query
 
-        spark = self.codes.sparkSession
         qids, qmat = collect_normalized_queries(
             queries, query_id, vector_col or self.vector_col
         )
         if qmat.size == 0:
-            return spark.createDataFrame(
-                [], schema=f"query_id string, {K_ID} string, {K_METRICS} double, rank int"
-            )
-        books = self.codebooks
-        m = books.shape[0]
-        tables = adc_tables(books, qmat)
-        bc = spark.sparkContext.broadcast((np.asarray(qids, dtype=object), tables))
-        n_cand = int(refine_k or top_k)
-        pad = 1.5 * 10.0 ** (-round_to)
-        id_col = self.id_col
-
-        def kernel(batches: Iterator) -> Iterator:
-            import pyarrow as pa
-
-            b_qids, b_tables = bc.value
-            nq = len(b_qids)
-            for batch in batches:
-                n = batch.num_rows
-                if n == 0:
-                    continue
-                # zero-copy flatten: list<int32> column → (n, m) matrix
-                codes = (
-                    batch.column(1).flatten().to_numpy(zero_copy_only=False)
-                    .reshape(n, m)
-                )
-                # ADC: scores[q, i] = Σ_s tables[q, s, codes[i, s]]
-                scores = np.zeros((nq, n), dtype=np.float32)
-                for s in range(m):
-                    scores += b_tables[:, s, :][:, codes[:, s]]
-                cut = min(n_cand, n)
-                kth = np.partition(scores, n - cut, axis=1)[:, n - cut]
-                qi, vi = np.nonzero(scores >= (kth - pad)[:, None])
-                ids = batch.column(0).to_numpy(zero_copy_only=False)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(b_qids[qi]),
-                        pa.array(ids[vi]),
-                        pa.array(scores[qi, vi].astype(np.float64)),
-                    ],
-                    names=["query_id", id_col, "__adc"],
-                )
-
-        id_ddl = self.codes.schema[id_col].dataType.simpleString()
-        local = self.codes.select(id_col, "codes").mapInArrow(
-            kernel, schema=f"query_id string, {id_col} {id_ddl}, __adc double"
+            return empty_topk_result(self.codes, self.id_col)
+        n_cand, refine = resolve_refine(refine_k, top_k)
+        local = adc_local_candidates(
+            self.codes,
+            self.codebooks,
+            qids,
+            qmat,
+            id_col=self.id_col,
+            n_cand=n_cand,
+            round_to=round_to,
         )
-        if refine_k is None:
-            scored = local.select(
-                "query_id", id_col, F.round(F.col("__adc"), round_to).alias(K_METRICS)
-            )
-        else:
-            if self.store is None:
-                raise ValueError("refine requires the original store on the index")
-            # candidate union across partitions, broadcast-joined back to
-            # the store's raw vectors, then EXACT rescore in an Arrow
-            # kernel — never a Catalyst fold over the vector (interpreted
-            # per-element, pathological at high dim) and the store is
-            # never shuffled (the candidate side is the broadcast side)
-            cand = topk_per_query(
-                local.select("query_id", id_col, F.col("__adc").alias(K_METRICS)),
-                n_cand,
-                id_col=id_col,
-                rank_col=None,
-            ).select("query_id", id_col)
-            scored = exact_rescore(
-                self.store,
-                cand,
-                qids,
-                qmat,
-                id_col=id_col,
-                vector_col=self.vector_col,
-                round_to=round_to,
-            )
-        return topk_per_query(scored, top_k, id_col=id_col)
+        return finish_adc_topk(
+            local,
+            self.store,
+            qids,
+            qmat,
+            id_col=self.id_col,
+            vector_col=self.vector_col,
+            top_k=top_k,
+            n_cand=n_cand,
+            refine=refine,
+            round_to=round_to,
+        )

@@ -67,7 +67,16 @@ def stream_exact_dedup(
     `dropDuplicates` copy.
     """
     out = docs.withColumn("__digest", content_digest(text_col))
-    if docs.isStreaming and ts_col is not None:
+    if docs.isStreaming:
+        if ts_col is None:
+            # the batch fallbacks are wrong on a stream: the min-id
+            # window is unsupported (AnalysisException at start), and a
+            # bare dropDuplicates accumulates UNBOUNDED state — the
+            # exact opposite of this module's contract
+            raise ValueError(
+                "streaming input requires ts_col (+ watermark) so dedup "
+                "state stays bounded by the watermark horizon"
+            )
         out = out.withWatermark(ts_col, watermark)
         return out.dropDuplicatesWithinWatermark(["__digest"]).drop("__digest")
     if id_col is not None:

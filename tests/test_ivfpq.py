@@ -139,3 +139,17 @@ def test_written_index_partition_pruning_plan(tmp_path, emb, queries, index):
     plan = explain_str(reopened.query(queries, top_k=5, nprobe=2))
     assert "PartitionFilters" in plan
     assert "__cluster" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_empty_query_batch_keeps_id_schema(spark, emb, index):
+    """Empty queries must return the SAME id column name/type as the
+    non-empty path (was hardcoded `_id_ string`)."""
+    empty = spark.createDataFrame([], schema=f"query_id string, {K_VECTOR} array<float>")
+    out = index.query(empty, top_k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", index.id_col, K_METRICS, "rank"]
+
+
+def test_refine_k_zero_rejected(queries, index):
+    with pytest.raises(ValueError, match="refine_k"):
+        index.query(queries, top_k=5, refine_k=0)

@@ -111,3 +111,18 @@ def test_dim_not_divisible_raises(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         fit_pq(df, m=2, k=4, sample_size=10)
+
+
+def test_build_filters_tombstones(spark, emb, queries):
+    """Deleted rows must never be encoded into the PQ index (same rule
+    as IvfIndex/IvfPqIndex.build)."""
+    from pyspark.sql import functions as F
+
+    from picovdb_spark.schema import K_DELETED
+
+    with_deleted = emb.withColumn(K_DELETED, F.col(K_ID).cast("long") < 100)
+    idx = PqIndex.build(with_deleted, m=16, k=16, seed=7)
+    n_live = with_deleted.filter(~F.col(K_DELETED)).count()
+    assert idx.codes.count() == n_live
+    hits = idx.query(queries, top_k=10).collect()
+    assert all(int(r[K_ID]) >= 100 for r in hits)

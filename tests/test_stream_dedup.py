@@ -141,3 +141,15 @@ def test_stream_dedup_to_parquet_sink_e2e(spark, tmp_path):
     texts = [r["text"] for r in landed.collect()]
     assert sorted(texts) == ["four five six", "one two three", "seven eight nine"]
     assert landed.filter(F.col("doc_id") == 3).count() == 0
+
+
+def test_stream_without_ts_col_rejected(spark, tmp_path):
+    """A streaming source without ts_col must fail fast (the batch
+    fallbacks would either crash at start or grow unbounded state)."""
+    d = str(tmp_path / "no_ts_src")
+    from datetime import datetime
+
+    _write_doc_batch(spark, d, [(1, datetime(2024, 1, 1), "a b c")])
+    src = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(d)
+    with pytest.raises(ValueError, match="ts_col"):
+        stream_exact_dedup(src)
