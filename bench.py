@@ -387,6 +387,98 @@ def bench_queries(spark):
         batch = s.limit(100_000)
         _force(merge_upsert(s, batch, id_col="_id_"))
 
+    # -- scale-tier workloads: 1M x 256 (1 GB of float32) — the regime
+    # where compressed routed search OVERTAKES the exact scan. At the
+    # reference's own 100k x 1024 (400 MB) the exact GEMM wins because
+    # scanning 400 MB is cheap; at 10x the rows the raw-vector scan
+    # dominates and IVF-PQ's (nprobe/n_centroids) x (1/128) byte
+    # footprint pays for its routing overhead. 100 TB is this curve
+    # continued, not a different mechanism.
+    scale_state = {}
+
+    def _scale1m_store():
+        if "store" not in scale_state:
+            import numpy as np
+            from pyspark.sql import types as T
+
+            spark.catalog.clearCache()
+            n, dim, parts = 1_000_000, 256, 32
+            schema = T.StructType(
+                [
+                    T.StructField("_id_", T.StringType()),
+                    T.StructField(K_VECTOR, T.ArrayType(T.FloatType())),
+                ]
+            )
+
+            def gen(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    ids = pdf["id"].to_numpy()
+                    rng = np.random.default_rng(int(ids[0]) + 7)
+                    mat = rng.standard_normal((len(ids), dim)).astype(np.float32)
+                    mat /= np.sqrt((mat * mat).sum(axis=1))[:, None]
+                    yield pd.DataFrame({"_id_": ids.astype(str), K_VECTOR: list(mat)})
+
+            base = spark.range(n).repartition(parts).mapInPandas(gen, schema=schema)
+            scale_state["store"] = base.cache()
+            scale_state["store"].count()
+            scale_state["queries"] = (
+                scale_state["store"]
+                .limit(100)
+                .select(F.col("_id_").alias("query_id"), F.col(K_VECTOR))
+                .cache()
+            )
+            scale_state["queries"].count()
+            # same steady-state convention as the ref tier
+            _force(
+                batch_query(
+                    scale_state["store"],
+                    scale_state["queries"],
+                    top_k=10,
+                    method="gemm",
+                    normalized=True,
+                    score_dtype="float32",
+                )
+            )
+        return scale_state["store"], scale_state["queries"]
+
+    def q_scale1m_batch_100_exact():
+        s, q = _scale1m_store()
+        _force(
+            batch_query(
+                s, q, top_k=10, method="gemm", normalized=True, score_dtype="float32"
+            )
+        )
+
+    def q_scale1m_ivfpq_build():
+        from picovdb_spark.operators.ivfpq import IvfPqIndex
+
+        s, _ = _scale1m_store()
+        # cluster_raw: raw vectors live in the inverted lists too, so
+        # refine reads only probed clusters (without it, refine re-scans
+        # the whole raw store and can never beat the exact scan)
+        scale_state["ivfpq"] = IvfPqIndex.build(
+            s, n_centroids=256, m=8, k=256, seed=42, storage="memory", cluster_raw=True
+        )
+        scale_state["ivfpq"].codes.count()
+        scale_state["ivfpq"].raw_by_cluster.count()
+        _force(scale_state["ivfpq"].query(_scale1m_store()[1], top_k=10, nprobe=8, refine_k=50))
+
+    def q_scale1m_ivfpq_query_100():
+        # 100 queries x 8 probes over 256 clusters: probe union ~saturated
+        # — the honest near-worst regime for routing
+        _, q = _scale1m_store()
+        _force(scale_state["ivfpq"].query(q, top_k=10, nprobe=8, refine_k=50))
+
+    def q_scale1m_ivfpq_query_8():
+        # selective regime: 8 queries probe <= 64/256 clusters — codes
+        # AND refine scans prune to ~25% of the store's clusters
+        _, q = _scale1m_store()
+        _force(scale_state["ivfpq"].query(q.limit(8), top_k=10, nprobe=8, refine_k=50))
+
     def _cleanup_resident():
         # drop the node-local shm blocks: they live in /dev/shm, which
         # outlives this process — leaking them accumulates across runs
@@ -436,6 +528,11 @@ def bench_queries(spark):
         "ref100k_ivf_build": q_ref100k_ivf_build,
         "ref100k_ivf_query_100": q_ref100k_ivf_query_100,
         "ref100k_upsert": q_ref100k_upsert,
+        "_prepare_scale1m": lambda: _scale1m_store(),
+        "scale1m_batch_100_exact": q_scale1m_batch_100_exact,
+        "scale1m_ivfpq_build": q_scale1m_ivfpq_build,
+        "scale1m_ivfpq_query_100": q_scale1m_ivfpq_query_100,
+        "scale1m_ivfpq_query_8": q_scale1m_ivfpq_query_8,
         "_cleanup_resident": _cleanup_resident,
     }
 
@@ -467,6 +564,9 @@ def main() -> None:
         "ref100k_pq_query_1000",
         "ref100k_ivfpq_query_1000",
         "ref100k_ivf_query_100",
+        "scale1m_batch_100_exact",
+        "scale1m_ivfpq_query_100",
+        "scale1m_ivfpq_query_8",
     }
     timings: dict[str, float] = {}
     for name, fn in bench_queries(spark).items():
@@ -474,7 +574,10 @@ def main() -> None:
             fn()  # setup step — runs, not timed
             continue
         passes = []
-        for _ in range(3 if name in median3 else 1):
+        # the bar metric gets 5 passes: it drifted 1.2-1.9 s across
+        # isolated runs at median-of-3 and the comparison bar is 2.0 s
+        n_passes = 5 if name == "ref100k_batch_1000" else (3 if name in median3 else 1)
+        for _ in range(n_passes):
             t0 = time.perf_counter()
             fn()
             passes.append(time.perf_counter() - t0)

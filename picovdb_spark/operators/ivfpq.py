@@ -66,6 +66,11 @@ class IvfPqIndex:
     store: DataFrame | None = None
     id_col: str = K_ID
     vector_col: str = K_VECTOR
+    # raw vectors repartitioned by cluster (the FAISS inverted-list
+    # layout): lets the refine join scan ONLY probed clusters' raw
+    # vectors instead of the whole store — without it, refine pays a
+    # full raw scan and the routed path can never beat exact
+    raw_by_cluster: DataFrame | None = None
 
     @classmethod
     def build(
@@ -80,6 +85,7 @@ class IvfPqIndex:
         sample_size: int = 25_000,
         seed: int = 42,
         storage: str = "memory",
+        cluster_raw: bool = False,
     ) -> "IvfPqIndex":
         """Fit centroids and codebooks on bounded samples (driver-side
         Lloyd — kilobytes of model state, broadcast everywhere), then ONE
@@ -102,13 +108,28 @@ class IvfPqIndex:
         books = fit_pq(
             store, vector_col=vector_col, m=m, k=k, seed=seed, sample=sample
         )
+        raw_cols = [id_col, CLUSTER_COL, vector_col] if cluster_raw else None
         codes = pq_encode(
             store,
             books,
             id_col=id_col,
             vector_col=vector_col,
             centroids=cent,
+            passthrough_cols=[vector_col] if cluster_raw else None,
         )
+        raw = None
+        if cluster_raw:
+            # the inverted-list layout for REFINE: raw vectors clustered
+            # alongside the codes, so rescoring candidates only reads the
+            # probed clusters (FAISS keeps raw/SQ vectors in the inverted
+            # lists for exactly this reason). Costs one extra resident
+            # copy of the vector column — opt-in.
+            raw = (
+                codes.select(id_col, CLUSTER_COL, vector_col)
+                .repartition(max(len(cent) // 4, 1), CLUSTER_COL)
+                .persist()
+            )
+            codes = codes.drop(vector_col)
         # cluster-clustered layout: probing prunes whole partitions
         codes = codes.repartition(max(len(cent) // 4, 1), CLUSTER_COL)
         if storage == "memory":
@@ -122,6 +143,7 @@ class IvfPqIndex:
             store=store,
             id_col=id_col,
             vector_col=vector_col,
+            raw_by_cluster=raw,
         )
 
     def write(self, path: str) -> None:
@@ -214,9 +236,17 @@ class IvfPqIndex:
             round_to=round_to,
             probe_bool=probe_bool,
         )
+        refine_store = self.store
+        if self.raw_by_cluster is not None:
+            # candidates are all inside probed clusters (the ADC mask
+            # guarantees it), so refine only reads those clusters' raw
+            # vectors — the whole point of the inverted-list layout
+            refine_store = self.raw_by_cluster.filter(
+                F.col(CLUSTER_COL).isin(probed_union)
+            )
         return finish_adc_topk(
             local,
-            self.store,
+            refine_store,
             qids,
             qmat,
             id_col=self.id_col,

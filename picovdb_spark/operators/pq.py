@@ -164,7 +164,12 @@ def pq_encode(
             out["codes"] = list(codes)
             yield pd.DataFrame(out)
 
-    return store.select(id_col, *extra, vector_col).mapInPandas(kernel, schema=out_schema)
+    sel_cols = [id_col, *extra]
+    if vector_col not in sel_cols:
+        # the vector may itself be a passthrough (IVF-PQ's cluster_raw
+        # layout re-emits it next to the codes) — don't select it twice
+        sel_cols.append(vector_col)
+    return store.select(*sel_cols).mapInPandas(kernel, schema=out_schema)
 
 
 def adc_tables(codebooks: np.ndarray, qmat: np.ndarray) -> np.ndarray:

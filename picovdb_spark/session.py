@@ -18,8 +18,11 @@ _DEFAULT_CONFS = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     # local-mode driver == executor: give it real heap (128 GiB box) and
     # silence JVM unified logging, which writes to STDOUT and would break
-    # one-line-JSON output contracts (bench.py)
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # one-line-JSON output contracts (bench.py). 8g thrashed GC once the
+    # bench's scale tier held two ~1 GB columnar caches simultaneously
+    # (measured 2.1 s -> 8.8 s on the same workload); 32g leaves
+    # headroom for every tier on the 128 GiB harness
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
     "spark.driver.extraJavaOptions": "-Xlog:disable",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

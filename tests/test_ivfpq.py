@@ -153,3 +153,22 @@ def test_empty_query_batch_keeps_id_schema(spark, emb, index):
 def test_refine_k_zero_rejected(queries, index):
     with pytest.raises(ValueError, match="refine_k"):
         index.query(queries, top_k=5, refine_k=0)
+
+
+def test_cluster_raw_refine_matches_plain_refine(emb, queries):
+    """The inverted-list raw layout must change the PLAN (refine reads
+    only probed clusters), never the RESULT."""
+    plain = IvfPqIndex.build(emb, n_centroids=16, m=16, k=64, seed=42)
+    clustered = IvfPqIndex.build(
+        emb, n_centroids=16, m=16, k=64, seed=42, cluster_raw=True
+    )
+    assert clustered.raw_by_cluster is not None
+    a = sorted(
+        (r["query_id"], r["rank"], r[K_ID], r[K_METRICS])
+        for r in plain.query(queries, top_k=5, nprobe=4, refine_k=50).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r[K_ID], r[K_METRICS])
+        for r in clustered.query(queries, top_k=5, nprobe=4, refine_k=50).collect()
+    )
+    assert a == b
