@@ -120,9 +120,11 @@ def test_star_join_broadcasts_small_dims(spark, sf_dir):
 
 
 def test_point_lookup_entry_pushes_physical_key(spark, sf_dir):
+    # the point-lookup callable now ships inside store_read_suite; the
+    # per-path plan property is pinned on the unregistered variant
     import __spark_entry__ as entry_mod
 
-    df = entry_mod.queries()["point_lookup"](spark, sf_dir)
+    df = entry_mod._point_lookup(spark, sf_dir)
     fs = pushed_filters(df)
     assert any("vec_id" in f and ("In(" in f or "EqualTo" in f or "Or(" in f) for f in fs), fs
 
