@@ -572,10 +572,15 @@ def keep_best_per_component(
     This is the decision rule real training-data pipelines use —
     min-id canonical keeps an arbitrary copy; keep-best retains the
     highest-quality one (longest/cleanest text) and drops the rest.
-    One narrow shuffle on component_id; document payloads never move."""
-    j = components.join(scores.select(id_col, score_col), on=id_col)
+    One narrow shuffle on component_id; document payloads never move.
+
+    Documents missing a score row stay in the output (LEFT join) with a
+    NULL score and sort LAST within their component (nulls-last ranking)
+    — an unscored doc never wins over a scored one, and is never
+    silently dropped from the decision set."""
+    j = components.join(scores.select(id_col, score_col), on=id_col, how="left")
     w = Window.partitionBy("component_id").orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc()
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
     )
     return (
         j.withColumn("__rn", F.row_number().over(w))

@@ -108,7 +108,6 @@ class IvfPqIndex:
         books = fit_pq(
             store, vector_col=vector_col, m=m, k=k, seed=seed, sample=sample
         )
-        raw_cols = [id_col, CLUSTER_COL, vector_col] if cluster_raw else None
         codes = pq_encode(
             store,
             books,
@@ -117,6 +116,8 @@ class IvfPqIndex:
             centroids=cent,
             passthrough_cols=[vector_col] if cluster_raw else None,
         )
+        # cluster-clustered layout: probing prunes whole partitions
+        n_parts = max(len(cent) // 4, 1)
         raw = None
         if cluster_raw:
             # the inverted-list layout for REFINE: raw vectors clustered
@@ -124,16 +125,18 @@ class IvfPqIndex:
             # probed clusters (FAISS keeps raw/SQ vectors in the inverted
             # lists for exactly this reason). Costs one extra resident
             # copy of the vector column — opt-in.
-            raw = (
-                codes.select(id_col, CLUSTER_COL, vector_col)
-                .repartition(max(len(cent) // 4, 1), CLUSTER_COL)
-                .persist()
-            )
-            codes = codes.drop(vector_col)
-        # cluster-clustered layout: probing prunes whole partitions
-        codes = codes.repartition(max(len(cent) // 4, 1), CLUSTER_COL)
+            # Persist the ENCODED output once and derive both the raw
+            # layout and the codes table from the cache, so the
+            # distributed encode pass (the expensive JVM↔Python vector
+            # transfer) runs exactly once, as documented above.
+            enc = codes.repartition(n_parts, CLUSTER_COL).persist()
+            enc.count()  # materialize the single encode pass
+            raw = enc.select(id_col, CLUSTER_COL, vector_col)
+            codes = enc.drop(vector_col)
+        else:
+            codes = codes.repartition(n_parts, CLUSTER_COL)
         if storage == "memory":
-            codes = codes.persist()
+            codes = codes if cluster_raw else codes.persist()
         elif storage == "checkpoint":
             codes = codes.localCheckpoint(eager=True)
         return cls(
@@ -148,10 +151,18 @@ class IvfPqIndex:
 
     def write(self, path: str) -> None:
         """Persist codes partitioned by cluster (Hive-style partition
-        pruning at query time) + the two tiny model arrays alongside."""
+        pruning at query time) + the two tiny model arrays alongside.
+        An index built with `cluster_raw=True` also persists the
+        inverted-list raw layout (`_raw/`, same cluster partitioning)
+        so a write/read round-trip keeps cluster-pruned refine instead
+        of silently falling back to a full raw-store scan."""
         import os
 
         self.codes.write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(path)
+        if self.raw_by_cluster is not None:
+            self.raw_by_cluster.write.mode("overwrite").partitionBy(CLUSTER_COL).parquet(
+                os.path.join(path, "_raw")
+            )
         for name, arr in (("_centroids", self.centroids), ("_codebooks", self.codebooks)):
             tmp = os.path.join(path, f"{name}.npy.tmp.npy")
             np.save(tmp, arr)
@@ -168,11 +179,18 @@ class IvfPqIndex:
         vector_col: str = K_VECTOR,
     ) -> "IvfPqIndex":
         """Reopen a written index lazily; pass `store` to re-enable the
-        exact-refine path (codes alone can serve ADC-only queries)."""
+        exact-refine path (codes alone can serve ADC-only queries). If
+        the index was written with the inverted-list raw layout
+        (`cluster_raw=True`), `_raw/` is restored too, so refine stays
+        cluster-pruned after the round-trip. (`_raw` is invisible to the
+        codes read: Spark's file index skips underscore-prefixed
+        directories.)"""
         import os
 
         cent = np.load(os.path.join(path, "_centroids.npy"))
         books = np.load(os.path.join(path, "_codebooks.npy"))
+        raw_path = os.path.join(path, "_raw")
+        raw = spark.read.parquet(raw_path) if os.path.isdir(raw_path) else None
         return cls(
             codes=spark.read.parquet(path),
             centroids=cent,
@@ -180,6 +198,7 @@ class IvfPqIndex:
             store=store,
             id_col=id_col,
             vector_col=vector_col,
+            raw_by_cluster=raw,
         )
 
     def query(

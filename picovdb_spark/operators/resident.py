@@ -140,14 +140,22 @@ class ResidentGemmStore:
                 rows = len(ids)
                 artifacts = [("ids", ids)]
                 if as_int8:
-                    # symmetric per-row quantization, same rule as
-                    # functions.vector.quantize_int8 (zero rows can't
-                    # occur post-normalization)
+                    # symmetric per-row quantization, same scale rule as
+                    # functions.vector.quantize_int8 incl. HALF_UP
+                    # rounding (Catalyst round()): half-away-from-zero
+                    # via sign*floor(|x|+0.5) — np.round would be
+                    # half-to-even and diverge at exact .5 boundaries.
+                    # Zero rows can't occur post-normalization, but a
+                    # pre_normalized=True caller may still hand us one —
+                    # guard the scale so it encodes as all-zero codes
+                    # instead of NaN.
                     scales = (
                         np.abs(mat).max(axis=1) / np.float32(127.0)
                     ).astype(np.float32)
+                    scales[scales == 0.0] = np.float32(1.0)
+                    scaled = mat / scales[:, None]
                     codes = np.ascontiguousarray(
-                        np.round(mat / scales[:, None]).astype(np.int8)
+                        (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int8)
                     )
                     artifacts += [("mat", codes), ("scales", scales)]
                 else:

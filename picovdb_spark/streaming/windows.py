@@ -30,9 +30,33 @@ def read_events_stream(
     readable as a nanos long) vs TIMESTAMP(MICROS)/NTZ — so the schema is
     inferred once from the files already present (metadata-only batch
     read) and `ts` normalized to a session-zone TIMESTAMP either way,
-    mirroring the batch loader (schema.load_events)."""
+    mirroring the batch loader (schema.load_events).
+
+    If the directory is empty (stream defined before any file arrives)
+    the explicit canonical schema is used instead — ts as
+    TIMESTAMP(MICROS), the current writer generation. One generation
+    per stream: files whose ts physical type differs from the schema
+    locked in here (e.g. a NANOS-long writer appearing mid-stream)
+    are NOT supported within a single run — restart the stream so the
+    schema re-infers."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    inferred = spark.read.parquet(source_dir).schema
+    try:
+        inferred = spark.read.parquet(source_dir).schema
+        if not inferred.fields:
+            raise ValueError("empty schema")
+    except Exception:
+        # empty/unreadable source dir: fall back to the canonical events
+        # schema rather than failing stream definition
+        inferred = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
     reader = spark.readStream.schema(inferred)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -104,6 +104,25 @@ def test_keep_best_per_component_rule(spark):
     assert rows == {1: False, 2: True, 3: False, 4: True, 5: True}
 
 
+def test_keep_best_unscored_docs_survive_and_never_win(spark):
+    """A doc missing a quality row must stay in the decision set (LEFT
+    join) with NULL score, rank last in its component, and keep only if
+    it is a singleton."""
+    from picovdb_spark.operators.dedup import keep_best_per_component
+
+    comp = spark.createDataFrame(
+        [(1, 1, False), (2, 1, True), (7, 7, False)],
+        schema="doc_id long, component_id long, is_dup boolean",
+    )
+    scores = spark.createDataFrame([(2, 0.1)], schema="doc_id long, quality double")
+    out = {r["doc_id"]: (r["keep"], r["quality"]) for r in
+           keep_best_per_component(comp, scores).collect()}
+    assert set(out) == {1, 2, 7}              # nobody silently dropped
+    assert out[2] == (True, 0.1)              # scored doc beats unscored
+    assert out[1][0] is False and out[1][1] is None
+    assert out[7][0] is True and out[7][1] is None  # unscored singleton keeps
+
+
 def test_filter_domains_blocklist(spark):
     from picovdb_spark.operators.textops import domain_stats, filter_domains
 

@@ -172,3 +172,25 @@ def test_cluster_raw_refine_matches_plain_refine(emb, queries):
         for r in clustered.query(queries, top_k=5, nprobe=4, refine_k=50).collect()
     )
     assert a == b
+
+
+def test_cluster_raw_survives_write_read_round_trip(tmp_path, emb, queries):
+    """write() persists the inverted-list raw layout and read() restores
+    it, so a reopened cluster_raw index keeps cluster-pruned refine
+    (and identical results) instead of silently scanning the full store."""
+    built = IvfPqIndex.build(
+        emb, n_centroids=16, m=16, k=64, seed=42, cluster_raw=True
+    )
+    p = str(tmp_path / "ivfpq_raw_idx")
+    built.write(p)
+    reopened = IvfPqIndex.read(built.codes.sparkSession, p, store=emb)
+    assert reopened.raw_by_cluster is not None
+    a = sorted(
+        (r["query_id"], r["rank"], r[K_ID], r[K_METRICS])
+        for r in built.query(queries, top_k=5, nprobe=4, refine_k=50).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r[K_ID], r[K_METRICS])
+        for r in reopened.query(queries, top_k=5, nprobe=4, refine_k=50).collect()
+    )
+    assert a == b

@@ -76,6 +76,20 @@ def _events_dir(sf_dir, tmp_path):
     return d
 
 
+def test_read_events_stream_on_empty_dir_uses_canonical_schema(spark, tmp_path):
+    """Defining the stream before any file has arrived must not raise:
+    the reader falls back to the explicit canonical events schema (ts as
+    TIMESTAMP) instead of failing schema inference on an empty dir."""
+    d = str(tmp_path / "empty_events")
+    os.makedirs(d, exist_ok=True)
+    stream = read_events_stream(spark, d)
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    assert set(dict(stream.dtypes)) == {
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    }
+
+
 def test_windowed_agg_stream_equals_batch(spark, sf_dir, tmp_path):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     events_dir = _events_dir(sf_dir, tmp_path)
