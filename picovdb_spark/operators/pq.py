@@ -251,8 +251,19 @@ def adc_local_candidates(
     """Partition-local ADC scoring + tie-complete top-`n_cand`:
     (query_id, id, __adc). The ONE kernel behind both PQ (probe_bool
     None — score everything) and IVF-PQ (probe_bool (nq, n_centroids)
-    — rows outside a query's probe set masked to -inf; `codes_df` must
-    then carry the `__cluster` column).
+    — `codes_df` must then carry the `__cluster` column).
+
+    Routed path (probe_bool set) is CLUSTER-SEGMENTED: the batch is
+    sorted by cluster once, and each cluster's rows are scored ONLY
+    against the queries that probe it. Total gather work is
+    Σ_c (probers(c) × |c|) ≈ nq × nprobe × avg_cluster — a factor
+    n_centroids/nprobe less than the dense (nq × n) matrix the r2
+    kernel built and then masked to -inf (32× at nprobe 8/256; this
+    was the whole routed-slower-than-exact overhead). Per-segment
+    tie-complete top-n_cand is a superset of the batch-global
+    selection for every query (a row in the batch top-n_cand is a
+    fortiori in its own segment's top-n_cand), and the downstream
+    global `topk_per_query` is exact, so results are identical.
 
     Tie semantics: selection on RAW float32 ADC scores padded by
     1.5·10^-round_to so a rounded boundary tie can't be dropped (the
@@ -263,49 +274,71 @@ def adc_local_candidates(
 
     spark = codes_df.sparkSession
     m = codebooks.shape[0]
-    tables = adc_tables(codebooks, qmat)
+    # (m, nq, k) C-contiguous: the kernel gathers tables[s][qsel] as a
+    # contiguous (nqs, k) block per subspace — the (nq, m, k) layout
+    # made every per-subspace slice strided
+    tables = np.ascontiguousarray(adc_tables(codebooks, qmat).transpose(1, 0, 2))
     bc = spark.sparkContext.broadcast(
         (np.asarray(qids, dtype=object), tables, probe_bool)
     )
     pad = 1.5 * 10.0 ** (-round_to)
     with_probe = probe_bool is not None
 
+    def select_rows(scores: np.ndarray, cut: int, row_qidx: np.ndarray, ids):
+        """Tie-complete top-`cut` per score row → (qid_idx, ids, scores)."""
+        ns = scores.shape[1]
+        cut = min(cut, ns)
+        kth = np.partition(scores, ns - cut, axis=1)[:, ns - cut]
+        qi, vi = np.nonzero(scores >= (kth - pad)[:, None])
+        return row_qidx[qi], ids[vi], scores[qi, vi]
+
     def kernel(batches: Iterator) -> Iterator:
         import pyarrow as pa
 
         b_qids, b_tables, b_probes = bc.value
         nq = len(b_qids)
+        all_q = np.arange(nq)
         for batch in batches:
             n = batch.num_rows
             if n == 0:
                 continue
-            if b_probes is not None:
+            code_col = batch.column(2 if b_probes is not None else 1)
+            # zero-copy flatten: list<int32> column → (n, m) matrix
+            codes = code_col.flatten().to_numpy(zero_copy_only=False).reshape(n, m)
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            out_q, out_i, out_s = [], [], []
+            if b_probes is None:
+                # PQ path: every query scores every row
+                scores = np.zeros((nq, n), dtype=np.float32)
+                for s in range(m):
+                    scores += b_tables[s][:, codes[:, s]]
+                q, i, sc = select_rows(scores, n_cand, all_q, ids)
+                out_q.append(q); out_i.append(i); out_s.append(sc)
+            else:
                 clusters = (
                     batch.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
                 )
-                code_col = batch.column(2)
-            else:
-                clusters = None
-                code_col = batch.column(1)
-            # zero-copy flatten: list<int32> column → (n, m) matrix
-            codes = code_col.flatten().to_numpy(zero_copy_only=False).reshape(n, m)
-            # ADC: scores[q, i] = Σ_s tables[q, s, codes[i, s]]
-            scores = np.zeros((nq, n), dtype=np.float32)
-            for s in range(m):
-                scores += b_tables[:, s, :][:, codes[:, s]]
-            if clusters is not None:
-                # rows outside a query's own probe set never become its
-                # candidates, even when another query probes that cluster
-                scores[~b_probes[:, clusters]] = -np.inf
-            cut = min(n_cand, n)
-            kth = np.partition(scores, n - cut, axis=1)[:, n - cut]
-            qi, vi = np.nonzero((scores >= (kth - pad)[:, None]) & (scores > -np.inf))
-            ids = batch.column(0).to_numpy(zero_copy_only=False)
+                order = np.argsort(clusters, kind="stable")
+                sorted_c = clusters[order]
+                # segment bounds: one slice of `order` per distinct cluster
+                cuts = np.flatnonzero(np.diff(sorted_c)) + 1
+                for seg in np.split(order, cuts):
+                    qsel = np.flatnonzero(b_probes[:, clusters[seg[0]]])
+                    if qsel.size == 0:
+                        continue
+                    seg_codes = codes[seg]
+                    scores = np.zeros((len(qsel), len(seg)), dtype=np.float32)
+                    for s in range(m):
+                        scores += b_tables[s][qsel][:, seg_codes[:, s]]
+                    q, i, sc = select_rows(scores, n_cand, qsel, ids[seg])
+                    out_q.append(q); out_i.append(i); out_s.append(sc)
+            if not out_q:
+                continue
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(b_qids[qi]),
-                    pa.array(ids[vi]),
-                    pa.array(scores[qi, vi].astype(np.float64)),
+                    pa.array(b_qids[np.concatenate(out_q)]),
+                    pa.array(np.concatenate(out_i)),
+                    pa.array(np.concatenate(out_s).astype(np.float64)),
                 ],
                 names=["query_id", id_col, "__adc"],
             )
