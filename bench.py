@@ -38,6 +38,11 @@ from picovdb_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_BATCH_QUERIES = int(os.environ.get("SPARK_GRAFT_BENCH_NQ", "1000"))
 
+# untimed diagnostics workloads attach here; main() merges them into the
+# output JSON (extra top-level keys — the driver contract only requires
+# metric/value/unit/queries/sf)
+EXTRA_STATS: dict = {}
+
 
 def _force(df) -> int:
     df.write.mode("overwrite").format("noop").save()
@@ -479,6 +484,179 @@ def bench_queries(spark):
         _, q = _scale1m_store()
         _force(scale_state["ivfpq"].query(q.limit(8), top_k=10, nprobe=8, refine_k=50))
 
+    # -- disk-backed tier: the 100 TB regime in miniature. Everything
+    # above serves from Spark columnar caches — the one configuration
+    # that CANNOT exist at 100 TB. Here the 1M x 256 store lives in
+    # parquet and the IVF-PQ index is a WRITTEN index (codes + raw
+    # hive-partitioned by cluster): the exact path pays the full
+    # parquet decode of the raw vector column every batch, while the
+    # routed path's probe filter is real file pruning — unprobed
+    # clusters are never read. This is the measured regime where
+    # routed IVF-PQ beats the exact scan (the crossover the in-memory
+    # tiers can't show because a 1 GB cache scan is nearly free).
+    # -- 1M-document dedup tier: the dedup ladder past sf0.1 (~10×
+    # the sf0.1 document count), proving the bucketed-join claims hold
+    # at the scale tier the ANN family is already measured at. The
+    # corpus is deterministic-from-doc_id (so partitioning doesn't
+    # matter): ~1/13 of docs are 1-2-word mutations of a base doc,
+    # planting real near-dup chains for minhash/simhash/components.
+    def _prepare_docs1m():
+        if "docs1m" in scale_state:
+            return
+        from pyspark.sql import types as T
+
+        n_docs, vocab_n, parts = 1_000_000, 2_000, 32
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            vocab = np.array([f"w{i}" for i in range(vocab_n)])
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                texts = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    # ids ≡ 1 (mod 40) are EXACT copies of the preceding
+                    # base doc (found by every dedup rung incl. the tight
+                    # hamming≤3 simhash class); ids ≡ 2 are 1-word
+                    # mutations (the near-dup class minhash targets).
+                    # Text derives from doc_id alone, so copies reproduce
+                    # their base under any partitioning.
+                    k = i % 40
+                    base = i - k if k in (1, 2) else i
+                    rng = np.random.default_rng(base)
+                    words = vocab[rng.integers(0, vocab_n, 24 + base % 16)]
+                    if k == 2:
+                        words = words.copy()
+                        words[6] = vocab[(base + k) % vocab_n]
+                    texts.append(" ".join(words))
+                yield pd.DataFrame({"doc_id": pdf["id"], "text": texts})
+
+        docs = spark.range(n_docs).repartition(parts).mapInPandas(gen, schema=schema)
+        scale_state["docs1m"] = docs.cache()
+        scale_state["docs1m"].count()
+        # skew evidence (untimed diagnostic, reported in the JSON):
+        # bucket-size distribution + exact candidate-pair count of the
+        # LSH self-join at this tier
+        from picovdb_spark.operators.dedup import lsh_bucket_stats
+
+        EXTRA_STATS["scale1m_dedup_buckets"] = lsh_bucket_stats(scale_state["docs1m"])
+
+    def q_scale1m_dedup_minhash():
+        scale_state["pairs1m"] = minhash_lsh_pairs(scale_state["docs1m"])
+        scale_state["pairs1m"].count()  # localCheckpointed: count = materialize
+
+    def q_scale1m_dedup_simhash():
+        # scale configuration (simhash_pairs docstring SCALE RULE):
+        # 60-bit fingerprints, 4 blocks of 15 → 32k buckets. The
+        # oracle-parity default (48/8 → 64 buckets) is Θ(n²/64) in
+        # random collisions — measured 59 s here vs 8 s for minhash
+        _force(simhash_pairs(scale_state["docs1m"], bits=60, max_hamming=3))
+
+    def q_scale1m_dedup_components():
+        from picovdb_spark.operators.dedup import connected_components
+
+        _force(connected_components(scale_state["pairs1m"], scale_state["docs1m"]))
+
+    def _prepare_disk_tier():
+        import tempfile
+
+        from picovdb_spark.operators.ivfpq import IvfPqIndex
+
+        s, q = _scale1m_store()
+        base = tempfile.mkdtemp(prefix="picovdb_disk_tier_")
+        scale_state["disk_base"] = base
+        s.write.mode("overwrite").parquet(f"{base}/store")
+        # reuse the already-built in-memory index: write = the real
+        # hive-partitioned layout; reopen = disk-backed serving
+        scale_state["ivfpq"].write(f"{base}/ivfpq")
+        disk_store = spark.read.parquet(f"{base}/store")
+        scale_state["disk_store"] = disk_store
+        scale_state["disk_ivfpq"] = IvfPqIndex.read(
+            spark, f"{base}/ivfpq", store=disk_store
+        )
+        scale_state["disk_q8"] = q.limit(8).cache()
+        scale_state["disk_q8"].count()
+        # one warm pass each (python-worker spin-up / parquet footer
+        # reads; page cache stays warm for BOTH paths — conservative
+        # for the routed side, which is the one claiming the win)
+        _force(
+            batch_query(
+                disk_store,
+                scale_state["disk_q8"],
+                top_k=10,
+                method="gemm",
+                normalized=True,
+                score_dtype="float32",
+            )
+        )
+        _force(
+            scale_state["disk_ivfpq"].query(
+                scale_state["disk_q8"], top_k=10, nprobe=8, refine_k=50
+            )
+        )
+
+    def q_scale1m_disk_exact_8():
+        # exact scan, parquet-backed: decodes all 1M x 256 floats
+        _force(
+            batch_query(
+                scale_state["disk_store"],
+                scale_state["disk_q8"],
+                top_k=10,
+                method="gemm",
+                normalized=True,
+                score_dtype="float32",
+            )
+        )
+
+    def q_scale1m_disk_ivfpq_8():
+        # routed, parquet-backed: reads ONLY probed clusters' code files
+        # (8 queries x 8 probes <= 64/256 clusters) + their raw files
+        # for refine — the partition-pruned 100 TB plan
+        _force(
+            scale_state["disk_ivfpq"].query(
+                scale_state["disk_q8"], top_k=10, nprobe=8, refine_k=50
+            )
+        )
+
+    def q_scale1m_disk_exact_1():
+        # single-query latency, disk-backed: the exact path still decodes
+        # the ENTIRE raw vector column for one query
+        _force(
+            batch_query(
+                scale_state["disk_store"],
+                scale_state["disk_q8"].limit(1),
+                top_k=10,
+                method="gemm",
+                normalized=True,
+                score_dtype="float32",
+            )
+        )
+
+    def q_scale1m_disk_ivfpq_1():
+        # single query probes 8/256 clusters — 3% of the code files, 3%
+        # of the raw files: the regime partition pruning exists for
+        _force(
+            scale_state["disk_ivfpq"].query(
+                scale_state["disk_q8"].limit(1), top_k=10, nprobe=8, refine_k=50
+            )
+        )
+
+    def _cleanup_disk_tier():
+        import shutil
+
+        base = scale_state.pop("disk_base", None)
+        if base:
+            shutil.rmtree(base, ignore_errors=True)
+
     def _cleanup_resident():
         # drop the node-local shm blocks: they live in /dev/shm, which
         # outlives this process — leaking them accumulates across runs
@@ -533,6 +711,16 @@ def bench_queries(spark):
         "scale1m_ivfpq_build": q_scale1m_ivfpq_build,
         "scale1m_ivfpq_query_100": q_scale1m_ivfpq_query_100,
         "scale1m_ivfpq_query_8": q_scale1m_ivfpq_query_8,
+        "_prepare_docs1m": _prepare_docs1m,
+        "scale1m_dedup_minhash": q_scale1m_dedup_minhash,
+        "scale1m_dedup_simhash": q_scale1m_dedup_simhash,
+        "scale1m_dedup_components": q_scale1m_dedup_components,
+        "_prepare_disk_tier": _prepare_disk_tier,
+        "scale1m_disk_exact_8": q_scale1m_disk_exact_8,
+        "scale1m_disk_ivfpq_8": q_scale1m_disk_ivfpq_8,
+        "scale1m_disk_exact_1": q_scale1m_disk_exact_1,
+        "scale1m_disk_ivfpq_1": q_scale1m_disk_ivfpq_1,
+        "_cleanup_disk_tier": _cleanup_disk_tier,
         "_cleanup_resident": _cleanup_resident,
     }
 
@@ -567,6 +755,10 @@ def main() -> None:
         "scale1m_batch_100_exact",
         "scale1m_ivfpq_query_100",
         "scale1m_ivfpq_query_8",
+        "scale1m_disk_exact_8",
+        "scale1m_disk_ivfpq_8",
+        "scale1m_disk_exact_1",
+        "scale1m_disk_ivfpq_1",
     }
     timings: dict[str, float] = {}
     for name, fn in bench_queries(spark).items():
@@ -601,6 +793,7 @@ def main() -> None:
         # BASELINE.md-comparable figure: 1000-query batch over 100k x 1024
         # (reference: ~1000 q/s exact on laptop hardware)
         "ref_scale_queries_per_sec": round(1000 / timings["ref100k_batch_1000"], 1),
+        **EXTRA_STATS,
     }
     print(json.dumps(out))
 

@@ -178,6 +178,56 @@ def minhash_lsh_pairs(
     return out
 
 
+def lsh_bucket_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> dict:
+    """Band-bucket size distribution for `minhash_lsh_pairs` — the skew
+    diagnostic that decides whether a corpus needs `max_bucket_size`.
+
+    The LSH self-join's cost is Σ_buckets s², so ONE giant bucket
+    (boilerplate, empty docs) can dominate the whole job at corpus
+    scale. Returns {buckets, max_bucket, p99_bucket, candidate_pairs}
+    where candidate_pairs = Σ s·(s−1)/2 — the exact number of pairs the
+    self-join will emit before verification. Sub-linear max/p99 growth
+    across scale tiers is the evidence that the bucketed-join claim
+    holds past the test SF (this aggregation is one narrow groupBy on
+    (band_idx, band) — run it on a sample or the full corpus)."""
+    rows = num_hashes // bands
+    sh = _shingled(docs, id_col, text_col, shingle_n)
+    hashed = sh.withColumn("hs", F.transform(F.col("sh"), md5_hash32))
+    sigs = hashed.select(F.col(id_col), *minhash_signature(F.col("hs"), num_hashes))
+    band_rows = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    band_value([F.col(f"mh{b * rows + r}") for r in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band"),
+    )
+    sizes = band_rows.groupBy("band_idx", "band").agg(F.count("*").alias("n"))
+    row = sizes.agg(
+        F.count("*").alias("buckets"),
+        F.max("n").alias("max_bucket"),
+        F.percentile_approx("n", 0.99).alias("p99_bucket"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("candidate_pairs"),
+    ).collect()[0]
+    return {
+        "buckets": int(row["buckets"]),
+        "max_bucket": int(row["max_bucket"]),
+        "p99_bucket": int(row["p99_bucket"]),
+        "candidate_pairs": int(row["candidate_pairs"]),
+    }
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     *,
@@ -205,13 +255,24 @@ def ngram_jaccard_pairs(
 def simhash_fingerprint(text, *, shingle_n: int = 3, bits: int = 48) -> int:
     """One document's SimHash: word shingles → md5-derived `bits`-bit
     hashes (bit-identical to the `md5_hash48` Catalyst kernel and the
-    DuckDB oracle) → signed bit vote → sign pattern. Shared by the batch
-    fingerprint pass and the streaming mark operator so stream and batch
-    sweeps produce identical fingerprints."""
+    DuckDB oracle for bits=48, and to the same '0x'||substr(md5,1,N)
+    construction for any other width) → signed bit vote → sign pattern.
+    Shared by the batch fingerprint pass and the streaming mark operator
+    so stream and batch sweeps produce identical fingerprints.
+
+    `bits` ≤ 60 so the fingerprint stays a non-negative int64 (60 = 15
+    hex chars of the md5). Wider fingerprints matter at corpus scale:
+    the pairs join buckets on bits/(max_hamming+1)-bit blocks, and
+    bucket count 2^block_bits must outgrow the corpus for the candidate
+    set to stay near-linear (see simhash_pairs)."""
     import hashlib
 
     import numpy as np
 
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
+    hex_chars = (bits + 3) // 4
+    shift = hex_chars * 4 - bits  # top `bits` of the hex prefix
     toks = [t for t in str(text).lower().split(" ") if t]
     if len(toks) >= shingle_n:
         shingles = {
@@ -222,7 +283,10 @@ def simhash_fingerprint(text, *, shingle_n: int = 3, bits: int = 48) -> int:
     if not shingles:
         return 0
     hs = np.fromiter(
-        (int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16) for s in shingles),
+        (
+            int(hashlib.md5(s.encode("utf-8")).hexdigest()[:hex_chars], 16) >> shift
+            for s in shingles
+        ),
         dtype=np.int64,
         count=len(shingles),
     )
@@ -283,18 +347,39 @@ def simhash_pairs(
     shingle_n: int = 3,
     bits: int = 48,
     max_hamming: int = 7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     Block join with guaranteed recall: split the fingerprint into
     (max_hamming+1) blocks — two fingerprints within the threshold must
     agree on at least one whole block (pigeonhole), so joining per block
-    finds every qualifying pair; Hamming is then verified exactly."""
+    finds every qualifying pair; Hamming is then verified exactly.
+
+    SCALE RULE — pick (bits, max_hamming) so 2^(bits/(max_hamming+1))
+    ≫ corpus size. The block join's candidate volume is
+    Θ(n² · blocks / 2^block_bits): the oracle-parity default (48 bits,
+    8 blocks of 6 → 64 buckets) is quadratic past ~10⁵ docs (measured:
+    59 s at 1M docs while minhash took 8 s). At corpus scale use
+    `bits=60, max_hamming=3` (4 blocks of 15 → 32k buckets, ~10⁸ ×
+    fewer random collisions at 1M) — a deliberately tighter dup class,
+    which is standard practice (Manku et al., WWW'07 use 64-bit
+    fingerprints with k=3). `max_bucket_size` additionally DROPS
+    boilerplate buckets before the self-join, same rule and rationale
+    as `minhash_lsh_pairs` (members still pair via their other
+    blocks)."""
     blocks = max_hamming + 1
+    if bits % blocks:
+        raise ValueError(
+            f"bits={bits} not divisible by max_hamming+1={blocks} blocks"
+        )
     block_bits = bits // blocks  # 48 bits / 8 blocks = 6-bit blocks
     sh = simhash(docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n, bits=bits)
     # one explode, not `blocks` unioned selects: a union re-evaluates the
     # (expensive) fingerprint subtree once per branch per join side
+    # — and the result is CACHED, or the self-join (and the optional
+    # bucket-size prefilter) would re-run the fingerprint kernel per
+    # consumer (2-3× the dominant cost at the 1M-doc tier)
     block_rows = sh.select(
         F.col(id_col),
         F.col("simhash"),
@@ -307,14 +392,19 @@ def simhash_pairs(
                 ]
             )
         ).alias("block_idx", "block"),
-    )
+    ).cache()
+    block_rows_cached = block_rows
+    if max_bucket_size is not None:
+        sizes = block_rows.groupBy("block_idx", "block").agg(F.count("*").alias("__n"))
+        small = sizes.filter(F.col("__n") <= max_bucket_size).select("block_idx", "block")
+        block_rows = block_rows.join(small, on=["block_idx", "block"], how="left_semi")
     a = block_rows.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block_idx", "block"
     )
     b = block_rows.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block_idx", "block"
     )
-    return (
+    out = (
         a.join(b, on=["block_idx", "block"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sh_a", "sh_b")
@@ -323,6 +413,11 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    # materialize the (small) pair list, then release the fingerprint
+    # cache — same lifecycle as minhash_lsh_pairs
+    out = out.localCheckpoint(eager=True)
+    block_rows_cached.unpersist()
+    return out
 
 
 def embedding_near_dup(

@@ -47,8 +47,21 @@ def asof_join(
     most recent right row forward onto each left row. Cost is one
     hash-shuffle + per-key sort, independent of how many right rows
     precede each left row (a naive inequality join is O(|L|·|R|) per
-    key). Per-key data volume bounds a task — same skew profile as any
-    keyed window (salt upstream if one key dominates).
+    key).
+
+    Hot-key bound: one task holds ONE key's entire (left + right) row
+    set and sorts it — at 100 TB a single dominant key (a spam domain,
+    a null user id) serializes rows_hot·log(rows_hot) into that task,
+    and unlike an aggregation the carry-forward semantics cannot be
+    salted without breaking "latest prior row" across salt boundaries.
+    Mitigations, in preference order: (1) time-partition the key —
+    union a coarse time bucket into the shuffle key and carry the last
+    row of bucket b−1 into bucket b as a seed row (turns the hot task
+    into #buckets parallel tasks; exact); (2) pre-reduce the right side
+    to one row per (key, left-relevant ts) when the payload allows;
+    (3) route known hot keys through a per-key broadcast fast path.
+    `range_count_join(n_salts=…)` below shows shape (1)'s salted
+    analog for the aggregation-shaped case, where partials DO combine.
 
     The right payload travels as ONE struct column so that a legitimately
     null right attribute is not "looked through" to an older right row.
@@ -113,6 +126,7 @@ def range_count_join(
     lower_s: float = -3600.0,
     upper_s: float = 0.0,
     count_alias: str = "n_in_range",
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Per left row, COUNT right rows of the same key whose timestamp
     falls in ``[left_ts + lower_s, left_ts + upper_s)`` seconds — the
@@ -128,6 +142,21 @@ def range_count_join(
     per left row (map-side partial counts). A naive implementation is an
     inequality theta-join = BroadcastNestedLoop at best; this never
     leaves equi-join land and scales with rows-per-bucket, not |L|·|R|.
+
+    Skew guard (`n_salts`): one hot (key, bucket) pair — a spam domain
+    inside one hour — concentrates its entire L_hot × R_hot match work
+    in a single join task. Because the aggregate is an algebraic COUNT,
+    the two-phase salting of `skew.salted_agg` applies to the JOIN too:
+    right rows get a partition-derived salt, each left probe replicates
+    to all `n_salts` salt values, the join key becomes (key, bucket,
+    salt), and the per-left-row groupBy sums the per-salt partial
+    counts. The hot pair's work lands on `n_salts` tasks instead of 1;
+    results are bit-identical (each right row carries exactly one
+    salt). Cost: the left probe side inflates `n_salts`× — use when a
+    hot key is known or detected, not as the default. AQE's skew-join
+    split (enabled in session.py) is the runtime fallback; explicit
+    salting also covers the single-giant-partition case AQE can't
+    split (one key whose sorted run exceeds a task's memory).
     """
     lo = int(round(lower_s * 1_000_000))
     up = int(round(upper_s * 1_000_000))
@@ -150,11 +179,17 @@ def range_count_join(
         F.col(on).alias("__rk"),
         _ts_micros(right_ts).alias("__re"),
     ).withColumn("__b", F.floor(F.col("__re") / F.lit(width)))
-    j = l2.join(
-        r2,
-        (l2[on] == r2["__rk"]) & (l2["__b"] == r2["__b"]),
-        "left",
-    )
+    if n_salts is not None:
+        if n_salts < 1:
+            raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+        l2 = l2.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+        )
+        r2 = r2.withColumn("__salt", F.spark_partition_id() % F.lit(n_salts))
+    join_keys = (l2[on] == r2["__rk"]) & (l2["__b"] == r2["__b"])
+    if n_salts is not None:
+        join_keys = join_keys & (l2["__salt"] == r2["__salt"])
+    j = l2.join(r2, join_keys, "left")
     in_range = (F.col("__re") >= F.col("__le") + F.lit(lo)) & (
         F.col("__re") < F.col("__le") + F.lit(up)
     )

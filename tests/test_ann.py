@@ -238,6 +238,63 @@ def test_minhash_bucket_cap(spark):
     assert all(a >= 100 for a, _ in got)  # boilerplate bucket dropped
 
 
+def test_simhash_scale_config(spark):
+    """The wide-fingerprint scale configuration (bits=60, max_hamming=3
+    → 4 blocks of 15 bits): planted one-word mutations still pair, the
+    guarantee precondition (bits divisible by blocks) is enforced, and
+    the bucket cap drops boilerplate like minhash's."""
+    from picovdb_spark.operators.dedup import simhash_fingerprint, simhash_pairs
+
+    # hamming ≤ 3 is a deliberately tight dup class: a 1-word change
+    # needs a long doc (~200 words) for its 3 shifted shingles to move
+    # few enough fingerprint bits
+    base = " ".join(f"w{i}" for i in range(200))
+    mutated = base.replace("w7 ", "zz ", 1)
+    boiler = [(i, "shared boilerplate header all over the corpus body") for i in range(12)]
+    docs = spark.createDataFrame(
+        boiler + [(100, base), (101, mutated), (102, "totally unrelated words here")],
+        schema="doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(docs, bits=60, max_hamming=3).collect()
+    }
+    assert (100, 101) in got
+    assert not any({a, b} == {100, 102} for a, b in got)
+    # python fingerprint agrees with itself at the wide width & is <2^60
+    fp = simhash_fingerprint(base, bits=60)
+    assert 0 <= fp < (1 << 60)
+    with pytest.raises(ValueError, match="divisible"):
+        simhash_pairs(docs, bits=48, max_hamming=4)  # 5 blocks ∤ 48
+    with pytest.raises(ValueError, match="bits"):
+        simhash_fingerprint(base, bits=64)  # > int64-safe width
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(
+            docs, bits=60, max_hamming=3, max_bucket_size=5
+        ).collect()
+    }
+    assert (100, 101) in capped
+    assert all(a >= 100 for a, _ in capped)  # boilerplate bucket dropped
+
+
+def test_lsh_bucket_stats_shape(spark):
+    """lsh_bucket_stats: candidate_pairs equals the exact Σ s(s−1)/2 of
+    the band buckets — cross-checked on a corpus of identical docs where
+    the math is closed-form (every band bucket holds all n docs)."""
+    from picovdb_spark.operators.dedup import lsh_bucket_stats
+
+    n = 7
+    docs = spark.createDataFrame(
+        [(i, "same words in every single document here") for i in range(n)],
+        schema="doc_id long, text string",
+    )
+    stats = lsh_bucket_stats(docs, bands=4)
+    assert stats["max_bucket"] == n
+    assert stats["buckets"] == 4
+    assert stats["candidate_pairs"] == 4 * n * (n - 1) // 2
+
+
 def test_lsh_ann_join_recall(spark, emb, queries):
     exact = _hits(
         knn_join(

@@ -141,3 +141,73 @@ def test_range_count_plan_is_equi_join(spark, fixture_dfs):
     plan = explain_str(range_count_join(ldf, rdf.select("key", "ts"), on="key"))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+@pytest.fixture(scope="module")
+def skewed_dfs(spark):
+    """Deliberately hot key: 'hot' carries 2000 of 2060 right rows inside
+    one window-width bucket (the single-join-task worst case); 'u0'-'u59'
+    are uniform background keys."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    left = [(i, "hot", _ts(50.0 + i)) for i in range(20)] + [
+        (100 + i, f"u{i}", _ts(30.0 + i)) for i in range(60)
+    ]
+    right = [("hot", _ts(float(i % 100))) for i in range(2000)] + [
+        (f"u{i}", _ts(25.0 + i)) for i in range(60)
+    ]
+    ldf = spark.createDataFrame(left, "lid int, key string, ts timestamp")
+    rdf = spark.createDataFrame(right, "key string, ts timestamp")
+    return ldf, rdf
+
+
+def test_range_count_salted_matches_unsalted_on_skew(spark, skewed_dfs):
+    """The salted two-phase variant must be bit-identical to the plain
+    bucketized join on a hot-key distribution (partial per-salt counts
+    combine exactly), including empty-window left rows staying 0."""
+    ldf, rdf = skewed_dfs
+    plain = range_count_join(ldf, rdf, on="key", lower_s=-100.0, upper_s=0.0)
+    salted = range_count_join(
+        ldf, rdf, on="key", lower_s=-100.0, upper_s=0.0, n_salts=8
+    )
+    got_plain = {r["lid"]: r["n_in_range"] for r in plain.collect()}
+    got_salted = {r["lid"]: r["n_in_range"] for r in salted.collect()}
+    assert got_salted == got_plain
+    left = [tuple(r) for r in ldf.collect()]
+    right = [tuple(r) for r in rdf.collect()]
+    assert got_salted == _brute_range_count(left, right, -100.0, 0.0)
+
+
+def test_range_count_salted_plan_joins_on_salt(spark, skewed_dfs):
+    """Plan pin: the salt must be part of the equi-join key (that's what
+    splits the hot pair across n_salts tasks), and salting must not
+    degrade the join to a nested loop."""
+    ldf, rdf = skewed_dfs
+    plan = explain_str(
+        range_count_join(ldf, rdf, on="key", n_salts=8), mode="simple"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "__salt" in plan, plan
+
+
+def test_range_count_salted_rejects_bad_n_salts(spark, skewed_dfs):
+    ldf, rdf = skewed_dfs
+    with pytest.raises(ValueError, match="n_salts"):
+        range_count_join(ldf, rdf, on="key", n_salts=0)
+
+
+def test_asof_on_skewed_key_still_exact(spark, skewed_dfs):
+    """The as-of join has no salted variant (carry-forward semantics
+    can't split); pin that the documented one-shuffle shape stays exact
+    under the same hot-key fixture."""
+    ldf, rdf = skewed_dfs
+    rdf2 = rdf.withColumn("rid", F.monotonically_increasing_id())
+    res = asof_join(ldf, rdf2, on="key", tie_break="rid")
+    got = {r["lid"]: r["asof_ts"] for r in res.collect()}
+    left = [tuple(r) for r in ldf.collect()]
+    right = [tuple(r) for r in rdf2.collect()]
+    brute = {}
+    for lid, k, lts in left:
+        cands = [r for r in right if r[0] == k and r[1] < lts]
+        brute[lid] = max(cands, key=lambda r: (r[1], r[2]))[1] if cands else None
+    assert got == brute
