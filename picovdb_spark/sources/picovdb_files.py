@@ -18,11 +18,15 @@ atomic (tmp + os.replace per file, pico_vdb.py:342-378).
 
 `.faiss` sidecar: the reference additionally persists a serialized FAISS
 HNSW index at `{base}.vecs.npy.faiss` (pico_vdb.py:261, :347). This
-engine neither reads nor writes it — its ANN layout is the IVF parquet
-store (operators/ann.py), and FAISS is not a dependency. Consequence for
-round-tripping users: a reference process reopening an engine-written
-store pays one HNSW rebuild (the reference rebuilds automatically when
-the sidecar is absent); the data files are fully compatible.
+engine never READS it (its ANN layout is the IVF parquet store,
+operators/ann.py) but `write_picovdb_store` regenerates it when the
+`faiss` package is importable — the exact index construction the
+reference builds (`IndexIDMap2(IndexHNSWFlat(dim, 32, INNER_PRODUCT))`,
+efConstruction 40, ids = active row positions; pico_vdb.py:172-176,
+:905-917) — so a reference process reopening an engine-written store
+skips its automatic HNSW rebuild. Without faiss the sidecar is simply
+omitted and the reference rebuilds on open; the data files are fully
+compatible either way.
 """
 
 from __future__ import annotations
@@ -135,14 +139,45 @@ def read_picovdb_store(
     return df
 
 
+def _try_build_faiss_sidecar(vecs: np.ndarray, docs: list[dict | None]):
+    """Serialized-HNSW bytes for the `.faiss` sidecar, or None when the
+    faiss package is absent (it is optional everywhere in this engine,
+    exactly as in the reference's `_HAS_FAISS` gate, pico_vdb.py:19-23).
+
+    Construction mirrors the reference bit-for-bit: IndexIDMap2 over
+    IndexHNSWFlat(dim, hnsw_m=32, METRIC_INNER_PRODUCT) with
+    efConstruction=40, populated with the ACTIVE rows only, ids = their
+    row positions in the matrix (pico_vdb.py:172-176, :910-917)."""
+    try:
+        import faiss
+    except ImportError:
+        return None
+    if vecs.size == 0:
+        return None
+    dim = int(vecs.shape[1])
+    base = faiss.IndexHNSWFlat(dim, 32, faiss.METRIC_INNER_PRODUCT)
+    base.hnsw.efConstruction = 40
+    idx = faiss.IndexIDMap2(base)
+    active = np.asarray(
+        [i for i, d in enumerate(docs) if d is not None], dtype=np.int64
+    )
+    if active.size:
+        idx.add_with_ids(np.ascontiguousarray(vecs[active]), active)
+    return faiss.serialize_index(idx)
+
+
 def write_picovdb_store(
     df: DataFrame,
     base_path: str,
     *,
     additional_data: dict[str, Any] | None = None,
+    faiss_sidecar: bool = True,
 ) -> None:
     """Export a store DataFrame back to picovdb's file format (readable
-    by the reference implementation). Atomic: tmp files + os.replace."""
+    by the reference implementation). Atomic: tmp files + os.replace.
+    With `faiss_sidecar` (and the optional faiss package installed) the
+    `{base}.vecs.npy.faiss` HNSW sidecar is regenerated inside the same
+    atomic swap, sparing the reference its reopen-time rebuild."""
     cols = df.columns
     meta_cols = [c for c in cols if c not in (K_ID, K_VECTOR, K_DELETED)]
     ordered = df.select(
@@ -183,5 +218,13 @@ def write_picovdb_store(
             },
             f,
         )
-    for p in (ids_p, vecs_p, meta_p):
+    swap = [ids_p, vecs_p, meta_p]
+    if faiss_sidecar:
+        blob = _try_build_faiss_sidecar(vecs, docs)
+        if blob is not None:
+            faiss_p = f"{vecs_p}.faiss"
+            with open(tmp(faiss_p), "wb") as f:
+                f.write(bytes(bytearray(blob)))
+            swap.append(faiss_p)
+    for p in swap:
         os.replace(tmp(p), p)

@@ -80,6 +80,44 @@ def test_round_trip(spark, picodb_files, tmp_path):
     assert a == b
 
 
+def test_sidecar_omitted_without_faiss(spark, picodb_files, tmp_path):
+    """Without the optional faiss package, write_picovdb_store succeeds
+    and simply omits the `.faiss` sidecar (the reference rebuilds it on
+    open). Guard only meaningful where faiss is absent."""
+    try:
+        import faiss  # noqa: F401
+
+        pytest.skip("faiss installed — covered by test_faiss_sidecar_round_trip")
+    except ImportError:
+        pass
+    df = read_picovdb_store(spark, picodb_files, include_deleted=True)
+    out_base = str(tmp_path / "nofaiss")
+    write_picovdb_store(df, out_base)
+    assert os.path.exists(f"{out_base}.vecs.npy")
+    assert not os.path.exists(f"{out_base}.vecs.npy.faiss")
+    assert not os.path.exists(f"{out_base}.vecs.npy.faiss.tmp")
+
+
+def test_faiss_sidecar_round_trip(spark, picodb_files, tmp_path):
+    """With faiss installed, the sidecar must deserialize as the exact
+    index class the reference builds (IDMap2 over HNSWFlat, inner
+    product), hold ONLY the active rows under their matrix positions,
+    and answer a search (matching pico_vdb.py:261-277's reopen path,
+    which accepts the sidecar instead of rebuilding)."""
+    faiss = pytest.importorskip("faiss")
+    df = read_picovdb_store(spark, picodb_files, include_deleted=True)
+    out_base = str(tmp_path / "withfaiss")
+    write_picovdb_store(df, out_base)
+    idx = faiss.read_index(f"{out_base}.vecs.npy.faiss")
+    assert idx.d == 4
+    assert idx.ntotal == 3  # 4 rows minus 1 tombstone
+    q = np.zeros((1, 4), dtype=np.float32)
+    q[0, 0] = 1.0
+    scores, ids = idx.search(q, 1)
+    vecs = np.load(f"{out_base}.vecs.npy")
+    assert vecs[ids[0][0]][0] == 1.0  # nearest to e0 is the row holding e0
+
+
 def test_chunked_read(spark, tmp_path):
     base = str(tmp_path / "big")
     n, dim = 500, 8
