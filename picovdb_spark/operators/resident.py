@@ -585,3 +585,105 @@ class ResidentIvfStore:
             score_block, schema=f"query_id string, {K_ID} string, {K_METRICS} double"
         )
         return topk_per_query(local, top_k)
+
+    # --------------------------------------------------- in-process serving
+
+    def _local_blocks(self):
+        """mmap every resident block from THIS process and index its
+        cluster segments: {cluster: [(block_i, start, end), ...]}.
+        Loaded once, cached; mmap pages stay in the OS page cache."""
+        cached = getattr(self, "_local_cache", None)
+        if cached is not None:
+            return cached
+        if self.n_rows is None:
+            raise RuntimeError("resident IVF store not materialized — call materialize()")
+        blocks, segmap = [], {}
+        for pid in sorted(self.block_pids):
+            mat_path = os.path.join(self.dir, f"mat_{pid}.npy")
+            if not os.path.exists(mat_path):
+                raise RuntimeError(
+                    f"resident IVF block for partition {pid} not visible from "
+                    f"this process ({self.dir}) — query_local() serves from "
+                    "node-local blocks and must run co-resident with them "
+                    "(a serving node); use query() for the distributed path"
+                )
+            mat = np.load(mat_path, mmap_mode="r")
+            ids = np.load(os.path.join(self.dir, f"ids_{pid}.npy"), allow_pickle=True)
+            clus = np.load(os.path.join(self.dir, f"clus_{pid}.npy"))
+            bi = len(blocks)
+            blocks.append((mat, ids))
+            seg_clusters, seg_starts = np.unique(clus, return_index=True)
+            bounds = np.append(seg_starts, len(clus))
+            for ci, c in enumerate(seg_clusters):
+                segmap.setdefault(int(c), []).append(
+                    (bi, int(bounds[ci]), int(bounds[ci + 1]))
+                )
+        self._local_cache = (blocks, segmap)
+        return self._local_cache
+
+    def query_local(
+        self,
+        vector,
+        *,
+        top_k: int = 10,
+        nprobe: int = 8,
+        better_than: float | None = None,
+        round_to: int = 6,
+    ) -> list[dict]:
+        """Single-query serving WITHOUT a Spark job: route on the
+        centroids, GEMV only the probed clusters' segments of the
+        node-local blocks, merge top-k in-process. This is the serving-
+        tier analog of the reference's in-process FAISS path
+        (pico_vdb.py:716-751) — same latency class (milliseconds), same
+        data as `query()` (identical blocks, semantics, tie rule; a
+        score can differ by one ulp at the rounding boundary because
+        GEMV and the distributed batched GEMM accumulate float32 in
+        different orders — tolerance-pinned in tests/test_resident.py).
+
+        Requires every block to be visible from this process (true in
+        local mode and on a serving node holding the store's shards; a
+        partial node must use the distributed `query()`). Returns
+        [{'_id_', '_metrics_', 'rank'}, ...] best-first."""
+        blocks, segmap = self._local_blocks()
+        # normalize in float64 THEN cast — the exact sequence of
+        # collect_normalized_queries + query()'s astype, so scores agree
+        # to the last bit with the distributed path
+        q = np.asarray(vector, dtype=np.float64).ravel()
+        nrm = float(np.sqrt((q * q).sum()))
+        if nrm == 0.0:  # zero vector => e0, the store-wide invariant
+            q = np.zeros_like(q)
+            q[0] = 1.0
+        else:
+            q = q / nrm
+        q = q.astype(self.dtype)
+        k = len(self._cent32)
+        npb = min(nprobe, k)
+        cscores = self._cent32.astype(self.dtype) @ q
+        probed = np.argpartition(-cscores, npb - 1)[:npb]
+        cand_ids: list[np.ndarray] = []
+        cand_scores: list[np.ndarray] = []
+        for c in probed:
+            for bi, s, e in segmap.get(int(c), ()):
+                mat, ids = blocks[bi]
+                cand_scores.append(mat[s:e] @ q)
+                cand_ids.append(ids[s:e])
+        if not cand_ids:
+            return []
+        scores = np.round(np.concatenate(cand_scores).astype(np.float64), round_to)
+        ids = np.concatenate(cand_ids)
+        if better_than is not None:
+            keep = scores >= float(better_than)
+            scores, ids = scores[keep], ids[keep]
+        kk = min(top_k, len(scores))
+        if kk == 0:
+            return []
+        # every candidate tied with the kth score stays in (scores are
+        # already rounded, so ties are exact), then the final order is
+        # score desc, id asc — the topk_per_query rule
+        kth = np.partition(scores, len(scores) - kk)[len(scores) - kk]
+        cand = np.flatnonzero(scores >= kth)
+        order = sorted(cand, key=lambda i: (-scores[i], str(ids[i])))[:kk]
+        return [
+            {K_ID: str(ids[i]), K_METRICS: float(scores[i]), "rank": r + 1}
+            for r, i in enumerate(order)
+        ]

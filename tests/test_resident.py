@@ -119,6 +119,46 @@ def test_resident_ivf_partial_probe_recall_band(store, queries):
     assert all(len(v) <= 10 + 5 for v in got.values())
 
 
+def test_resident_ivf_query_local_matches_distributed(store, queries):
+    """query_local (in-process serving, no Spark job) must return the
+    same ids/scores/ranks as the distributed query() for each query —
+    full probe AND partial probe — since both read the same blocks with
+    the same kernel semantics. Zero-vector maps to e₀ like everywhere."""
+    from picovdb_spark.operators.resident import ResidentIvfStore
+
+    qrows = queries.collect()
+    # query_local scores by float32 GEMV, the distributed kernel by a
+    # batched float32 GEMM: same semantics, but BLAS accumulation order
+    # differs, so a score can wobble one ulp across the 1e-6 rounding
+    # boundary — compare with that tolerance, exact elsewhere
+    tol = 2e-6
+    with ResidentIvfStore(store.select(K_ID, "_vector_"), n_centroids=16, seed=42) as rs:
+        for npb in (16, 4):
+            dist = rs.query(queries, top_k=10, nprobe=npb).collect()
+            by_q = {}
+            for r in dist:
+                by_q.setdefault(r["query_id"], {})[r[K_ID]] = r[K_METRICS]
+            for qr in qrows:
+                local = rs.query_local(qr["_vector_"], top_k=10, nprobe=npb)
+                lmap = {h[K_ID]: h[K_METRICS] for h in local}
+                dmap = by_q[qr["query_id"]]
+                kth = min(dmap.values())
+                for i in set(lmap) & set(dmap):
+                    assert abs(lmap[i] - dmap[i]) <= tol, (qr["query_id"], npb, i)
+                for i in set(lmap) ^ set(dmap):
+                    s = lmap.get(i, dmap.get(i))
+                    assert abs(s - kth) <= tol, (qr["query_id"], npb, i, s, kth)
+                # ranks strictly follow (score desc, id asc) locally
+                ranked = sorted(lmap.items(), key=lambda kv: (-kv[1], kv[0]))
+                assert [h[K_ID] for h in local] == [i for i, _ in ranked]
+        # better_than filters identically
+        bt = rs.query_local(qrows[0]["_vector_"], top_k=10, nprobe=16, better_than=0.99)
+        assert all(h[K_METRICS] >= 0.99 for h in bt)
+        # zero vector routes via e0 and still answers
+        zero = rs.query_local([0.0] * len(qrows[0]["_vector_"]), top_k=3, nprobe=16)
+        assert len(zero) == 3
+
+
 def test_resident_ivf_lifecycle(store, queries):
     from picovdb_spark.operators.resident import ResidentIvfStore
 
