@@ -327,9 +327,11 @@ def adc_local_candidates(
                     if qsel.size == 0:
                         continue
                     seg_codes = codes[seg]
+                    # one (m, nqs, k) gather per segment, not m of them
+                    tq = b_tables[:, qsel, :]
                     scores = np.zeros((len(qsel), len(seg)), dtype=np.float32)
                     for s in range(m):
-                        scores += b_tables[s][qsel][:, seg_codes[:, s]]
+                        scores += tq[s][:, seg_codes[:, s]]
                     q, i, sc = select_rows(scores, n_cand, qsel, ids[seg])
                     out_q.append(q); out_i.append(i); out_s.append(sc)
             if not out_q:
