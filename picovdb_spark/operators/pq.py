@@ -172,12 +172,26 @@ def pq_encode(
     return store.select(*sel_cols).mapInPandas(kernel, schema=out_schema)
 
 
+# Ceiling on the broadcast ADC tables (nq × m × k float32). Past this,
+# the per-executor deserialized copy competes with the data it scores —
+# the caller must chunk the query batch (per-chunk top-k is independent).
+MAX_ADC_TABLE_BYTES = 4 << 30
+
+
 def adc_tables(codebooks: np.ndarray, qmat: np.ndarray) -> np.ndarray:
     """Per-query ADC lookup tables: (nq, m, k) float32 — q_sub · centroid
     per subspace. float32: ADC is an approximation by construction
     (refine rescores in float64), and halving table bytes halves the
     executor gather traffic."""
-    m, _, dsub = codebooks.shape
+    m, k, dsub = codebooks.shape
+    table_bytes = 4 * len(qmat) * m * k
+    if table_bytes > MAX_ADC_TABLE_BYTES:
+        raise ValueError(
+            f"ADC tables for {len(qmat)} queries would be "
+            f"{table_bytes >> 20} MiB of broadcast (cap "
+            f"{MAX_ADC_TABLE_BYTES >> 20} MiB) — split the query batch "
+            "and union the per-chunk results"
+        )
     return np.einsum(
         "qsd,skd->qsk", qmat.reshape(len(qmat), m, dsub), codebooks
     ).astype(np.float32)

@@ -151,6 +151,14 @@ def _normalized_queries(queries: DataFrame, query_id: str, vector_col: str) -> D
     )
 
 
+# Ceiling on the driver-resident float64 query matrix (bytes). Query
+# batches are broadcast state by design (every kernel scores against
+# them); a batch past this size must be CHUNKED by the caller — failing
+# fast with instructions beats a driver OOM three stages into the job.
+# 8 GiB ≈ 1M queries at dim 1024.
+MAX_QUERY_MATRIX_BYTES = 8 << 30
+
+
 def collect_normalized_queries(queries: DataFrame, query_id: str, vector_col: str):
     """Collect the (bounded) query batch RAW and L2-normalize driver-side
     in NumPy — same semantics as the `l2_normalize` expression (float64,
@@ -171,6 +179,14 @@ def collect_normalized_queries(queries: DataFrame, query_id: str, vector_col: st
     qids = np.asarray(tbl.column("query_id").to_pylist(), dtype=object)
     vec = tbl.column(vector_col).combine_chunks()
     vals = vec.flatten().to_numpy(zero_copy_only=False)
+    f64_bytes = 8 * vals.size
+    if f64_bytes > MAX_QUERY_MATRIX_BYTES:
+        raise ValueError(
+            f"query batch is {f64_bytes >> 20} MiB as a float64 matrix "
+            f"(cap {MAX_QUERY_MATRIX_BYTES >> 20} MiB): query batches are "
+            "driver-resident broadcast state — split the batch and union "
+            "the per-chunk results (each chunk's top-k is independent)"
+        )
     qmat = vals.reshape(tbl.num_rows, -1).astype(np.float64)
     norms = np.sqrt((qmat * qmat).sum(axis=1))
     zero = norms == 0.0

@@ -126,3 +126,13 @@ def test_build_filters_tombstones(spark, emb, queries):
     assert idx.codes.count() == n_live
     hits = idx.query(queries, top_k=10).collect()
     assert all(int(r[K_ID]) >= 100 for r in hits)
+
+
+def test_oversized_adc_tables_fail_fast(spark, emb, queries, index, monkeypatch):
+    """The (nq, m, k) float32 ADC tables broadcast to every executor;
+    past the ceiling the query must fail fast with chunking guidance."""
+    from picovdb_spark.operators import pq as pq_mod
+
+    monkeypatch.setattr(pq_mod, "MAX_ADC_TABLE_BYTES", 64)
+    with pytest.raises(ValueError, match="split the query batch"):
+        index.query(queries, top_k=3)

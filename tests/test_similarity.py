@@ -236,3 +236,15 @@ def test_float32_normalized_skips_renorm_correctly(spark):
 def test_unknown_score_dtype_raises(store, queries):
     with pytest.raises(ValueError, match="score_dtype"):
         batch_query(store, queries, top_k=3, method="gemm", score_dtype="bf16").collect()
+
+
+def test_oversized_query_batch_fails_fast(spark, store, queries, monkeypatch):
+    """Query batches are driver-resident broadcast state; past the byte
+    ceiling the collect must fail with chunking instructions instead of
+    OOMing the driver mid-job. Patched threshold — the formula (8 bytes
+    per float64 cell) is what's under test."""
+    from picovdb_spark.operators import similarity as sim
+
+    monkeypatch.setattr(sim, "MAX_QUERY_MATRIX_BYTES", 64)
+    with pytest.raises(ValueError, match="split the batch"):
+        batch_query(store, queries, top_k=3, method="gemm").collect()
