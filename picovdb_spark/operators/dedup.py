@@ -93,6 +93,32 @@ def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     return docs.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
 
 
+def _band_rows_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band) LSH band rows from a shingle DataFrame — the
+    ONE banding construction, shared by the `minhash_lsh_pairs` self-join
+    and the `lsh_bucket_stats` diagnostic so the diagnostic can never
+    drift from the join it measures. One md5 per shingle, materialized
+    as a column so the `num_hashes` permutation mins share it; one
+    posexplode, not `bands` unioned selects (a union re-evaluates the
+    signature subtree per branch per consumer)."""
+    rows = num_hashes // bands
+    hashed = sh.withColumn("hs", F.transform(F.col("sh"), md5_hash32))
+    sigs = hashed.select(F.col(id_col), *minhash_signature(F.col("hs"), num_hashes))
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    band_value([F.col(f"mh{b * rows + r}") for r in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     *,
@@ -125,24 +151,9 @@ def minhash_lsh_pairs(
     via their other, more selective bands). None = uncapped (exact
     oracle parity).
     """
-    rows = num_hashes // bands
     sh = _shingled(docs, id_col, text_col, shingle_n).cache()
-    # one md5 per shingle, materialized as a column so the 16 permutation
-    # mins share it instead of re-hashing
-    hashed = sh.withColumn("hs", F.transform(F.col("sh"), md5_hash32))
-    sigs = hashed.select(F.col(id_col), *minhash_signature(F.col("hs"), num_hashes))
-    # one explode, not `bands` unioned selects (union re-evaluates the
-    # 16-hash signature subtree per branch per join side)
-    band_rows = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    band_value([F.col(f"mh{b * rows + r}") for r in range(rows)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band"),
+    band_rows = _band_rows_from_shingles(
+        sh, id_col, num_hashes, bands
     ).cache()  # consumed by BOTH sides of the self-join: without the
     # cache the md5-per-shingle signature subtree runs twice
     band_rows_cached = band_rows  # keep the handle: unpersist must hit
@@ -198,21 +209,8 @@ def lsh_bucket_stats(
     across scale tiers is the evidence that the bucketed-join claim
     holds past the test SF (this aggregation is one narrow groupBy on
     (band_idx, band) — run it on a sample or the full corpus)."""
-    rows = num_hashes // bands
     sh = _shingled(docs, id_col, text_col, shingle_n)
-    hashed = sh.withColumn("hs", F.transform(F.col("sh"), md5_hash32))
-    sigs = hashed.select(F.col(id_col), *minhash_signature(F.col("hs"), num_hashes))
-    band_rows = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    band_value([F.col(f"mh{b * rows + r}") for r in range(rows)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band"),
-    )
+    band_rows = _band_rows_from_shingles(sh, id_col, num_hashes, bands)
     sizes = band_rows.groupBy("band_idx", "band").agg(F.count("*").alias("n"))
     row = sizes.agg(
         F.count("*").alias("buckets"),
@@ -220,11 +218,12 @@ def lsh_bucket_stats(
         F.percentile_approx("n", 0.99).alias("p99_bucket"),
         F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("candidate_pairs"),
     ).collect()[0]
+    # an empty corpus (or filtered-to-empty sample) aggregates to NULLs
     return {
         "buckets": int(row["buckets"]),
-        "max_bucket": int(row["max_bucket"]),
-        "p99_bucket": int(row["p99_bucket"]),
-        "candidate_pairs": int(row["candidate_pairs"]),
+        "max_bucket": int(row["max_bucket"] or 0),
+        "p99_bucket": int(row["p99_bucket"] or 0),
+        "candidate_pairs": int(row["candidate_pairs"] or 0),
     }
 
 

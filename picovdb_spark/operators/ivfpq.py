@@ -71,6 +71,18 @@ class IvfPqIndex:
     # vectors instead of the whole store — without it, refine pays a
     # full raw scan and the routed path can never beat exact
     raw_by_cluster: DataFrame | None = None
+    # the DataFrame build() actually persisted (codes, or the shared
+    # encoded parent when cluster_raw=True) — the handle unpersist()
+    # releases; unpersisting the projected codes/raw_by_cluster views
+    # would be a silent no-op against the cached parent plan
+    _pinned: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        """Release the executor-memory cache build() pinned (if any).
+        The index remains usable — scans just recompute from source."""
+        if self._pinned is not None:
+            self._pinned.unpersist()
+            self._pinned = None
 
     @classmethod
     def build(
@@ -119,26 +131,34 @@ class IvfPqIndex:
         # cluster-clustered layout: probing prunes whole partitions
         n_parts = max(len(cent) // 4, 1)
         raw = None
+        pinned = None
         if cluster_raw:
             # the inverted-list layout for REFINE: raw vectors clustered
             # alongside the codes, so rescoring candidates only reads the
             # probed clusters (FAISS keeps raw/SQ vectors in the inverted
             # lists for exactly this reason). Costs one extra resident
             # copy of the vector column — opt-in.
-            # Persist the ENCODED output once and derive both the raw
-            # layout and the codes table from the cache, so the
-            # distributed encode pass (the expensive JVM↔Python vector
-            # transfer) runs exactly once, as documented above.
-            enc = codes.repartition(n_parts, CLUSTER_COL).persist()
-            enc.count()  # materialize the single encode pass
+            # Materialize the ENCODED output once — persist OR eager
+            # checkpoint per `storage`, never both — and derive the raw
+            # layout and codes table from it, so the distributed encode
+            # pass (the expensive JVM↔Python vector transfer) runs
+            # exactly once, as documented above.
+            enc = codes.repartition(n_parts, CLUSTER_COL)
+            if storage == "checkpoint":
+                enc = enc.localCheckpoint(eager=True)
+            else:
+                enc = enc.persist()
+                enc.count()  # materialize the single encode pass
+                pinned = enc
             raw = enc.select(id_col, CLUSTER_COL, vector_col)
             codes = enc.drop(vector_col)
         else:
             codes = codes.repartition(n_parts, CLUSTER_COL)
-        if storage == "memory":
-            codes = codes if cluster_raw else codes.persist()
-        elif storage == "checkpoint":
-            codes = codes.localCheckpoint(eager=True)
+            if storage == "memory":
+                codes = codes.persist()
+                pinned = codes
+            elif storage == "checkpoint":
+                codes = codes.localCheckpoint(eager=True)
         return cls(
             codes=codes,
             centroids=cent,
@@ -147,6 +167,7 @@ class IvfPqIndex:
             id_col=id_col,
             vector_col=vector_col,
             raw_by_cluster=raw,
+            _pinned=pinned,
         )
 
     def write(self, path: str) -> None:

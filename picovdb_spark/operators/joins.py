@@ -147,10 +147,10 @@ def range_count_join(
     inside one hour — concentrates its entire L_hot × R_hot match work
     in a single join task. Because the aggregate is an algebraic COUNT,
     the two-phase salting of `skew.salted_agg` applies to the JOIN too:
-    right rows get a partition-derived salt, each left probe replicates
-    to all `n_salts` salt values, the join key becomes (key, bucket,
-    salt), and the per-left-row groupBy sums the per-salt partial
-    counts. The hot pair's work lands on `n_salts` tasks instead of 1;
+    right rows get a deterministic per-row hash salt, each left probe
+    replicates to all `n_salts` salt values, the join key becomes (key,
+    bucket, salt), and the per-left-row groupBy sums the per-salt
+    partial counts. The hot pair's work lands on `n_salts` tasks instead of 1;
     results are bit-identical (each right row carries exactly one
     salt). Cost: the left probe side inflates `n_salts`× — use when a
     hot key is known or detected, not as the default. AQE's skew-join
@@ -185,7 +185,14 @@ def range_count_join(
         l2 = l2.withColumn(
             "__salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
         )
-        r2 = r2.withColumn("__salt", F.spark_partition_id() % F.lit(n_salts))
+        # per-ROW salt (not partition-derived): the skewed layouts this
+        # guard targets are exactly the ones where a hot key's rows sit
+        # in one upstream partition (sorted/clustered sources) — a
+        # partition-derived salt would give them all the same value and
+        # split nothing. Deterministic hash keeps retries consistent.
+        r2 = r2.withColumn(
+            "__salt", F.pmod(F.xxhash64("__rk", "__re"), F.lit(n_salts)).cast("int")
+        )
     join_keys = (l2[on] == r2["__rk"]) & (l2["__b"] == r2["__b"])
     if n_salts is not None:
         join_keys = join_keys & (l2["__salt"] == r2["__salt"])

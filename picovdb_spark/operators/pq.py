@@ -341,8 +341,11 @@ def adc_local_candidates(
                     if qsel.size == 0:
                         continue
                     seg_codes = codes[seg]
-                    # one (m, nqs, k) gather per segment, not m of them
-                    tq = b_tables[:, qsel, :]
+                    # one (m, nqs, k) gather per segment, not m of them —
+                    # and none at all in the full-probe regime (qsel ==
+                    # arange(nq)), where copying the whole table per
+                    # segment would dwarf the scoring itself
+                    tq = b_tables if qsel.size == nq else b_tables[:, qsel, :]
                     scores = np.zeros((len(qsel), len(seg)), dtype=np.float32)
                     for s in range(m):
                         scores += tq[s][:, seg_codes[:, s]]

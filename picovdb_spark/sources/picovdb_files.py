@@ -219,12 +219,19 @@ def write_picovdb_store(
             f,
         )
     swap = [ids_p, vecs_p, meta_p]
-    if faiss_sidecar:
-        blob = _try_build_faiss_sidecar(vecs, docs)
-        if blob is not None:
-            faiss_p = f"{vecs_p}.faiss"
-            with open(tmp(faiss_p), "wb") as f:
-                f.write(bytes(bytearray(blob)))
-            swap.append(faiss_p)
+    faiss_p = f"{vecs_p}.faiss"
+    blob = _try_build_faiss_sidecar(vecs, docs) if faiss_sidecar else None
+    if blob is not None:
+        with open(tmp(faiss_p), "wb") as f:
+            f.write(bytes(bytearray(blob)))
+        swap.append(faiss_p)
     for p in swap:
         os.replace(tmp(p), p)
+    if blob is None and os.path.exists(faiss_p):
+        # whenever this export does NOT regenerate the sidecar (no faiss
+        # package, sidecar disabled, empty store), a sidecar from an
+        # earlier export now indexes the WRONG vectors — and the
+        # reference only rebuilds when the file is absent
+        # (pico_vdb.py:261-282), so a stale one would silently serve old
+        # neighbors. Remove it.
+        os.remove(faiss_p)

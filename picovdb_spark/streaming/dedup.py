@@ -132,8 +132,16 @@ def stream_simhash_mark(
             ]
             yield pdf
 
-    marked = docs.select(*cols).mapInPandas(kernel, schema=out_schema)
     blocks = max_hamming + 1
+    if bits % blocks:
+        # same precondition as the batch simhash_pairs: a truncated
+        # block split would emit keys covering only part of the
+        # fingerprint and silently diverge from the batch sweep's
+        # candidate set (the module's stream==batch contract)
+        raise ValueError(
+            f"bits={bits} not divisible by max_hamming+1={blocks} blocks"
+        )
+    marked = docs.select(*cols).mapInPandas(kernel, schema=out_schema)
     block_bits = bits // blocks
     return marked.withColumn(
         "blocks",

@@ -40,13 +40,23 @@ def read_events_stream(
     are NOT supported within a single run — restart the stream so the
     schema re-infers."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
+    import os
+
+    # Fallback applies ONLY to the define-before-data case: an existing
+    # directory with no files yet. A missing/mistyped path or an actual
+    # read error must raise HERE — readStream skips existence checks for
+    # streaming sources, so swallowing the error would start a stream
+    # that silently never produces a row.
+    has_files = os.path.isdir(source_dir) and any(
+        not name.startswith((".", "_")) for name in os.listdir(source_dir)
+    )
+    if not os.path.isdir(source_dir):
+        raise FileNotFoundError(f"stream source directory does not exist: {source_dir}")
+    if has_files:
         inferred = spark.read.parquet(source_dir).schema
-        if not inferred.fields:
-            raise ValueError("empty schema")
-    except Exception:
-        # empty/unreadable source dir: fall back to the canonical events
-        # schema rather than failing stream definition
+    else:
+        # empty source dir (stream defined before any file arrives):
+        # fall back to the canonical events schema
         inferred = T.StructType(
             [
                 T.StructField("event_id", T.LongType()),

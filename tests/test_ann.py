@@ -379,3 +379,13 @@ def test_embedding_near_dup_auto_small_stays_gemm(neardup_emb, monkeypatch):
     monkeypatch.setattr(dd, "_near_dup_gemm", spy)
     _pairs(dd.embedding_near_dup(neardup_emb, threshold=0.9))
     assert used.get("gemm")
+
+
+def test_lsh_bucket_stats_empty_corpus(spark):
+    from picovdb_spark.operators.dedup import lsh_bucket_stats
+
+    docs = spark.createDataFrame([], schema="doc_id long, text string")
+    stats = lsh_bucket_stats(docs)
+    assert stats == {
+        "buckets": 0, "max_bucket": 0, "p99_bucket": 0, "candidate_pairs": 0
+    }

@@ -194,3 +194,19 @@ def test_cluster_raw_survives_write_read_round_trip(tmp_path, emb, queries):
         for r in reopened.query(queries, top_k=5, nprobe=4, refine_k=50).collect()
     )
     assert a == b
+
+
+def test_cluster_raw_unpersist_releases_cache(spark, emb):
+    """build(cluster_raw=True) pins ONE shared encoded cache; the index
+    must expose a working release handle (unpersisting the projected
+    codes/raw views alone would be a silent no-op)."""
+    from picovdb_spark.operators.ivfpq import IvfPqIndex
+
+    idx = IvfPqIndex.build(emb, n_centroids=4, m=4, k=8, seed=1, cluster_raw=True)
+    assert idx._pinned is not None
+    assert idx._pinned.storageLevel.useMemory
+    idx.unpersist()
+    assert idx._pinned is None
+    # still queryable — scans recompute from source
+    q = emb.limit(2).select(F.col("_id_").alias("query_id"), F.col("_vector_"))
+    assert idx.query(q, top_k=3, nprobe=4).count() > 0

@@ -92,6 +92,12 @@ def test_sidecar_omitted_without_faiss(spark, picodb_files, tmp_path):
         pass
     df = read_picovdb_store(spark, picodb_files, include_deleted=True)
     out_base = str(tmp_path / "nofaiss")
+    # plant a stale sidecar from a hypothetical earlier faiss-enabled
+    # export: a non-regenerating write MUST remove it — the reference
+    # only rebuilds when the file is absent, so a stale one would
+    # silently serve the old vectors' neighbors
+    with open(f"{out_base}.vecs.npy.faiss", "wb") as f:
+        f.write(b"stale index bytes")
     write_picovdb_store(df, out_base)
     assert os.path.exists(f"{out_base}.vecs.npy")
     assert not os.path.exists(f"{out_base}.vecs.npy.faiss")

@@ -153,3 +153,12 @@ def test_stream_without_ts_col_rejected(spark, tmp_path):
     src = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(d)
     with pytest.raises(ValueError, match="ts_col"):
         stream_exact_dedup(src)
+
+
+def test_stream_mark_rejects_untiling_block_config(spark, sf_dir):
+    """The stream mark must enforce the SAME bits % (max_hamming+1)
+    precondition as batch simhash_pairs — a truncated block split would
+    emit keys that can never match a batch sweep's."""
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="divisible"):
+        stream_simhash_mark(docs, bits=60, max_hamming=7)

@@ -166,3 +166,14 @@ def test_stream_upsert_intra_batch_last_wins(spark, tmpdirs):
     got = spark.read.parquet(store_path)
     assert got.count() == 2
     assert got.filter(F.col("_id_") == "x").first()["cat"] == "second"
+
+
+def test_read_events_stream_missing_dir_raises(spark, tmp_path):
+    """A mistyped source path must fail at stream DEFINITION:
+    readStream skips existence checks for streaming sources, so a
+    swallowed error here would start a stream that silently never
+    produces a row."""
+    from picovdb_spark.streaming.windows import read_events_stream
+
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        read_events_stream(spark, str(tmp_path / "no_such_dir"))
