@@ -608,6 +608,9 @@ class ResidentIvfStore:
                     "(a serving node); use query() for the distributed path"
                 )
             mat = np.load(mat_path, mmap_mode="r")
+            # prefault: touch one element per row (rows span >= a page at
+            # serving dims) so first queries measure GEMV, not page-in
+            float(np.asarray(mat[:, 0]).sum())
             ids = np.load(os.path.join(self.dir, f"ids_{pid}.npy"), allow_pickle=True)
             clus = np.load(os.path.join(self.dir, f"clus_{pid}.npy"))
             bi = len(blocks)
