@@ -1,0 +1,108 @@
+"""curate_corpus (operators/pipeline.py): the composed curation chain
+must apply every gate with stable precedence, one row per input doc.
+Fixture plants one representative per drop class plus clean survivors.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from picovdb_spark.operators.pipeline import REASONS, curate_corpus, curation_report
+
+
+def _natural(seed_word: str, n: int = 60) -> str:
+    # natural-ish text: distinct words with stopwords sprinkled in so the
+    # quality heuristic (length + diversity + stopword prior) clears 0.3
+    words = []
+    for i in range(n):
+        words.append(f"{seed_word}{i}")
+        if i % 3 == 0:
+            words.append("the")
+        if i % 5 == 0:
+            words.append("of")
+    return " ".join(words)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = _natural("alpha")
+    near = base.replace("alpha7 ", "omega7 ", 1)  # 1-word mutation of base
+    rows = [
+        (1, base),                      # clean, canonical of the near-dup pair
+        (2, base),                      # exact duplicate of 1
+        (3, near),                      # near-dup of 1, same length → loses keep-best
+        (4, "tiny tiny tiny"),          # low quality (short, no diversity)
+        (5, ("spam " * 200).strip()),   # repetitive (one word repeated)
+        (6, _natural("bravo")),         # clean
+        (7, _natural("leaky")),         # contaminated (overlaps eval below)
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    eval_docs = spark.createDataFrame(
+        [(100, _natural("leaky"))], schema="doc_id long, text string"
+    )
+    return docs, eval_docs
+
+
+def test_curate_corpus_gates_and_precedence(spark, corpus):
+    docs, eval_docs = corpus
+    out = curate_corpus(docs, eval_docs=eval_docs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 7  # one row per input doc, none lost
+
+    assert by_id[1]["keep"] and by_id[1]["drop_reason"] is None
+    assert by_id[6]["keep"] and by_id[6]["drop_reason"] is None
+    assert by_id[2]["drop_reason"] == "exact_dup"
+    assert by_id[3]["drop_reason"] == "near_dup"
+    assert by_id[4]["drop_reason"] == "low_quality"
+    assert by_id[5]["drop_reason"] == "repetitive"
+    assert by_id[7]["drop_reason"] == "contaminated"
+    # the near-dup component groups 1, 2, 3 under the canonical min id
+    assert by_id[1]["component_id"] == by_id[2]["component_id"] == by_id[3]["component_id"]
+    # every row gets a split, and splits come from the declared set
+    assert all(r["split"] in ("train", "val", "test") for r in out)
+
+
+def test_curate_corpus_without_eval_set(spark, corpus):
+    docs, _ = corpus
+    out = curate_corpus(docs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[7]["keep"]  # no eval set → no contamination gate
+    assert by_id[2]["drop_reason"] == "exact_dup"
+
+
+def test_curation_report_counts(spark, corpus):
+    docs, eval_docs = corpus
+    rep = curation_report(curate_corpus(docs, eval_docs=eval_docs))
+    assert rep["total"] == 7
+    assert rep["kept"] == 2
+    assert rep["dropped"] == {
+        "exact_dup": 1,
+        "near_dup": 1,
+        "low_quality": 1,
+        "repetitive": 1,
+        "contaminated": 1,
+    }
+    assert set(rep["dropped"]) <= set(REASONS)
+
+
+def test_curate_corpus_sf_scale_invariants(spark, sf_dir):
+    """On the real documents table: exactly one row per doc, every kept
+    exact-dup group has a single survivor, and reasons come from the
+    declared vocabulary."""
+    from picovdb_spark.schema import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curate_corpus(docs)
+    assert out.count() == docs.count()
+    bad = out.filter(
+        F.col("drop_reason").isNotNull()
+        & ~F.col("drop_reason").isin(*REASONS)
+    )
+    assert bad.count() == 0
+    # at most one kept doc per component
+    multi = (
+        out.filter(F.col("keep"))
+        .groupBy("component_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    assert multi.count() == 0
