@@ -193,6 +193,14 @@ def bench_queries(spark):
         _force(dataset_split(docs))
         _force(pii_scan(docs))
 
+    def q_pipeline_curate():
+        # the composed curation chain (dedup → components → keep-best →
+        # quality/repetition → split) as one plan — the end-to-end cost
+        # a corpus job pays per snapshot
+        from picovdb_spark.operators.pipeline import curate_corpus
+
+        _force(curate_corpus(docs))
+
     # -- reference-scale workloads (BASELINE.md config: 100k vectors,
     # dim=1024) so the q/s figure is comparable at EQUIVALENT scale, not
     # at the (much smaller) sf0.1 embeddings table. The corpus is
@@ -742,6 +750,7 @@ def bench_queries(spark):
         "ann_ivf_query_1000": q_ann_query_1000,
         "chunk_pack": q_chunk_pack,
         "pipeline_screen": q_pipeline_screen,
+        "pipeline_curate": q_pipeline_curate,
         # "_"-prefixed keys are SETUP steps: executed in order, excluded
         # from timings (corpus generation is not a workload; it also
         # clears the sf-scale caches, so it runs after the sf workloads)
