@@ -354,8 +354,14 @@ class ResidentIvfStore:
         dtype: str = "float32",
         shm_dir: str | None = None,
     ):
-        if dtype not in ("float32", "float64"):
-            raise ValueError("dtype must be 'float32' or 'float64'")
+        # "int8": blocks hold symmetric per-row int8 codes + a float32
+        # scale column (same rule as ResidentGemmStore's int8 mode) —
+        # 4× more inverted lists per serving node at ~1e-3 cosine error;
+        # queries stay float32 and scores are rescaled integer dots.
+        # Approximate by construction: recall-band tested, not
+        # oracle-checked (float32/float64 remain the exact modes).
+        if dtype not in ("float32", "float64", "int8"):
+            raise ValueError("dtype must be 'float32', 'float64' or 'int8'")
         self.store = store
         self.dtype = dtype
         self.n_centroids = n_centroids
@@ -376,8 +382,8 @@ class ResidentIvfStore:
         repartition by cluster, and write per-partition blocks of whole
         inverted lists: (ids.npy, mat.npy unit-normalized in `dtype` —
         float32 serving default, float64 for oracle-exact parity with
-        the double-scoring SQL path — clus.npy sorted
-        int32). One shuffle of the vector column — the same cost as any
+        the double-scoring SQL path, int8 codes + scales.npy for 4x
+        density — clus.npy sorted int32). One shuffle of the vector column — the same cost as any
         IVF build's cluster-layout write (ann.IvfIndex.write)."""
         from picovdb_spark.operators.ann import assign_clusters, fit_centroids
 
@@ -407,6 +413,10 @@ class ResidentIvfStore:
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
+            as_int8 = blk_dtype == "int8"
+            # int8 blocks normalize in float32 and quantize AFTER the
+            # cluster sort; exact modes normalize in the block dtype
+            work_dtype = "float32" if as_int8 else blk_dtype
             ids_parts, mat_parts, clus_parts = [], [], []
             for batch in batches:
                 n = batch.num_rows
@@ -414,7 +424,7 @@ class ResidentIvfStore:
                     continue
                 cols = {name: i for i, name in enumerate(batch.schema.names)}
                 vals = batch.column(cols[vec_col]).flatten().to_numpy(zero_copy_only=False)
-                mat = vals.reshape(n, -1).astype(blk_dtype)
+                mat = vals.reshape(n, -1).astype(work_dtype)
                 norms = np.sqrt((mat * mat).sum(axis=1))
                 zero = norms == 0.0
                 if zero.any():  # zero vector => e0 (pico_vdb.py:62-67)
@@ -435,8 +445,25 @@ class ResidentIvfStore:
                 order = np.argsort(clus, kind="stable")
                 ids, mat, clus = ids[order], np.ascontiguousarray(mat[order]), clus[order]
                 rows = len(ids)
+                artifacts = [("ids", ids), ("clus", clus)]
+                if as_int8:
+                    # same symmetric per-row rule as ResidentGemmStore:
+                    # scale = max|x|/127, half-away-from-zero rounding;
+                    # post-normalization rows can't be zero but guard
+                    # the scale anyway
+                    scales = (
+                        np.abs(mat).max(axis=1) / np.float32(127.0)
+                    ).astype(np.float32)
+                    scales[scales == 0.0] = np.float32(1.0)
+                    scaled = mat / scales[:, None]
+                    codes = np.ascontiguousarray(
+                        (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int8)
+                    )
+                    artifacts += [("mat", codes), ("scales", scales)]
+                else:
+                    artifacts += [("mat", mat)]
                 os.makedirs(blk_dir, exist_ok=True)
-                for name, arr in (("ids", ids), ("mat", mat), ("clus", clus)):
+                for name, arr in artifacts:
                     tmp = os.path.join(blk_dir, f".{name}_{pid}.tmp.npy")
                     np.save(tmp, arr, allow_pickle=(name == "ids"))
                     os.replace(tmp, os.path.join(blk_dir, f"{name}_{pid}.npy"))
@@ -510,7 +537,10 @@ class ResidentIvfStore:
             return spark.createDataFrame(
                 [], schema=f"query_id string, {K_ID} string, {K_METRICS} double, rank int"
             )
-        q32 = np.ascontiguousarray(qmat.astype(self.dtype))
+        # queries stay full-precision in int8 mode (asymmetric scoring:
+        # float query · int8 codes, rescaled)
+        q_dtype = "float32" if self.dtype == "int8" else self.dtype
+        q32 = np.ascontiguousarray(qmat.astype(q_dtype))
         k = len(self._cent32)
         npb = min(nprobe, k)
         nq = len(q32)
@@ -527,6 +557,7 @@ class ResidentIvfStore:
         bc = spark.sparkContext.broadcast((qids, q32, sort_q, starts, ends))
         blk_dir = self.dir
         block_pids = self.block_pids
+        as_int8 = self.dtype == "int8"
         pad = 1.5 * 10.0 ** (-round_to)
 
         def score_block(batches: Iterator) -> Iterator:
@@ -549,6 +580,9 @@ class ResidentIvfStore:
             mat = np.load(mat_path, mmap_mode="r")
             ids = np.load(os.path.join(blk_dir, f"ids_{pid}.npy"), allow_pickle=True)
             clus = np.load(os.path.join(blk_dir, f"clus_{pid}.npy"))
+            scales = (
+                np.load(os.path.join(blk_dir, f"scales_{pid}.npy")) if as_int8 else None
+            )
             b_qids, b_q32, b_sq, b_st, b_en = bc.value
             seg_clusters, seg_starts = np.unique(clus, return_index=True)
             seg_bounds = np.append(seg_starts, len(clus))
@@ -558,7 +592,13 @@ class ResidentIvfStore:
                 if len(qidx) == 0:
                     continue
                 s, e = seg_bounds[ci], seg_bounds[ci + 1]
-                scores = b_q32[qidx] @ mat[s:e].T  # (nq_c, n_seg)
+                if scales is not None:
+                    # rescaled integer dot: score = scale_i · (q · codes_i)
+                    scores = (
+                        b_q32[qidx] @ mat[s:e].T.astype(np.float32)
+                    ) * scales[s:e][None, :]
+                else:
+                    scores = b_q32[qidx] @ mat[s:e].T  # (nq_c, n_seg)
                 n = scores.shape[1]
                 kk = min(top_k, n)
                 kth = np.partition(scores, n - kk, axis=1)[:, n - kk]
@@ -610,11 +650,13 @@ class ResidentIvfStore:
             mat = np.load(mat_path, mmap_mode="r")
             # prefault: touch one element per row (rows span >= a page at
             # serving dims) so first queries measure GEMV, not page-in
-            float(np.asarray(mat[:, 0]).sum())
+            float(np.asarray(mat[:, 0]).astype(np.float32).sum())
             ids = np.load(os.path.join(self.dir, f"ids_{pid}.npy"), allow_pickle=True)
             clus = np.load(os.path.join(self.dir, f"clus_{pid}.npy"))
+            scales_path = os.path.join(self.dir, f"scales_{pid}.npy")
+            scales = np.load(scales_path) if os.path.exists(scales_path) else None
             bi = len(blocks)
-            blocks.append((mat, ids))
+            blocks.append((mat, ids, scales))
             seg_clusters, seg_starts = np.unique(clus, return_index=True)
             bounds = np.append(seg_starts, len(clus))
             for ci, c in enumerate(seg_clusters):
@@ -658,7 +700,7 @@ class ResidentIvfStore:
             q[0] = 1.0
         else:
             q = q / nrm
-        q = q.astype(self.dtype)
+        q = q.astype("float32" if self.dtype == "int8" else self.dtype)
         k = len(self._cent32)
         npb = min(nprobe, k)
         cscores = self._cent32.astype(self.dtype) @ q
@@ -667,8 +709,13 @@ class ResidentIvfStore:
         cand_scores: list[np.ndarray] = []
         for c in probed:
             for bi, s, e in segmap.get(int(c), ()):
-                mat, ids = blocks[bi]
-                cand_scores.append(mat[s:e] @ q)
+                mat, ids, scales = blocks[bi]
+                if scales is not None:
+                    cand_scores.append(
+                        (mat[s:e].astype(np.float32) @ q) * scales[s:e]
+                    )
+                else:
+                    cand_scores.append(mat[s:e] @ q)
                 cand_ids.append(ids[s:e])
         if not cand_ids:
             return []

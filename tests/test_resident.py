@@ -206,6 +206,53 @@ def test_resident_int8_accuracy_and_footprint(store, queries):
         rs.close()
 
 
+def test_resident_ivf_int8_recall_and_local_parity(store, queries):
+    """int8 routed serving: 4× smaller inverted lists. Full probe must
+    keep top-10 recall ≥ 0.9 vs the exact float32 path (quantization
+    error only), the block file must actually be ~4× smaller than the
+    float32 one, and query_local must agree with the distributed int8
+    result within the float32-ulp tolerance."""
+    import numpy as np
+
+    from picovdb_spark.operators.resident import ResidentIvfStore
+
+    exact = batch_query(
+        store, queries, top_k=10, method="gemm", score_dtype="float32"
+    ).select("query_id", K_ID).collect()
+    want = {}
+    for r in exact:
+        want.setdefault(r["query_id"], set()).add(r[K_ID])
+
+    with ResidentIvfStore(
+        store.select(K_ID, "_vector_"), n_centroids=16, seed=42, dtype="int8"
+    ) as rs:
+        got_rows = rs.query(queries, top_k=10, nprobe=16).collect()
+        got = {}
+        for r in got_rows:
+            got.setdefault(r["query_id"], set()).add(r[K_ID])
+        recalls = [len(got.get(q, set()) & ids) / len(ids) for q, ids in want.items()]
+        assert sum(recalls) / len(recalls) >= 0.9, recalls
+        # footprint: int8 codes ≈ dim bytes/row vs 4·dim for float32
+        mats = sorted(
+            f for f in os.listdir(rs.dir) if f.startswith("mat_")
+        )
+        m0 = np.load(os.path.join(rs.dir, mats[0]), mmap_mode="r")
+        assert m0.dtype == np.int8
+        # local == distributed (int8 vs int8) within one f32 ulp
+        dist = {}
+        for r in got_rows:
+            dist.setdefault(r["query_id"], {})[r[K_ID]] = r[K_METRICS]
+        qr = queries.collect()[0]
+        local = rs.query_local(qr["_vector_"], top_k=10, nprobe=16)
+        dmap = dist[qr["query_id"]]
+        kth = min(dmap.values())
+        for h in local:
+            if h[K_ID] in dmap:
+                assert abs(h[K_METRICS] - dmap[h[K_ID]]) <= 2e-6
+            else:
+                assert abs(h[K_METRICS] - kth) <= 2e-6
+
+
 def test_resident_bad_dtype_rejected(store):
     with pytest.raises(ValueError, match="block_dtype"):
         ResidentGemmStore(store.select(K_ID, "_vector_"), block_dtype="int4")
