@@ -352,6 +352,25 @@ def bench_queries(spark):
         _, q = _ref_store()
         _force(ref_state["resident_ivf"].query(q.limit(100), top_k=10, nprobe=8))
 
+    def _prepare_resident_ivf_int8():
+        # max-density serving point: int8 inverted lists (4x store per
+        # node) + cluster routing + in-process reads
+        from picovdb_spark.operators.resident import ResidentIvfStore
+
+        s, q = _ref_store()
+        if "resident_ivf_int8" not in ref_state:
+            rs = ResidentIvfStore(s, n_centroids=256, seed=42, dtype="int8")
+            rs.materialize()
+            rs.query_local(ref_state["local_qvecs"][0], top_k=10, nprobe=8)
+            ref_state["resident_ivf_int8"] = rs
+
+    def q_ref100k_ivf_resident_int8_local_100():
+        # 100 sequential single-query in-process calls over int8 blocks:
+        # the 4x-density serving configuration's latency
+        rs = ref_state["resident_ivf_int8"]
+        for v in ref_state["local_qvecs"]:
+            rs.query_local(v, top_k=10, nprobe=8)
+
     def q_ref100k_ivf_resident_local_100():
         # the reference's own serving regime: 100 SEQUENTIAL single-query
         # calls against the same resident inverted-list blocks, read
@@ -723,7 +742,7 @@ def bench_queries(spark):
     def _cleanup_resident():
         # drop the node-local shm blocks: they live in /dev/shm, which
         # outlives this process — leaking them accumulates across runs
-        for key in ("resident", "resident_int8", "resident_ivf"):
+        for key in ("resident", "resident_int8", "resident_ivf", "resident_ivf_int8"):
             rs = ref_state.pop(key, None)
             if rs is not None:
                 rs.close()
@@ -764,6 +783,8 @@ def bench_queries(spark):
         "ref100k_ivf_resident_query_1000": q_ref100k_ivf_resident_query_1000,
         "ref100k_ivf_resident_query_100": q_ref100k_ivf_resident_query_100,
         "ref100k_ivf_resident_local_100": q_ref100k_ivf_resident_local_100,
+        "_prepare_resident_ivf_int8": _prepare_resident_ivf_int8,
+        "ref100k_ivf_resident_int8_local_100": q_ref100k_ivf_resident_int8_local_100,
         "ref100k_pq_build": q_ref100k_pq_build,
         "ref100k_pq_query_1000": q_ref100k_pq_query_1000,
         "ref100k_ivfpq_build": q_ref100k_ivfpq_build,
@@ -815,6 +836,7 @@ def main() -> None:
         "ref100k_ivf_resident_query_1000",
         "ref100k_ivf_resident_query_100",
         "ref100k_ivf_resident_local_100",
+        "ref100k_ivf_resident_int8_local_100",
         "ref100k_pq_query_1000",
         "ref100k_ivfpq_query_1000",
         "ref100k_ivf_query_100",
