@@ -106,3 +106,15 @@ def test_curate_corpus_sf_scale_invariants(spark, sf_dir):
         .filter(F.col("n") > 1)
     )
     assert multi.count() == 0
+
+
+def test_curate_corpus_plan_stays_equi_join(spark, corpus):
+    """The composed chain must keep every join an equi-join (hash or
+    sort-merge) — no BroadcastNestedLoopJoin / CartesianProduct sneaks
+    in through the composition."""
+    from picovdb_spark.plans import explain_str
+
+    docs, eval_docs = corpus
+    plan = explain_str(curate_corpus(docs, eval_docs=eval_docs))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
