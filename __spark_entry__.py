@@ -2238,17 +2238,35 @@ def _docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _register_text_profile():
+    # within-corpus repeated-5-gram screen (textops.repeated_ngram_stats):
+    # per-doc fraction of distinct 5-grams whose document frequency >= 2
+    rg_oracle = f"""
+WITH rg_tok AS (SELECT doc_id, {_D_TOK} AS t FROM documents),
+rg_g AS (SELECT doc_id, {_d_hash32('gr')} AS gh
+         FROM (SELECT doc_id, unnest({_D_SHING5}) AS gr FROM rg_tok)),
+rg_df AS (SELECT gh, count(*) AS df FROM rg_g GROUP BY gh)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams5,
+       CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated5,
+       sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS repeated_frac5
+FROM rg_g g JOIN rg_df d USING (gh)
+GROUP BY g.doc_id
+"""
     oracle = f"""
 SELECT ts.doc_id, ts.n_tokens, ts.n_distinct, ts.n_bpe_tokens, ts.n_chars, ts.chars_per_token,
        li.pred_lang, li.score AS lang_score,
        q.distinct_ratio, q.stopword_ratio, q.quality,
        fp.fingerprint, fp.n_shingles,
-       rp.n_words, rp.dup_word_frac, rp.top_bigram_frac, rp.keep
+       rp.n_words, rp.dup_word_frac, rp.top_bigram_frac, rp.keep,
+       COALESCE(rg.n_grams5, 0) AS n_grams5,
+       COALESCE(rg.n_repeated5, 0) AS n_repeated5,
+       COALESCE(rg.repeated_frac5, 0.0) AS repeated_frac5
 FROM ({_TOKEN_STATS_ORACLE}) ts
 JOIN ({_langid_oracle()}) li USING (doc_id)
 JOIN ({_quality_oracle()}) q USING (doc_id)
 JOIN ({_FINGERPRINT_ORACLE}) fp USING (doc_id)
 JOIN ({_REPETITION_ORACLE}) rp USING (doc_id)
+LEFT JOIN ({rg_oracle}) rg USING (doc_id)
 """
 
     @_register("text_profile", oracle)
@@ -2261,10 +2279,15 @@ JOIN ({_REPETITION_ORACLE}) rp USING (doc_id)
         oracle is the join of the five per-kernel SQL twins):
         token counting (whitespace + BPE-ish regex), stopword-profile
         language ID, length/diversity/stopword quality scoring, bottom-k
-        shingle-hash fingerprinting, and Gopher-style repetition filters.
+        shingle-hash fingerprinting, and Gopher-style repetition filters —
+        plus one corpus-level branch: the Lee-et-al. repeated-5-gram
+        screen (textops.repeated_ngram_stats), whose evidence lives in
+        OTHER documents and therefore needs its gram-hash shuffle.
         At scale this is exactly how the kernels run in production — one
         pass over the text column producing every per-doc signal; each
         sub-operator remains individually exercised in pytest."""
+        from picovdb_spark.operators.textops import repeated_ngram_stats
+
         ts = _text_tokens(spark, sf_dir)
         li = _text_langid(spark, sf_dir).select(
             "doc_id", "pred_lang", F.col("score").alias("lang_score")
@@ -2274,7 +2297,27 @@ JOIN ({_REPETITION_ORACLE}) rp USING (doc_id)
         )
         fp = _text_fingerprint(spark, sf_dir)
         rp = _docs_repetition(spark, sf_dir)
-        return ts.join(li, "doc_id").join(q, "doc_id").join(fp, "doc_id").join(rp, "doc_id")
+        docs = load_table(spark, sf_dir, "documents")
+        rg = repeated_ngram_stats(docs, n=5, min_df=2).select(
+            "doc_id",
+            F.col("n_grams").alias("n_grams5"),
+            F.col("n_repeated").alias("n_repeated5"),
+            F.col("repeated_frac").alias("repeated_frac5"),
+        )
+        return (
+            ts.join(li, "doc_id")
+            .join(q, "doc_id")
+            .join(fp, "doc_id")
+            .join(rp, "doc_id")
+            .join(rg, "doc_id", "left")
+            .withColumn("n_grams5", F.coalesce(F.col("n_grams5"), F.lit(0).cast("long")))
+            .withColumn(
+                "n_repeated5", F.coalesce(F.col("n_repeated5"), F.lit(0).cast("long"))
+            )
+            .withColumn(
+                "repeated_frac5", F.coalesce(F.col("repeated_frac5"), F.lit(0.0))
+            )
+        )
 
     return _text_profile
 

@@ -361,6 +361,63 @@ def repetition_stats(
     return docs.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
 
 
+def repeated_ngram_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Within-corpus repeated-n-gram screen (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for each
+    document, the fraction of its distinct word ``n``-grams that occur in
+    at least ``min_df`` documents corpus-wide. Memorization-prone spans
+    are exactly the ones whose long n-grams recur across documents —
+    ``repeated_frac`` near 1.0 flags boilerplate/templated docs that
+    per-doc repetition filters (repetition_stats) cannot see, because the
+    evidence lives in OTHER documents.
+
+    Distributed shape (two narrow shuffles, no wide rows move):
+      1. per-doc distinct grams → md5-32 gram hash (8 bytes + id per row);
+      2. document-frequency agg keyed by gram hash — map-side partial
+         combine, so the shuffle carries one (hash, count) per distinct
+         gram per partition, not per occurrence;
+      3. equi-join positions back on the hash (repeated set is NOT
+         broadcast — at 100 TB it is corpus-sized) + per-doc count agg.
+    Text itself never shuffles. Hash collisions can only ADD a false
+    repeat (same md5-32 reasoning as decontaminate); acceptable for a
+    screen whose action is "flag for review". A gram hotter than every
+    other (think a licence header in 10^8 docs) is ONE row after the
+    map-side combine — df agg skew is bounded by the combine, and the
+    join fans it back out doc-local, so no salt is needed.
+
+    Output: one row per doc that HAS at least one n-gram —
+    (id, n_grams, n_repeated, repeated_frac). Docs shorter than ``n``
+    tokens have no grams and no row; callers LEFT-join and coalesce.
+    """
+    g = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("__g"),
+    ).select(F.col(id_col), md5_hash32(F.col("__g")).alias("__gh"))
+    df_counts = g.groupBy("__gh").agg(F.count("*").alias("__df"))
+    rep = df_counts.filter(F.col("__df") >= min_df).select("__gh")
+    totals = g.groupBy(id_col).agg(F.count("*").cast("long").alias("n_grams"))
+    rep_counts = (
+        g.join(rep, "__gh")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_repeated"))
+    )
+    return (
+        totals.join(rep_counts, id_col, "left")
+        .withColumn("n_repeated", F.coalesce(F.col("n_repeated"), F.lit(0).cast("long")))
+        .withColumn(
+            "repeated_frac",
+            (F.col("n_repeated").cast("double") / F.col("n_grams").cast("double")),
+        )
+    )
+
+
 def top_ngrams(
     docs: DataFrame,
     *,

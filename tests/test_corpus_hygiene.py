@@ -139,3 +139,51 @@ def test_filter_domains_blocklist(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
     stats = {r["domain"]: (r["n_urls"], r["n_docs"]) for r in domain_stats(docs).collect()}
     assert stats == {"bad.example": (2, 2), "ok.example.org": (2, 2)}
+
+
+def test_repeated_ngram_stats_brute_force(spark):
+    from itertools import islice
+
+    from picovdb_spark.operators.textops import repeated_ngram_stats
+
+    rows = [
+        (1, "one two three four five six seven"),
+        (2, "zzz one two three four five yyy"),       # shares "one two three four five" with 1
+        (3, "alpha beta gamma delta epsilon zeta"),   # unique grams only
+        (4, "one two three four five"),               # exactly the shared gram, nothing else
+        (5, "too short"),                             # < n tokens -> no row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repeated_ngram_stats(docs, n=5, min_df=2).collect()}
+
+    def grams(t, n=5):
+        ws = [w for w in t.lower().split(" ") if w]
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    corpus = {i: grams(t) for i, t in rows}
+    df = {}
+    for gs in corpus.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    for i, gs in corpus.items():
+        if not gs:
+            assert i not in got
+            continue
+        n_rep = sum(1 for g in gs if df[g] >= 2)
+        assert got[i]["n_grams"] == len(gs), i
+        assert got[i]["n_repeated"] == n_rep, i
+        assert got[i]["repeated_frac"] == pytest.approx(n_rep / len(gs), abs=0)
+
+
+def test_repeated_ngram_stats_min_df(spark):
+    from picovdb_spark.operators.textops import repeated_ngram_stats
+
+    docs = spark.createDataFrame(
+        [(i, "common gram shared by everyone here") for i in range(3)]
+        + [(9, "a different two document overlap text"), (10, "a different two document overlap text")],
+        "doc_id long, text string",
+    )
+    # min_df=3: only the 3-way gram set counts as repeated
+    got = {r["doc_id"]: r["n_repeated"] for r in repeated_ngram_stats(docs, n=5, min_df=3).collect()}
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0
+    assert got[9] == 0 and got[10] == 0
