@@ -717,7 +717,7 @@ SELECT doc_id,
        len(list_distinct(t)) AS n_distinct,
        len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
        length(text) AS n_chars,
-       round(CAST(length(text) AS DOUBLE) / len(t), 6) AS chars_per_token
+       round(CASE WHEN len(t) > 0 THEN CAST(length(text) AS DOUBLE) / len(t) ELSE 0.0 END, 6) AS chars_per_token
 FROM tok
 """
 
@@ -762,8 +762,8 @@ WITH tok AS (SELECT doc_id, {_D_TOK} AS t FROM documents),
 m AS (
   SELECT doc_id,
          CAST(len(t) AS DOUBLE) AS n,
-         CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dr,
-         CAST(len(list_filter(t, x -> list_contains({en}, x))) AS DOUBLE) / len(t) AS sw
+         CASE WHEN len(t) > 0 THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) ELSE 0.0 END AS dr,
+         CASE WHEN len(t) > 0 THEN CAST(len(list_filter(t, x -> list_contains({en}, x))) AS DOUBLE) / len(t) ELSE 0.0 END AS sw
   FROM tok
 )
 SELECT doc_id,

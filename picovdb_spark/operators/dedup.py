@@ -216,7 +216,14 @@ def lsh_bucket_stats(
         F.count("*").alias("buckets"),
         F.max("n").alias("max_bucket"),
         F.percentile_approx("n", 0.99).alias("p99_bucket"),
-        F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("candidate_pairs"),
+        # integer arithmetic end-to-end: n*(n-1) is even and >= 0, so
+        # shiftright(·, 1) is an exact halving, and the long sum keeps
+        # the count exact past 2^53 (a double sum silently loses integer
+        # exactness at exactly the corpus scale this diagnostic exists
+        # for; `/` would reintroduce it — Spark division is always
+        # floating)
+        F.sum(F.shiftright((F.col("n") * (F.col("n") - F.lit(1))).cast("long"), 1))
+        .alias("candidate_pairs"),
     ).collect()[0]
     # an empty corpus (or filtered-to-empty sample) aggregates to NULLs
     return {

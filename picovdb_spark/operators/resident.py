@@ -49,6 +49,23 @@ from picovdb_spark.schema import K_ID, K_METRICS, K_VECTOR
 _SHM_ROOT_CANDIDATES = ("/dev/shm", tempfile.gettempdir())
 
 
+def _quantize_rows_int8(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-row int8 quantization shared by both resident
+    stores: scale = max|x|/127 (the functions.vector.quantize_int8
+    rule), HALF_UP rounding (Catalyst round()) via sign*floor(|x|+0.5)
+    — np.round would be half-to-even and diverge at exact .5
+    boundaries. Zero rows can't occur post-normalization, but a
+    pre-normalized caller may still hand us one — guard the scale so it
+    encodes as all-zero codes instead of NaN. Returns (codes, scales)."""
+    scales = (np.abs(mat).max(axis=1) / np.float32(127.0)).astype(np.float32)
+    scales[scales == 0.0] = np.float32(1.0)
+    scaled = mat / scales[:, None]
+    codes = np.ascontiguousarray(
+        (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int8)
+    )
+    return codes, scales
+
+
 def _shm_root() -> str:
     for d in _SHM_ROOT_CANDIDATES:
         if os.path.isdir(d) and os.access(d, os.W_OK):
@@ -140,23 +157,7 @@ class ResidentGemmStore:
                 rows = len(ids)
                 artifacts = [("ids", ids)]
                 if as_int8:
-                    # symmetric per-row quantization, same scale rule as
-                    # functions.vector.quantize_int8 incl. HALF_UP
-                    # rounding (Catalyst round()): half-away-from-zero
-                    # via sign*floor(|x|+0.5) — np.round would be
-                    # half-to-even and diverge at exact .5 boundaries.
-                    # Zero rows can't occur post-normalization, but a
-                    # pre_normalized=True caller may still hand us one —
-                    # guard the scale so it encodes as all-zero codes
-                    # instead of NaN.
-                    scales = (
-                        np.abs(mat).max(axis=1) / np.float32(127.0)
-                    ).astype(np.float32)
-                    scales[scales == 0.0] = np.float32(1.0)
-                    scaled = mat / scales[:, None]
-                    codes = np.ascontiguousarray(
-                        (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int8)
-                    )
+                    codes, scales = _quantize_rows_int8(mat)
                     artifacts += [("mat", codes), ("scales", scales)]
                 else:
                     artifacts += [("mat", mat)]
@@ -447,18 +448,7 @@ class ResidentIvfStore:
                 rows = len(ids)
                 artifacts = [("ids", ids), ("clus", clus)]
                 if as_int8:
-                    # same symmetric per-row rule as ResidentGemmStore:
-                    # scale = max|x|/127, half-away-from-zero rounding;
-                    # post-normalization rows can't be zero but guard
-                    # the scale anyway
-                    scales = (
-                        np.abs(mat).max(axis=1) / np.float32(127.0)
-                    ).astype(np.float32)
-                    scales[scales == 0.0] = np.float32(1.0)
-                    scaled = mat / scales[:, None]
-                    codes = np.ascontiguousarray(
-                        (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int8)
-                    )
+                    codes, scales = _quantize_rows_int8(mat)
                     artifacts += [("mat", codes), ("scales", scales)]
                 else:
                     artifacts += [("mat", mat)]
@@ -500,6 +490,12 @@ class ResidentIvfStore:
             except Exception:
                 pass
         shutil.rmtree(self.dir, ignore_errors=True)
+        # drop the query_local mmap cache: unlinked files stay readable
+        # through live mmaps, so without this a closed store would keep
+        # serving stale data instead of failing loudly
+        self._local_cache = None
+        self.n_rows = None
+        self._blocks_df = None
 
     def __enter__(self) -> "ResidentIvfStore":
         self.materialize()
@@ -703,7 +699,11 @@ class ResidentIvfStore:
         q = q.astype("float32" if self.dtype == "int8" else self.dtype)
         k = len(self._cent32)
         npb = min(nprobe, k)
-        cscores = self._cent32.astype(self.dtype) @ q
+        # route on the FLOAT centroids, exactly like query()'s routing
+        # GEMM — casting them to the block dtype would truncate every
+        # component to 0 in int8 mode (|x| < 1) and probe arbitrary
+        # clusters
+        cscores = self._cent32 @ q
         probed = np.argpartition(-cscores, npb - 1)[:npb]
         cand_ids: list[np.ndarray] = []
         cand_scores: list[np.ndarray] = []

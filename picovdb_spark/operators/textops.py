@@ -33,8 +33,15 @@ def token_stats(
         F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)).cast("long").alias("n_bpe_tokens"),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        # CASE-guarded: a 0-token doc is a legal input (blank/boilerplate
+        # rows are the expected corpus pathology) and Spark 4's ANSI
+        # default makes an unguarded /0 abort the whole job
         F.round(
-            F.length(F.col(text_col)).cast("double") / F.size(t).cast("double"), round_to
+            F.when(
+                F.size(t) > 0,
+                F.length(F.col(text_col)).cast("double") / F.size(t).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            round_to,
         ).alias("chars_per_token"),
     )
 
@@ -73,8 +80,15 @@ def quality_score(
     """
     t = tokens(F.col(text_col))
     n = F.size(t).cast("double")
-    distinct_ratio = F.size(F.array_distinct(t)).cast("double") / n
-    sw = _stopword_hits(t, STOPWORDS["en"]).cast("double") / n
+    # 0-token docs score 0 on every ratio (worst quality) instead of
+    # aborting under Spark 4's ANSI divide-by-zero default — empty and
+    # whitespace-only rows are exactly what a quality screen must handle
+    distinct_ratio = F.when(
+        n > 0, F.size(F.array_distinct(t)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    sw = F.when(n > 0, _stopword_hits(t, STOPWORDS["en"]).cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
     score = (
         F.lit(0.4) * F.least(n / F.lit(256.0), F.lit(1.0))
         + F.lit(0.4) * distinct_ratio

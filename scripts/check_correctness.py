@@ -111,7 +111,9 @@ def main(argv):
                     and rec["schema_match"]
                     and all(_values_close(a, b) for a, b in zip(sr, orr))
                 )
-                if rec["schema_match"] is False:
+                if not rec["rows_match"]:
+                    rec["err"] = f"rows spark={len(srows)} oracle={len(orows)}"
+                elif rec["schema_match"] is False:
                     rec["err"] = f"schema spark={sc} oracle={oc}"
                 elif rec["rows_match"] and not rec["hash_match"]:
                     bad = next(

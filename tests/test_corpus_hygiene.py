@@ -187,3 +187,22 @@ def test_repeated_ngram_stats_min_df(spark):
     got = {r["doc_id"]: r["n_repeated"] for r in repeated_ngram_stats(docs, n=5, min_df=3).collect()}
     assert got[0] > 0 and got[1] > 0 and got[2] > 0
     assert got[9] == 0 and got[10] == 0
+
+
+def test_profile_kernels_handle_empty_docs(spark):
+    """Blank/whitespace-only docs are the expected corpus pathology —
+    every ratio kernel must yield zeros, not an ANSI DIVIDE_BY_ZERO
+    abort (Spark 4 default) or a NULL that bypasses quality gates."""
+    from picovdb_spark.operators.textops import quality_score, token_stats
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a normal little document here")],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert q[1]["quality"] == 0.0 and q[1]["distinct_ratio"] == 0.0
+    assert q[2]["quality"] == 0.0 and q[2]["stopword_ratio"] == 0.0
+    assert q[3]["quality"] > 0.0
+    ts = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert ts[1]["chars_per_token"] == 0.0
+    assert ts[2]["n_tokens"] == 0

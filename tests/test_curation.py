@@ -118,3 +118,14 @@ def test_curate_corpus_plan_stays_equi_join(spark, corpus):
     plan = explain_str(curate_corpus(docs, eval_docs=eval_docs))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_curate_corpus_survives_blank_docs(spark, corpus):
+    """An empty doc must flow through the full chain as a low_quality
+    drop — not abort the job on an unguarded division."""
+    docs, eval_docs = corpus
+    blank = spark.createDataFrame([(99, ""), (98, "   ")], "doc_id long, text string")
+    out = curate_corpus(docs.unionByName(blank), eval_docs=eval_docs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert not by_id[99]["keep"] and by_id[99]["drop_reason"] is not None
+    assert not by_id[98]["keep"]

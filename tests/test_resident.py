@@ -256,3 +256,41 @@ def test_resident_ivf_int8_recall_and_local_parity(store, queries):
 def test_resident_bad_dtype_rejected(store):
     with pytest.raises(ValueError, match="block_dtype"):
         ResidentGemmStore(store.select(K_ID, "_vector_"), block_dtype="int4")
+
+
+def test_resident_ivf_int8_partial_probe_routes_on_float_centroids(store, queries):
+    """Routing REGRESSION: query_local must route on the float32
+    centroids, not centroids cast to the block dtype — in int8 mode that
+    cast truncates every component (|x| < 1) to 0 and probes arbitrary
+    clusters. At nprobe < n_centroids the local result must probe the
+    same neighborhoods as the distributed int8 query (small float
+    reorderings between GEMV and GEMM routing allow a 1-2 id fringe;
+    the broken cast overlapped 0-2 of 10)."""
+    from picovdb_spark.operators.resident import ResidentIvfStore
+
+    with ResidentIvfStore(
+        store.select(K_ID, "_vector_"), n_centroids=16, seed=42, dtype="int8"
+    ) as rs:
+        dist_rows = rs.query(queries, top_k=10, nprobe=4).collect()
+        dist = {}
+        for r in dist_rows:
+            dist.setdefault(r["query_id"], set()).add(r[K_ID])
+        for qr in queries.collect():
+            local = rs.query_local(qr["_vector_"], top_k=10, nprobe=4)
+            overlap = {h[K_ID] for h in local} & dist[qr["query_id"]]
+            assert len(overlap) >= 8, (qr["query_id"], len(overlap))
+
+
+def test_resident_ivf_query_local_after_close_raises(store, queries):
+    """close() must drop the query_local mmap cache: unlinked files stay
+    readable through live mmaps, so a stale cache would keep serving a
+    closed store's data silently."""
+    from picovdb_spark.operators.resident import ResidentIvfStore
+
+    rs = ResidentIvfStore(store.select(K_ID, "_vector_"), n_centroids=8, seed=1)
+    rs.materialize()
+    qr = queries.collect()[0]
+    assert rs.query_local(qr["_vector_"], top_k=5, nprobe=8)  # populate cache
+    rs.close()
+    with pytest.raises(RuntimeError, match="not materialized"):
+        rs.query_local(qr["_vector_"], top_k=5, nprobe=8)
