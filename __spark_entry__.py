@@ -1877,9 +1877,13 @@ def _stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 SELECT sp.doc_id, sp.bucket, sp.split,
        sa.lang, sa.bucket AS sample_bucket,
-       sa.doc_id IS NOT NULL AS sampled
+       sa.doc_id IS NOT NULL AS sampled,
+       qr.quality_rank
 FROM ({_SPLIT_ORACLE}) sp
 LEFT JOIN ({_STRATIFIED_ORACLE}) sa USING (doc_id)
+JOIN (SELECT doc_id,
+             row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS quality_rank
+      FROM ({_quality_oracle()})) qr USING (doc_id)
 """,
 )
 def _text_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1889,10 +1893,17 @@ def _text_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-based train/val/test split (98/1/1, no RNG, stable across
     engines) LEFT-joined with the per-language stratified downsample —
     `sampled` marks docs the rebalancer keeps, `sample_bucket`/`lang`
-    are NULL for dropped ones. Both sub-operators are pure map-side
-    projections/filters; the join here exists only to pack the two
-    verdicts into one driver row (production applies them as chained
-    filters with zero shuffle)."""
+    are NULL for dropped ones — plus `quality_rank`, the global
+    curriculum-ordering rank by quality (ties by doc_id). The rank uses
+    operators/ordering.global_rank: range-partition + per-partition
+    offsets, NEVER the oracle's single-partition window — the oracle SQL
+    states the semantics, the plan stays distributed (pinned in
+    tests/test_ordering.py). Split and sample are pure map-side
+    projections/filters; the joins here only pack the verdicts into one
+    driver row."""
+    from picovdb_spark.operators.ordering import global_rank
+    from picovdb_spark.operators.textops import quality_score
+
     sp = _dataset_split(spark, sf_dir)
     sa = _stratified(spark, sf_dir).select(
         "doc_id",
@@ -1900,8 +1911,16 @@ def _text_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("sample_bucket"),
         F.lit(True).alias("sampled"),
     )
-    return sp.join(sa, "doc_id", "left").withColumn(
-        "sampled", F.coalesce(F.col("sampled"), F.lit(False))
+    docs = load_table(spark, sf_dir, "documents")
+    qr = global_rank(
+        quality_score(docs).select("doc_id", "quality"),
+        [("quality", "desc"), ("doc_id", "asc")],
+        rank_col="quality_rank",
+    ).select("doc_id", "quality_rank")
+    return (
+        sp.join(sa, "doc_id", "left")
+        .withColumn("sampled", F.coalesce(F.col("sampled"), F.lit(False)))
+        .join(qr, "doc_id")
     )
 
 

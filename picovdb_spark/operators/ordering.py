@@ -1,0 +1,84 @@
+"""Global total-order ranking at scale.
+
+`row_number() OVER (ORDER BY ...)` with no PARTITION BY collapses to a
+single-partition window — one task ranks the whole table, which is the
+classic 100 TB scale-killer. `global_rank` produces the identical result
+with the distributed shape Spark's own `zipWithIndex` uses:
+
+  1. `repartitionByRange` on the sort keys + `sortWithinPartitions`
+     (one range shuffle — the same shuffle a global ORDER BY pays);
+  2. one tiny count job: rows per partition (one long per partition to
+     the driver);
+  3. a narrow Arrow map that adds `offset[pid] + local_index`.
+
+The DataFrame is persisted between (2) and (3): range boundaries come
+from sampling, so re-executing the shuffle between the count job and the
+map job could re-draw boundaries and corrupt the offsets. Ranks are a
+total order as long as the key list ends in a unique column (enforced by
+convention — pass the id column last); partition boundaries then cannot
+affect the result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: list[tuple[str, str]],
+    *,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a 1-based global rank column ordered by ``order_by`` —
+    [(column, "asc" | "desc"), ...], which MUST end in a unique
+    tie-breaker column for the rank to be deterministic.
+
+    Result is persisted (MEMORY_AND_DISK); callers streaming it once may
+    `.unpersist()` afterwards.
+    """
+    sort_cols = [
+        F.col(c).desc() if d.lower() == "desc" else F.col(c).asc()
+        for c, d in order_by
+    ]
+    n_parts = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    ranked_src = (
+        df.repartitionByRange(n_parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    sizes = {
+        r["__pid"]: r["cnt"]
+        for r in ranked_src.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+
+    out_schema = ranked_src.drop("__pid").schema.add(rank_col, "long", False)
+    fields = [f.name for f in out_schema.fields if f.name != rank_col]
+
+    def add_rank(batches):
+        seen = 0
+        base = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets[int(pdf["__pid"].iloc[0])]
+            out = pdf.drop(columns=["__pid"])
+            out[rank_col] = range(base + seen + 1, base + seen + 1 + len(pdf))
+            seen += len(pdf)
+            yield out[fields + [rank_col]]
+
+    # mapInPandas is a narrow map over the sorted partition iterator —
+    # intra-partition order (the sort) is preserved, so local_index is
+    # the within-partition rank
+    return ranked_src.mapInPandas(add_rank, schema=out_schema)
