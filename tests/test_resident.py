@@ -294,3 +294,27 @@ def test_resident_ivf_query_local_after_close_raises(store, queries):
     rs.close()
     with pytest.raises(RuntimeError, match="not materialized"):
         rs.query_local(qr["_vector_"], top_k=5, nprobe=8)
+
+
+def test_resident_ivf_int8_hot_segment_cache_identical(store, queries):
+    """The hot-segment float32 cache must not change a single score:
+    cached and cache-disabled query_local agree exactly (the cast and
+    the scale-after-dot order are identical; only WHEN the cast happens
+    differs)."""
+    from picovdb_spark.operators.resident import ResidentIvfStore
+
+    with ResidentIvfStore(
+        store.select(K_ID, "_vector_"), n_centroids=16, seed=3, dtype="int8"
+    ) as cached, ResidentIvfStore(
+        cached.store,
+        n_centroids=16,
+        seed=3,
+        dtype="int8",
+        local_cache_bytes=0,
+        centroids=cached.centroids,
+    ) as uncached:
+        for qr in queries.collect():
+            a = cached.query_local(qr["_vector_"], top_k=10, nprobe=4)
+            a2 = cached.query_local(qr["_vector_"], top_k=10, nprobe=4)  # cache hit
+            b = uncached.query_local(qr["_vector_"], top_k=10, nprobe=4)
+            assert a == a2 == b
