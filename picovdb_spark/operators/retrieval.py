@@ -231,3 +231,75 @@ def hybrid_rrf(
     )
     out = topk_per_query(fused, top_k, id_col=id_col, score_col="rrf", query_col="__q")
     return out.select(id_col, "rrf", "rank")
+
+
+def maxsim_topk(
+    doc_vecs: DataFrame,
+    query_vecs: DataFrame,
+    *,
+    top_k: int = 10,
+    doc_id: str = "doc_id",
+    query_id: str = "query_id",
+    vector_col: str = "vec",
+    token_col: str = "token_idx",
+    candidates: DataFrame | None = None,
+    normalized: bool = False,
+    round_to: int = 6,
+) -> DataFrame:
+    """Late-interaction retrieval (ColBERT MaxSim — Khattab & Zaharia,
+    SIGIR 2020): documents and queries are BAGS of vectors (token or
+    chunk embeddings);  score(q, d) = Σ_{query tokens t} max_{doc
+    vectors v} cos(t, v).  The max rewards a doc that covers each query
+    aspect somewhere; the sum rewards covering all of them — strictly
+    more expressive than single-vector cosine over pooled embeddings.
+
+    Pure DataFrame algebra, two aggregations:
+      broadcast(query token vectors — tiny)  ⋈  doc vectors
+        → dot per (doc vector, query token)          [map-side only]
+        → groupBy (query, doc, token) max            [shuffle 1, with
+          map-side partial max: rows leaving a partition are bounded by
+          distinct (q, d, t) touched there, not by doc-vector count]
+        → groupBy (query, doc) sum                   [same key prefix —
+          Catalyst reuses the exchange; no second wide shuffle]
+        → per-query top-k (shared WindowGroupLimit path).
+
+    A full MaxSim pass scores EVERY doc (the honest brute-force regime,
+    like the exact cosine scan). At corpus scale run the standard
+    two-stage plan: ANN/BM25 candidate generation first, then pass the
+    survivors as `candidates` (any DataFrame with `doc_id`) — MaxSim
+    then scores only the broadcast-semi-joined subset, which is the
+    ColBERT production shape.
+
+    `normalized=True` skips re-normalization when both sides already
+    hold unit vectors (the store invariant)."""
+    from picovdb_spark.functions.vector import dot, l2_normalize
+
+    norm = (lambda c: c) if normalized else l2_normalize
+    d = doc_vecs.select(
+        F.col(doc_id).cast("string").alias(doc_id), norm(F.col(vector_col)).alias("__dv")
+    )
+    if candidates is not None:
+        d = d.join(
+            F.broadcast(candidates.select(F.col(doc_id).cast("string").alias(doc_id)).distinct()),
+            doc_id,
+            "left_semi",
+        )
+    q = F.broadcast(
+        query_vecs.select(
+            F.col(query_id).cast("string").alias(query_id),
+            F.col(token_col),
+            norm(F.col(vector_col)).alias("__qv"),
+        )
+    )
+    per_tok = (
+        d.crossJoin(q)
+        .withColumn("__s", dot(F.col("__dv"), F.col("__qv")))
+        .groupBy(query_id, doc_id, token_col)
+        .agg(F.max("__s").alias("__m"))
+    )
+    per_doc = per_tok.groupBy(query_id, doc_id).agg(
+        F.round(F.sum("__m"), round_to).alias("maxsim")
+    )
+    return topk_per_query(
+        per_doc, top_k, id_col=doc_id, score_col="maxsim", query_col=query_id
+    )

@@ -128,3 +128,114 @@ def test_hybrid_rrf_fusion(spark):
     assert out[2] == (round(1 / 62 + 1 / 61, 6), 1)  # both lists
     assert out[1] == (round(1 / 61, 6), 2)
     assert out[3] == (round(1 / 62, 6), 3)
+
+
+def test_maxsim_topk_brute_force(spark):
+    """MaxSim == numpy brute force (sum over query tokens of max over
+    doc vectors of cosine), ranked (score desc, doc_id asc)."""
+    import numpy as np
+
+    from picovdb_spark.operators.retrieval import maxsim_topk
+
+    rng = np.random.default_rng(11)
+    n_docs, per_doc, n_q, toks, dim = 12, 3, 2, 4, 8
+    dvecs, rows_d = {}, []
+    for di in range(n_docs):
+        m = rng.standard_normal((per_doc, dim))
+        m /= np.sqrt((m * m).sum(axis=1))[:, None]
+        dvecs[str(di)] = m
+        rows_d += [(str(di), [float(x) for x in v]) for v in m]
+    qvecs, rows_q = {}, []
+    for qi in range(n_q):
+        m = rng.standard_normal((toks, dim))
+        m /= np.sqrt((m * m).sum(axis=1))[:, None]
+        qvecs[str(qi)] = m
+        rows_q += [(str(qi), ti, [float(x) for x in v]) for ti, v in enumerate(m)]
+    d = spark.createDataFrame(rows_d, "doc_id string, vec array<double>")
+    q = spark.createDataFrame(rows_q, "query_id string, token_idx int, vec array<double>")
+
+    got = maxsim_topk(d, q, top_k=5, normalized=True).collect()
+    want = {}
+    for qi, qm in qvecs.items():
+        scores = {
+            di: round(float((qm @ dm.T).max(axis=1).sum()), 6) for di, dm in dvecs.items()
+        }
+        want[qi] = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    for qi, hits in want.items():
+        mine = [(r["doc_id"], r["maxsim"]) for r in sorted(
+            (r for r in got if r["query_id"] == qi), key=lambda r: r["rank"]
+        )]
+        assert [h[0] for h in mine] == [h[0] for h in hits], (qi, mine, hits)
+        for (gid, gs), (wid, ws) in zip(mine, hits):
+            assert abs(gs - ws) < 2e-6
+
+
+def test_maxsim_candidates_restrict_and_plan(spark):
+    import numpy as np
+
+    from picovdb_spark.operators.retrieval import maxsim_topk
+    from picovdb_spark.plans import explain_str
+
+    d = spark.createDataFrame(
+        [(str(i), [1.0 if j == i % 4 else 0.0 for j in range(4)]) for i in range(8)],
+        "doc_id string, vec array<double>",
+    )
+    q = spark.createDataFrame(
+        [("q0", 0, [1.0, 0.0, 0.0, 0.0]), ("q0", 1, [0.0, 1.0, 0.0, 0.0])],
+        "query_id string, token_idx int, vec array<double>",
+    )
+    cand = spark.createDataFrame([("0",), ("1",), ("2",)], "doc_id string")
+    got = maxsim_topk(d, q, top_k=10, normalized=True, candidates=cand)
+    ids = {r["doc_id"] for r in got.collect()}
+    assert ids <= {"0", "1", "2"}
+    plan = explain_str(got, mode="simple")
+    # query side broadcast; candidate restriction is a broadcast semi-join
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "partial_max" in plan or "partial" in plan.lower(), plan
+
+
+def test_maxsim_duckdb_oracle_parity(spark, sf_dir):
+    """Oracle-grade check without a registry slot: MaxSim over the
+    embeddings table (label = vector group, vec_id < 3 = one 3-token
+    query) vs the same algebra in DuckDB SQL. Ranked ids must match
+    exactly; scores to 1e-6 (round-6 on both sides)."""
+    import os
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from picovdb_spark.operators.retrieval import maxsim_topk
+    from picovdb_spark.schema import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(F.col("label").alias("doc_id"), F.col("embedding").alias("vec"))
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.lit("q0").alias("query_id"),
+        F.col("vec_id").cast("int").alias("token_idx"),
+        F.col("embedding").alias("vec"),
+    )
+    got = sorted(
+        ((r["doc_id"], r["maxsim"], r["rank"]) for r in maxsim_topk(d, q, top_k=5).collect()),
+        key=lambda t: t[2],
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{os.path.join(sf_dir, 'embeddings.parquet')}')"
+    )
+    want = con.execute(
+        """
+WITH q AS (SELECT vec_id AS tok, embedding AS qv FROM embeddings WHERE vec_id < 3),
+per_tok AS (
+  SELECT q.tok, e.label,
+         max(list_cosine_similarity(q.qv, e.embedding)) AS m
+  FROM embeddings e CROSS JOIN q GROUP BY 1, 2),
+per_doc AS (SELECT label, round(sum(m), 6) AS maxsim FROM per_tok GROUP BY 1)
+SELECT label, maxsim,
+       row_number() OVER (ORDER BY maxsim DESC, label ASC) AS rank
+FROM per_doc QUALIFY rank <= 5 ORDER BY rank
+"""
+    ).fetchall()
+    assert [g[0] for g in got] == [str(w[0]) for w in want], (got, want)
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 2e-6, (g, w)
