@@ -247,6 +247,7 @@ class IvfIndex:
         auto_refit: bool = True,
         threshold: float = 0.2,
         seed: int = 42,
+        materialize: bool = True,
     ) -> "IvfIndex":
         """Incremental maintenance: assign ONLY the new rows against the
         frozen centroids and append — the analog of the reference's
@@ -259,7 +260,17 @@ class IvfIndex:
         seeded k-means over old+new rows (`last_mode == "full"`); below
         it the append is the cheap path (`last_mode == "incremental"`).
         `auto_refit=False` restores the always-append round-1 behavior
-        for callers managing their own rebuild policy (VectorStore)."""
+        for callers managing their own rebuild policy (VectorStore).
+
+        `materialize=True` (default) localCheckpoints the assigned DELTA
+        — O(batch), never O(index) — so the appended index stays valid
+        after the caller's source files change (the streaming-ingest
+        loop atomically SWAPS the store parquet between micro-batches;
+        a lazy union over the old files would fail — or silently read
+        stale data — on the next maintenance cycle; pinned by
+        tests/test_streaming.py). The base side is already stable: a
+        materialized build() is checkpointed, a read() index scans its
+        own written files."""
         n_new = new_rows.count()
         pending = self.added_rows + n_new
         if auto_refit and self.base_rows is None:
@@ -284,6 +295,8 @@ class IvfIndex:
             rebuilt.last_mode = "full"
             return rebuilt
         assigned = assign_clusters(new_rows, self.centroids, vector_col=self.vector_col)
+        if materialize:
+            assigned = assigned.localCheckpoint(eager=True)
         return IvfIndex(
             df=self.df.unionByName(assigned.select(*self.df.columns)),
             centroids=self.centroids,

@@ -177,3 +177,60 @@ def test_read_events_stream_missing_dir_raises(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="does not exist"):
         read_events_stream(spark, str(tmp_path / "no_such_dir"))
+
+
+def test_stream_ingest_then_incremental_ivf_maintenance(spark, tmpdirs):
+    """End-to-end index-maintenance loop a streaming deployment runs:
+    drain a micro-batch into the store, build the IVF index, drain a
+    second batch, `add()` ONLY the new rows against the frozen centroids
+    (the incremental path), and verify a full-probe ANN query over the
+    maintained index equals the exact scan over the updated store."""
+    import numpy as np
+
+    from picovdb_spark.operators.ann import IvfIndex, ann_query
+    from picovdb_spark.operators.similarity import batch_query
+
+    src, store_path, ckpt = tmpdirs
+    dim = 8
+    rng = np.random.default_rng(17)
+
+    def mk(n, start):
+        out = []
+        for i in range(n):
+            v = rng.standard_normal(dim).astype(np.float32)
+            out.append((f"v{start + i}", [float(x) for x in v], "m"))
+        return out
+
+    meta = {"cat": __import__("pyspark.sql.types", fromlist=["StringType"]).StringType()}
+    _write_batch(spark, src, mk(40, 0), 1)
+    stream_upsert(spark, src, store_path, dim=dim, checkpoint_dir=ckpt, metadata=meta).awaitTermination()
+    store = spark.read.parquet(store_path)
+    idx = IvfIndex.build(store.select(K_ID, K_VECTOR), n_centroids=4, seed=7)
+    assert idx.last_mode == "full" and idx.added_rows == 0
+
+    _write_batch(spark, src, mk(20, 40), 2)
+    stream_upsert(spark, src, store_path, dim=dim, checkpoint_dir=ckpt, metadata=meta).awaitTermination()
+    store2 = spark.read.parquet(store_path)
+    new_rows = store2.select(K_ID, K_VECTOR).join(
+        idx.df.select(K_ID), K_ID, "left_anti"
+    )
+    idx2 = idx.add(new_rows, auto_refit=True, threshold=0.6)  # 20/40 = 0.5 < 0.6
+    assert idx2.last_mode == "incremental"
+    assert idx2.df.count() == 60
+
+    queries = store2.limit(5).select(
+        F.col(K_ID).alias("query_id"), F.col(K_VECTOR)
+    )
+    ann = ann_query(idx2, queries, top_k=5, nprobe=4)  # full probe == exact
+    exact = batch_query(store2, queries, top_k=5)
+    key = lambda rows: sorted((r["query_id"], r[K_ID], r["_metrics_"], r["rank"]) for r in rows)  # noqa: E731
+    assert key(ann.collect()) == key(exact.collect())
+
+    # a third batch crossing the drift threshold must trigger full refit
+    _write_batch(spark, src, mk(40, 60), 3)
+    stream_upsert(spark, src, store_path, dim=dim, checkpoint_dir=ckpt, metadata=meta).awaitTermination()
+    store3 = spark.read.parquet(store_path)
+    newer = store3.select(K_ID, K_VECTOR).join(idx2.df.select(K_ID), K_ID, "left_anti")
+    idx3 = idx2.add(newer, auto_refit=True, threshold=0.6)  # (20+40)/40 > 0.6
+    assert idx3.last_mode == "full"
+    assert idx3.df.count() == 100
