@@ -853,10 +853,32 @@ def main() -> None:
         "scale4m_disk_exact_1",
         "scale4m_disk_ivfpq_1",
     }
+    # Dev-loop subset filter: SPARK_GRAFT_BENCH_ONLY="a,b,..." times only
+    # the named queries. Setup steps run only when a selected query needs
+    # their tier (prefix map below); cleanups always run (they pop state
+    # defensively). Unset (the driver's configuration) = full suite.
+    only = {s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s}
+    setup_deps = {
+        "_prepare_ref_corpus": ("ref100k_",),
+        "_prepare_resident": ("ref100k_batch_1000_resident",),
+        "_prepare_resident_int8": ("ref100k_batch_1000_resident_int8",),
+        "_prepare_resident_ivf": ("ref100k_ivf_resident",),
+        "_prepare_resident_ivf_int8": ("ref100k_ivf_resident_int8",),
+        "_prepare_scale1m": ("scale1m_",),
+        "_prepare_docs1m": ("scale1m_dedup",),
+        "_prepare_disk_tier": ("scale4m_",),
+    }
     timings: dict[str, float] = {}
     for name, fn in bench_queries(spark).items():
         if name.startswith("_"):
+            prefixes = setup_deps.get(name)
+            if only and prefixes is not None and not any(
+                q.startswith(p) for p in prefixes for q in only
+            ):
+                continue
             fn()  # setup step — runs, not timed
+            continue
+        if only and name not in only:
             continue
         passes = []
         # the bar metric gets 5 passes: it drifted 1.2-1.9 s across
@@ -882,10 +904,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "batch_queries_per_sec": round(n_queries / timings["batch_1000_gemm"], 1),
+        "batch_queries_per_sec": round(n_queries / timings["batch_1000_gemm"], 1)
+        if "batch_1000_gemm" in timings
+        else None,
         # BASELINE.md-comparable figure: 1000-query batch over 100k x 1024
         # (reference: ~1000 q/s exact on laptop hardware)
-        "ref_scale_queries_per_sec": round(1000 / timings["ref100k_batch_1000"], 1),
+        "ref_scale_queries_per_sec": round(1000 / timings["ref100k_batch_1000"], 1)
+        if "ref100k_batch_1000" in timings
+        else None,
         **EXTRA_STATS,
     }
     print(json.dumps(out))
