@@ -1173,7 +1173,7 @@ SELECT s.event_type, s.n, s.sum_value, s.min_value, s.max_value,
        g.geomean, g.n AS n_pos
 FROM ({_SALTED_AGG_ORACLE}) s
 JOIN ({_QUANTILES_ORACLE}) qn USING (event_type)
-JOIN ({_GEOMEAN_ORACLE}) g USING (event_type)
+LEFT JOIN ({_GEOMEAN_ORACLE}) g USING (event_type)
 """,
 )
 def _events_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1194,7 +1194,10 @@ def _events_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _events_geomean(spark, sf_dir).select(
         "event_type", "geomean", F.col("n").alias("n_pos")
     )
-    return s.join(qn, "event_type").join(g, "event_type")
+    # geomean only has rows for event_types with at least one value>0 —
+    # LEFT join (both sides) so such a type still gets its salted-agg
+    # and percentile values checked instead of dropping out of the suite
+    return s.join(qn, "event_type").join(g, "event_type", "left")
 
 
 @_register(

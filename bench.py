@@ -602,6 +602,12 @@ def bench_queries(spark):
     def q_scale1m_dedup_components():
         from picovdb_spark.operators.dedup import connected_components
 
+        if "pairs1m" not in scale_state:
+            # only reachable under a SPARK_GRAFT_BENCH_ONLY subset that
+            # skips the minhash entry — build the pair list untimed-ish
+            # (included in this entry's timing; the full suite always
+            # times minhash first, so driver numbers are unaffected)
+            q_scale1m_dedup_minhash()
         _force(connected_components(scale_state["pairs1m"], scale_state["docs1m"]))
 
     # -- disk-backed tier: the 100 TB regime in miniature. Everything
@@ -864,7 +870,7 @@ def main() -> None:
         "_prepare_resident_int8": ("ref100k_batch_1000_resident_int8",),
         "_prepare_resident_ivf": ("ref100k_ivf_resident",),
         "_prepare_resident_ivf_int8": ("ref100k_ivf_resident_int8",),
-        "_prepare_scale1m": ("scale1m_",),
+        "_prepare_scale1m": ("scale1m_batch", "scale1m_ivfpq"),
         "_prepare_docs1m": ("scale1m_dedup",),
         "_prepare_disk_tier": ("scale4m_",),
     }

@@ -104,6 +104,10 @@ class IvfPqIndex:
         distributed encode pass emitting (id, cluster, codes). The raw
         vector column never shuffles; the codes table is ~256× smaller
         than the store and is what gets cached/persisted."""
+        if storage not in ("memory", "checkpoint", "lazy"):
+            raise ValueError(
+                f"storage must be 'memory', 'checkpoint' or 'lazy', got {storage!r}"
+            )
         if K_DELETED in store.columns:
             store = store.filter(~F.col(K_DELETED)).drop(K_DELETED)
         # one Arrow-path sample feeds BOTH fits; one fused kernel does
@@ -146,10 +150,13 @@ class IvfPqIndex:
             enc = codes.repartition(n_parts, CLUSTER_COL)
             if storage == "checkpoint":
                 enc = enc.localCheckpoint(eager=True)
-            else:
+            elif storage == "memory":
                 enc = enc.persist()
                 enc.count()  # materialize the single encode pass
                 pinned = enc
+            # storage == "lazy": no materialization — the encode pass
+            # re-runs per downstream action (same contract as the
+            # non-cluster_raw branch)
             raw = enc.select(id_col, CLUSTER_COL, vector_col)
             codes = enc.drop(vector_col)
         else:

@@ -36,8 +36,11 @@ def global_rank(
     [(column, "asc" | "desc"), ...], which MUST end in a unique
     tie-breaker column for the rank to be deterministic.
 
-    Result is persisted (MEMORY_AND_DISK); callers streaming it once may
-    `.unpersist()` afterwards.
+    The SORTED SOURCE (not the returned frame) is persisted
+    (MEMORY_AND_DISK) — required for correctness, see the module
+    docstring. `.unpersist()` on the returned derived frame would be a
+    no-op; call :func:`release_global_rank` on the result once it has
+    been fully consumed to free the cached copy.
     """
     sort_cols = [
         F.col(c).desc() if d.lower() == "desc" else F.col(c).asc()
@@ -81,4 +84,17 @@ def global_rank(
     # mapInPandas is a narrow map over the sorted partition iterator —
     # intra-partition order (the sort) is preserved, so local_index is
     # the within-partition rank
-    return ranked_src.mapInPandas(add_rank, schema=out_schema)
+    out = ranked_src.mapInPandas(add_rank, schema=out_schema)
+    # hand the caller the only object whose unpersist() frees anything
+    out._global_rank_source = ranked_src  # type: ignore[attr-defined]
+    return out
+
+
+def release_global_rank(ranked: DataFrame) -> None:
+    """Unpersist the internal sorted-source cache behind a
+    :func:`global_rank` result. Safe to call once the result has been
+    written/collected; the result must not be re-evaluated afterwards
+    (offsets stay correct only while the cache pins the partitioning)."""
+    src = getattr(ranked, "_global_rank_source", None)
+    if src is not None:
+        src.unpersist()

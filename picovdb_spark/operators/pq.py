@@ -452,6 +452,10 @@ class PqIndex:
     ) -> "PqIndex":
         from picovdb_spark.schema import K_DELETED
 
+        if storage not in ("memory", "checkpoint", "lazy"):
+            raise ValueError(
+                f"storage must be 'memory', 'checkpoint' or 'lazy', got {storage!r}"
+            )
         if K_DELETED in store.columns:
             # tombstoned rows must not be encoded (they'd surface in
             # top-k) — same rule as IvfIndex/IvfPqIndex.build

@@ -210,3 +210,32 @@ def test_cluster_raw_unpersist_releases_cache(spark, emb):
     # still queryable — scans recompute from source
     q = emb.limit(2).select(F.col("_id_").alias("query_id"), F.col("_vector_"))
     assert idx.query(q, top_k=3, nprobe=4).count() > 0
+
+
+def test_build_rejects_unknown_storage(spark, emb):
+    """Out-of-vocabulary storage strings must fail fast, not silently
+    pick a materialization policy (the cluster_raw branch used to treat
+    anything != 'checkpoint' as 'memory')."""
+    import pytest as _pytest
+
+    from picovdb_spark.operators.ivfpq import IvfPqIndex
+    from picovdb_spark.operators.pq import PqIndex
+
+    with _pytest.raises(ValueError, match="storage"):
+        IvfPqIndex.build(emb, n_centroids=4, m=4, k=8, storage="Memory")
+    with _pytest.raises(ValueError, match="storage"):
+        PqIndex.build(emb, m=4, k=8, storage="none")
+
+
+def test_build_lazy_storage_pins_nothing(spark, emb):
+    """storage='lazy' must not persist anything, with or without the
+    clustered raw layout."""
+    from picovdb_spark.operators.ivfpq import IvfPqIndex
+
+    for raw in (False, True):
+        idx = IvfPqIndex.build(
+            emb, n_centroids=4, m=4, k=8, seed=1, storage="lazy", cluster_raw=raw
+        )
+        assert idx._pinned is None
+        q = emb.limit(2).select(F.col("_id_").alias("query_id"), F.col("_vector_"))
+        assert idx.query(q, top_k=3, nprobe=4).count() > 0

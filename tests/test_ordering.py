@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from picovdb_spark.operators.ordering import global_rank
+from picovdb_spark.operators.ordering import global_rank, release_global_rank
 from picovdb_spark.operators.textops import quality_score
 from picovdb_spark.plans import explain_str
 from picovdb_spark.schema import load_table
@@ -28,7 +28,12 @@ def test_global_rank_matches_window(spark, scored):
     w = Window.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
     want = scored.withColumn("r", F.row_number().over(w).cast("long"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
-    got.unpersist()
+    # the cache lives on the internal sorted source, not the result —
+    # release_global_rank is the only call that actually frees it
+    src = got._global_rank_source
+    assert src.is_cached
+    release_global_rank(got)
+    assert not src.is_cached
 
 
 def test_global_rank_no_single_partition_exchange(spark, scored):
