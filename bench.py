@@ -610,6 +610,72 @@ def bench_queries(spark):
             q_scale1m_dedup_minhash()
         _force(connected_components(scale_state["pairs1m"], scale_state["docs1m"]))
 
+    # -- 1M-vector embedding near-dup: the auto router's LSH regime.
+    # 1M x 128 slips UNDER the 1 GiB broadcast byte cap (1.02 GB) but
+    # its all-pairs scan is 1.3e17 FLOPs — the quadratic-compute budget
+    # (gemm_flop_cap) is what must route this to the RP-LSH bucketed
+    # path. (Bench history: the byte cap alone chose GEMM here and each
+    # worker tried an 80 GB score allocation.) The corpus plants
+    # real duplicate structure (ids ≡ 1 mod 40 are exact copies of the
+    # preceding base vector, ids ≡ 2 are ~0.99-cosine noisy copies), and
+    # EXTRA_STATS records found-vs-planted so the run is a measured
+    # recall point, not just a wall time.
+    def _prepare_emb1m():
+        if "emb1m" in scale_state:
+            return
+        import numpy as np
+        from pyspark.sql import types as T
+
+        n, dim, parts = 1_000_000, 128, 32
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        )
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                out = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    k = i % 40
+                    base = i - k if k in (1, 2) else i
+                    v = np.random.default_rng(base).standard_normal(dim)
+                    if k == 2:
+                        # ~0.99 cosine: unit noise at 1/7 the magnitude
+                        nz = np.random.default_rng(i).standard_normal(dim)
+                        v = v + (np.linalg.norm(v) / np.linalg.norm(nz)) * nz / 7.0
+                    out.append((v / np.linalg.norm(v)).astype(np.float32))
+                yield pd.DataFrame({"vec_id": pdf["id"], "embedding": out})
+
+        scale_state["emb1m"] = (
+            spark.range(n).repartition(parts).mapInPandas(gen, schema=schema).cache()
+        )
+        scale_state["emb1m"].count()
+
+    def q_scale1m_embedding_near_dup():
+        pairs = embedding_near_dup(
+            scale_state["emb1m"],
+            threshold=0.95,
+            method="auto",
+            n_bits=200,  # 8 bands × 25 bits: ~1e5 random collisions at n=1M
+            n_bands=8,
+        ).cache()
+        found = pairs.count()
+        # planted: 25k exact-copy pairs (cosine 1) + 25k noisy ~0.99
+        exact_found = pairs.filter(F.col("cosine") >= 0.999999).count()
+        EXTRA_STATS["scale1m_embedding_near_dup"] = {
+            "pairs_found": found,
+            "exact_pairs_found": exact_found,
+            "exact_pairs_planted": 25_000,
+        }
+        pairs.unpersist()
+
     # -- disk-backed tier: the 100 TB regime in miniature. Everything
     # above serves from Spark columnar caches — the one configuration
     # that CANNOT exist at 100 TB. Here a 4M x 256 store (4 GB of
@@ -812,6 +878,8 @@ def bench_queries(spark):
         "scale1m_dedup_minhash": q_scale1m_dedup_minhash,
         "scale1m_dedup_simhash": q_scale1m_dedup_simhash,
         "scale1m_dedup_components": q_scale1m_dedup_components,
+        "_prepare_emb1m": _prepare_emb1m,
+        "scale1m_embedding_near_dup": q_scale1m_embedding_near_dup,
         "_prepare_disk_tier": _prepare_disk_tier,
         "scale4m_disk_exact_8": q_scale4m_disk_exact_8,
         "scale4m_disk_ivfpq_8": q_scale4m_disk_ivfpq_8,
@@ -872,6 +940,7 @@ def main() -> None:
         "_prepare_resident_ivf_int8": ("ref100k_ivf_resident_int8",),
         "_prepare_scale1m": ("scale1m_batch", "scale1m_ivfpq"),
         "_prepare_docs1m": ("scale1m_dedup",),
+        "_prepare_emb1m": ("scale1m_embedding",),
         "_prepare_disk_tier": ("scale4m_",),
     }
     timings: dict[str, float] = {}

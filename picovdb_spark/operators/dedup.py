@@ -435,6 +435,7 @@ def embedding_near_dup(
     round_to: int = 6,
     method: str = "auto",
     broadcast_cap_bytes: int = 1 << 30,
+    gemm_flop_cap: float = 2e13,
     n_bits: int = 32,
     n_bands: int = 8,
     seed: int = 7,
@@ -454,13 +455,17 @@ def embedding_near_dup(
     differ (P ≈ (1-p^r)^b, p = 1-θ/π — e.g. ~2·10⁻⁴ at cosine 0.95 with
     32 bits / 8 bands).
 
-    ``method="auto"`` routes by an estimated broadcast footprint
-    (rows × dim × 8 bytes vs `broadcast_cap_bytes`): GEMM under the cap,
-    LSH above it — the collect-and-broadcast step is never attempted on
-    an input too big to hold driver-side.
+    ``method="auto"`` routes by TWO independent budgets — an estimated
+    broadcast footprint (rows × dim × 8 bytes vs `broadcast_cap_bytes`)
+    AND the quadratic scoring cost (rows² × dim FLOPs vs
+    `gemm_flop_cap`): GEMM only under both, LSH otherwise. The byte cap
+    alone is not enough: a low-dim corpus can fit its broadcast under
+    1 GiB while its all-pairs scan is 10⁷ seconds of BLAS (1M × 128
+    slips under the byte cap at 1.02 GB but costs 1.3·10¹⁷ FLOPs).
 
     ``method="sql"``: pure Catalyst cross-join formulation (the DuckDB
     oracle shape)."""
+    raw = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     n = emb.select(
         F.col(id_col).alias("id"),
         l2_normalize(F.col(vec_col)).alias("v"),
@@ -469,13 +474,19 @@ def embedding_near_dup(
         dim_row = n.select(F.size("v")).first()
         if dim_row is None:
             return _near_dup_gemm(n, threshold=threshold, round_to=round_to)
-        est_bytes = n.count() * dim_row[0] * 8
-        method = "gemm" if est_bytes <= broadcast_cap_bytes else "lsh"
+        n_rows = n.count()
+        est_bytes = n_rows * dim_row[0] * 8
+        est_flops = float(n_rows) * n_rows * dim_row[0]
+        method = (
+            "gemm"
+            if est_bytes <= broadcast_cap_bytes and est_flops <= gemm_flop_cap
+            else "lsh"
+        )
     if method == "gemm":
         return _near_dup_gemm(n, threshold=threshold, round_to=round_to)
     if method == "lsh":
         return _near_dup_lsh(
-            n,
+            raw,
             threshold=threshold,
             round_to=round_to,
             n_bits=n_bits,
@@ -494,7 +505,7 @@ def embedding_near_dup(
 
 
 def _near_dup_lsh(
-    n: DataFrame,
+    raw: DataFrame,
     *,
     threshold: float,
     round_to: int,
@@ -505,12 +516,24 @@ def _near_dup_lsh(
     """RP-LSH bucketed candidates + exact cosine verify. Shuffles on
     (band_idx, band_key) for candidates and on id for the vector
     join-back — both narrow equi-joins; the full vector set is never
-    collected driver-side."""
+    collected driver-side.
+
+    Takes RAW (un-normalized) vectors: sign-random-projection keys are
+    scale-invariant, so the corpus-wide Catalyst `l2_normalize` pass the
+    exact paths use is skipped here — at 200k × 128 that interpreted
+    higher-order-function pass alone cost 39 s of a 58 s run. The exact
+    cosine verify normalizes only the candidate pairs, in one Arrow
+    kernel (float64, same rounding as the exact paths)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     from picovdb_spark.operators.ann import rp_signatures
 
+    # signatures are scanned twice (both sides of the self-join) —
+    # persist so the python kernel runs once; 3 small columns, ~24 B/row
     sig = rp_signatures(
-        n, id_col="id", vector_col="v", n_bits=n_bits, n_bands=n_bands, seed=seed
-    )
+        raw, id_col="id", vector_col="v", n_bits=n_bits, n_bands=n_bands, seed=seed
+    ).persist()
     a = sig.select(F.col("id").alias("id_a"), "band_idx", "band_key")
     b = sig.select(F.col("id").alias("id_b"), "band_idx", "band_key")
     cand = (
@@ -519,15 +542,35 @@ def _near_dup_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = n.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = n.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    return (
+
+    def _cos(va, vb):
+        import numpy as np
+
+        ma = np.asarray([np.asarray(x, dtype=np.float64) for x in va])
+        mb = np.asarray([np.asarray(x, dtype=np.float64) for x in vb])
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den > 0, num / den, 0.0)
+        return pd.Series(out)
+
+    _cos.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
+    cosine = pandas_udf(_cos, "double")
+
+    va = raw.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = raw.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    out = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", F.round(dot(F.col("va"), F.col("vb")), round_to))
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), round_to))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    # materialize the (small) verified pair list, then release the
+    # signature cache — same lifecycle as minhash_lsh_pairs
+    out = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
 
 
 def _near_dup_gemm(n: DataFrame, *, threshold: float, round_to: int) -> DataFrame:
@@ -557,20 +600,32 @@ def _near_dup_gemm(n: DataFrame, *, threshold: float, round_to: int) -> DataFram
         import pandas as pd
 
         b_ids, b_mat = bc.value
+        # bound the (chunk, N) float64 score matrix to ~256 MB no matter
+        # how large the broadcast side is — an Arrow batch (10k rows)
+        # against a 1M-row store would otherwise allocate 80 GB at once
+        chunk_rows = max(1, (1 << 25) // max(len(b_ids), 1))
         for pdf in batches:
             if pdf.empty:
                 continue
             block_ids = pdf["id"].to_numpy()
             block_mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
-            scores = np.round(block_mat @ b_mat.T, round_to)  # (n_block, N)
-            bi, bj = np.nonzero(scores >= threshold)
-            if len(bi) == 0:
-                continue
-            left, right = block_ids[bi], b_ids[bj]
-            keep = left < right  # dedupe (a,b)/(b,a) and self-pairs
-            yield pd.DataFrame(
-                {"id_a": left[keep], "id_b": right[keep], "cosine": scores[bi, bj][keep]}
-            )
+            for lo in range(0, len(block_ids), chunk_rows):
+                cut_ids = block_ids[lo : lo + chunk_rows]
+                scores = np.round(
+                    block_mat[lo : lo + chunk_rows] @ b_mat.T, round_to
+                )  # (chunk, N)
+                bi, bj = np.nonzero(scores >= threshold)
+                if len(bi) == 0:
+                    continue
+                left, right = cut_ids[bi], b_ids[bj]
+                keep = left < right  # dedupe (a,b)/(b,a) and self-pairs
+                yield pd.DataFrame(
+                    {
+                        "id_a": left[keep],
+                        "id_b": right[keep],
+                        "cosine": scores[bi, bj][keep],
+                    }
+                )
 
     return n.mapInPandas(block, schema=out_schema)
 

@@ -389,3 +389,21 @@ def test_lsh_bucket_stats_empty_corpus(spark):
     assert stats == {
         "buckets": 0, "max_bucket": 0, "p99_bucket": 0, "candidate_pairs": 0
     }
+
+
+def test_embedding_near_dup_auto_routes_lsh_above_flop_cap(neardup_emb, monkeypatch):
+    """The byte cap alone is not a safe router: a low-dim corpus can fit
+    its broadcast under the cap while the all-pairs scan is quadratic
+    disaster (1M x 128 = 1.02 GB broadcast but 1.3e17 FLOPs). auto must
+    also respect gemm_flop_cap and take the LSH path past it."""
+    import picovdb_spark.operators.dedup as dd
+
+    def no_gemm(*a, **k):
+        raise AssertionError("auto routed to GEMM past the quadratic-compute budget")
+
+    monkeypatch.setattr(dd, "_near_dup_gemm", no_gemm)
+    routed = _pairs(
+        dd.embedding_near_dup(neardup_emb, threshold=0.9, gemm_flop_cap=1.0)
+    )
+    exact = _pairs(dd.embedding_near_dup(neardup_emb, threshold=0.9, method="sql"))
+    assert routed == exact

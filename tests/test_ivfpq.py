@@ -239,3 +239,26 @@ def test_build_lazy_storage_pins_nothing(spark, emb):
         assert idx._pinned is None
         q = emb.limit(2).select(F.col("_id_").alias("query_id"), F.col("_vector_"))
         assert idx.query(q, top_k=3, nprobe=4).count() > 0
+
+
+def test_written_raw_layout_refine_pruning_plan(tmp_path, emb, queries):
+    """Disk-backed cluster_raw round-trip: BOTH scans of a routed refine
+    query — the codes scan and the inverted-list raw scan — must plan as
+    Hive partition pruning on __cluster. This is the 100 TB read shape:
+    unprobed clusters cost zero IO in codes AND refine."""
+    from picovdb_spark.plans import explain_str
+
+    idx = IvfPqIndex.build(
+        emb, n_centroids=16, m=16, k=64, seed=42, cluster_raw=True
+    )
+    p = str(tmp_path / "ivfpq_raw_prune")
+    idx.write(p)
+    spark = idx.codes.sparkSession
+    reopened = IvfPqIndex.read(spark, p)
+    assert reopened.raw_by_cluster is not None
+    plan = explain_str(reopened.query(queries, top_k=5, nprobe=2, refine_k=20))
+    # two pruned parquet scans: codes + _raw
+    chunks = plan.split("PartitionFilters")
+    assert len(chunks) >= 3, plan
+    assert all("__cluster" in c[:200] for c in chunks[1:]), plan
+    idx.unpersist()
