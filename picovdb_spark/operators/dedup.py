@@ -14,8 +14,9 @@ LLM-corpus dedup ladder, each designed Spark-first:
 - simhash_pairs          — simhash + pigeonhole block join + Hamming
                            verify (guaranteed recall at the threshold)
 - embedding_near_dup     — cosine-threshold self-join over embeddings
-                           (GEMM under the broadcast cap, RP-LSH
-                           bucketed candidates above it)
+                           (GEMM only under BOTH the broadcast byte cap
+                           and the rows²×dim quadratic-compute budget;
+                           RP-LSH bucketed candidates otherwise)
 - connected_components   — pair list → transitive dup clusters with one
                            canonical doc each (hash-min propagation)
 
@@ -546,13 +547,14 @@ def _near_dup_lsh(
     def _cos(va, vb):
         import numpy as np
 
-        ma = np.asarray([np.asarray(x, dtype=np.float64) for x in va])
-        mb = np.asarray([np.asarray(x, dtype=np.float64) for x in vb])
-        num = np.einsum("ij,ij->i", ma, mb)
-        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = np.where(den > 0, num / den, 0.0)
-        return pd.Series(out)
+        from picovdb_spark.operators.ann import _normalize_rows
+
+        # _normalize_rows applies the store's zero→e₀ invariant, so a
+        # pair of zero vectors scores 1.0 exactly like the gemm/sql
+        # paths (which normalize via l2_normalize) — not 0.0
+        ma = _normalize_rows(np.asarray([np.asarray(x, dtype=np.float64) for x in va]))
+        mb = _normalize_rows(np.asarray([np.asarray(x, dtype=np.float64) for x in vb]))
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
 
     _cos.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
     cosine = pandas_udf(_cos, "double")

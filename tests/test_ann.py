@@ -407,3 +407,21 @@ def test_embedding_near_dup_auto_routes_lsh_above_flop_cap(neardup_emb, monkeypa
     )
     exact = _pairs(dd.embedding_near_dup(neardup_emb, threshold=0.9, method="sql"))
     assert routed == exact
+
+
+def test_embedding_near_dup_lsh_zero_vectors_follow_e0_invariant(spark):
+    """A pair of zero vectors must score cosine 1.0 on the LSH path too:
+    every normalize in the engine maps zero to e0 (the store invariant),
+    and the gemm/sql paths report the pair — the Arrow verify kernel
+    must not silently drop it via a 0/0 guard."""
+    from picovdb_spark.operators.dedup import embedding_near_dup
+
+    df = spark.createDataFrame(
+        [("z1", [0.0] * 8), ("z2", [0.0] * 8), ("u", [1.0] + [0.0] * 7)],
+        schema="vec_id string, embedding array<double>",
+    )
+    lsh = _pairs(embedding_near_dup(df, threshold=0.9, method="lsh"))
+    sql = _pairs(embedding_near_dup(df, threshold=0.9, method="sql"))
+    # zero vectors normalize to e0, so z1~z2, z1~u, z2~u all hit 1.0
+    assert lsh == sql
+    assert ("z1", "z2", 1.0) in lsh
