@@ -1881,12 +1881,23 @@ def _stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT sp.doc_id, sp.bucket, sp.split,
        sa.lang, sa.bucket AS sample_bucket,
        sa.doc_id IS NOT NULL AS sampled,
-       qr.quality_rank
+       qr.quality_rank,
+       ws.doc_id IS NOT NULL AS wsampled,
+       ws.wkey
 FROM ({_SPLIT_ORACLE}) sp
 LEFT JOIN ({_STRATIFIED_ORACLE}) sa USING (doc_id)
 JOIN (SELECT doc_id,
              row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS quality_rank
       FROM ({_quality_oracle()})) qr USING (doc_id)
+LEFT JOIN (
+  SELECT doc_id, round(k, 6) AS wkey
+  FROM (
+    SELECT doc_id,
+           ln((('0x' || substr(md5('wsample-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+              / 4294967296.0) / quality AS k
+    FROM ({_quality_oracle()}) WHERE quality > 0
+  ) ORDER BY k DESC, doc_id ASC LIMIT 100
+) ws USING (doc_id)
 """,
 )
 def _text_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1905,7 +1916,7 @@ def _text_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections/filters; the joins here only pack the verdicts into one
     driver row."""
     from picovdb_spark.operators.ordering import global_rank
-    from picovdb_spark.operators.textops import quality_score
+    from picovdb_spark.operators.textops import quality_score, weighted_sample
 
     sp = _dataset_split(spark, sf_dir)
     sa = _stratified(spark, sf_dir).select(
@@ -1915,15 +1926,26 @@ def _text_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("sampled"),
     )
     docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "quality")
     qr = global_rank(
-        quality_score(docs).select("doc_id", "quality"),
+        scored,
         [("quality", "desc"), ("doc_id", "asc")],
         rank_col="quality_rank",
     ).select("doc_id", "quality_rank")
+    # A-ES weighted sample (operators/textops.weighted_sample): k docs
+    # chosen weight-proportionally by quality with no RNG — wkey audits
+    # the decision, wsampled marks the winners (NULL-safe LEFT join)
+    ws = weighted_sample(scored, 100).withColumn("wsampled", F.lit(True))
     return (
         sp.join(sa, "doc_id", "left")
         .withColumn("sampled", F.coalesce(F.col("sampled"), F.lit(False)))
         .join(qr, "doc_id")
+        .join(ws, "doc_id", "left")
+        .withColumn("wsampled", F.coalesce(F.col("wsampled"), F.lit(False)))
+        .select(
+            "doc_id", "bucket", "split", "lang", "sample_bucket", "sampled",
+            "quality_rank", "wsampled", "wkey",
+        )
     )
 
 

@@ -502,6 +502,48 @@ def stratified_sample(
     ).drop("__u")
 
 
+def weighted_sample(
+    scored: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "quality",
+    salt: str = "wsample-v1",
+    round_to: int = 6,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES, log form): every row draws a reproducible md5-uniform
+    u ∈ (0,1) from its id and competes with key ln(u)/w — the global
+    top-k keys are exactly a weight-proportional sample without
+    replacement. No RNG state, stable across engines/partitionings/runs
+    — the quality-weighted corpus-subsampling primitive (pick k docs
+    with probability increasing in quality, reproducibly).
+
+    Rows with w ≤ 0 are excluded (the A-ES domain). Spark-first shape:
+    the key is one map-side expression; the global top-k plans as
+    TakeOrderedAndProject (per-partition partial top-k, k·parts rows to
+    the driver) — never a single-partition global sort
+    (tests/test_corpus_hygiene.py plan pin). The DuckDB twin is the same
+    expression + ORDER BY key DESC, id LIMIT k.
+
+    Returns (id, wkey) for the sampled rows; `wkey` is rounded for
+    engine-independent audit/hashing, selection uses the raw key."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (
+        md5_hash32(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+        + F.lit(0.5)  # never exactly 0 ⇒ ln(u) finite
+    ) / F.lit(4294967296.0)
+    key = F.log(u) / F.col(weight_col)
+    return (
+        scored.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col), key.alias("__wkey"))
+        .orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(id_col), F.round("__wkey", round_to).alias("wkey"))
+    )
+
+
 URL_PATTERN = r"https?://[^\s]+"
 DOMAIN_PATTERN = r"https?://([^/\s:]+)"
 

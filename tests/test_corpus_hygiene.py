@@ -206,3 +206,59 @@ def test_profile_kernels_handle_empty_docs(spark):
     ts = {r["doc_id"]: r for r in token_stats(docs).collect()}
     assert ts[1]["chars_per_token"] == 0.0
     assert ts[2]["n_tokens"] == 0
+
+
+# ----------------------------------------------------- weighted_sample (A-ES)
+
+
+@pytest.fixture(scope="module")
+def weighted(spark):
+    """210 rows: 10 heavy (w=1.0) + 200 light (w=0.05)."""
+    rows = [(f"h{i:02d}", 1.0) for i in range(10)] + [
+        (f"l{i:03d}", 0.05) for i in range(200)
+    ]
+    return spark.createDataFrame(rows, schema="doc_id string, quality double")
+
+
+def test_weighted_sample_is_weight_proportional(spark, weighted):
+    """With a 20x weight ratio, every heavy row should make a k=50 draw
+    from 210 (P[miss one heavy] is astronomically small under A-ES), and
+    the light rows fill the rest. Deterministic under the fixed salt."""
+    from picovdb_spark.operators.textops import weighted_sample
+
+    kept = {r["doc_id"] for r in weighted_sample(weighted, 50).collect()}
+    assert len(kept) == 50
+    heavies = {d for d in kept if d.startswith("h")}
+    assert len(heavies) == 10, sorted(kept)
+
+
+def test_weighted_sample_deterministic_and_partition_independent(spark, weighted):
+    from picovdb_spark.operators.textops import weighted_sample
+
+    a = sorted(map(tuple, weighted_sample(weighted, 25).collect()))
+    b = sorted(map(tuple, weighted_sample(weighted.repartition(7), 25).collect()))
+    assert a == b and len(a) == 25
+
+
+def test_weighted_sample_excludes_nonpositive_and_caps_at_n(spark):
+    from picovdb_spark.operators.textops import weighted_sample
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 0.0), ("c", -2.0), ("d", 0.5)],
+        schema="doc_id string, quality double",
+    )
+    kept = {r["doc_id"] for r in weighted_sample(df, 100).collect()}
+    assert kept == {"a", "d"}  # k > n keeps every positive-weight row
+    with pytest.raises(ValueError, match="k must be positive"):
+        weighted_sample(df, 0)
+
+
+def test_weighted_sample_plan_is_partial_topk(spark, weighted):
+    """Plan pin: global top-k must be TakeOrderedAndProject (partition-
+    local partial top-k, driver merges k rows/partition) — never a
+    single-partition global sort."""
+    from picovdb_spark.operators.textops import weighted_sample
+
+    plan = explain_str(weighted_sample(weighted.repartition(8), 10), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
