@@ -81,15 +81,33 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
 
 def kmeans_mean_update(x: np.ndarray, assign: np.ndarray, prev: np.ndarray) -> np.ndarray:
     """One vectorized Lloyd mean-update: new centroid = mean of members,
-    empty clusters keep their previous value. One sorted pass + reduceat
-    instead of k boolean scans (the k-loop was 50-85 s of the PQ
-    codebook fit at m=16, k=256; bench history). Deterministic, but NOT
-    bit-identical to the `x[assign == c].mean(axis=0)` loop it replaces:
-    reduceat sums sequentially where numpy mean sums pairwise (~1 ulp
-    apart). Every consumer is a cluster assignment — argmax/argmin over
-    centroids — where a 1-ulp centroid shift is noise; accuracy is
-    band-tested downstream and the oracle-checked full-probe/full-refine
-    configurations are invariant to the clustering entirely."""
+    empty clusters keep their previous value. Implemented as a one-hot
+    GEMM (membershipᵀ @ x): the same BLAS kernel class as the
+    assignment step, so it parallelizes under `driver_blas_threads`
+    where the earlier sort+gather+reduceat pass was a memory-bound copy
+    of the whole sample per iteration (and the k-loop before THAT was
+    50-85 s of the PQ fit; bench history). Deterministic for a fixed
+    host/thread config, but NOT bit-identical to a
+    `x[assign == c].mean(axis=0)` loop (GEMM blocking reorders the
+    sums, ~1 ulp apart). Every consumer is a cluster assignment —
+    argmax/argmin over centroids — where a 1-ulp centroid shift is
+    noise; accuracy is band-tested downstream and the oracle-checked
+    full-probe/full-refine configurations are invariant to the
+    clustering entirely."""
+    k = len(prev)
+    if x.shape[1] >= 256:
+        # wide vectors (IVF coarse fit, dim ~1024): the GEMM dominates
+        # and threads pay for the one-hot construction many times over
+        onehot = np.zeros((len(assign), k), dtype=x.dtype)
+        onehot[np.arange(len(assign)), assign] = 1
+        sums = onehot.T @ x
+        counts = np.bincount(assign, minlength=k)
+        out = prev.copy()
+        nonempty = counts > 0
+        out[nonempty] = sums[nonempty] / counts[nonempty, None]
+        return out
+    # narrow vectors (PQ subspaces, dsub ~64): the gather is only a few
+    # MB — sorted reduceat beats building a 25 MB one-hot per iteration
     order = np.argsort(assign, kind="stable")
     xs = x[order]
     a = assign[order]
@@ -133,9 +151,15 @@ def fit_centroids(
     k = min(n_centroids, len(x))
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=k, replace=False)]
-    for _ in range(n_iter):
-        assign = np.argmax(x @ cent.T, axis=1)  # cosine on unit vectors
-        cent = _normalize_rows(kmeans_mean_update(x, assign, cent))
+    from picovdb_spark.session import driver_blas_threads
+
+    # the Lloyd GEMMs run driver-side where BLAS is pinned to 1 thread
+    # for the workers' sake — raise it for the fit (25k×1024×256/iter
+    # was ~60% of IVF-PQ build wall on one core)
+    with driver_blas_threads():
+        for _ in range(n_iter):
+            assign = np.argmax(x @ cent.T, axis=1)  # cosine on unit vectors
+            cent = _normalize_rows(kmeans_mean_update(x, assign, cent))
     return _normalize_rows(cent.astype(np.float64))
 
 

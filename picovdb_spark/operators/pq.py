@@ -86,17 +86,22 @@ def fit_pq(
     x32 = x.astype(np.float32)  # fit in f32: clustering tolerates it and
     # it halves the memory traffic of the hot loop; ENCODING (pq_encode)
     # and ADC stay at their own documented precisions
-    for s in range(m):
-        xs = x32[:, s * dsub : (s + 1) * dsub]
-        cent = xs[rng.choice(len(xs), size=kk, replace=False)]
-        for _ in range(n_iter):
-            # argmin_c |x - c|² = argmin_c (|c|² - 2 x·c): the |x|² term
-            # is constant per row and dropped — no (n, k) broadcast of
-            # row norms, half the FLOPs of the full expansion
-            d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (xs @ cent.T)
-            assign = np.argmin(d2, axis=1)
-            cent = kmeans_mean_update(xs, assign, cent)
-        books[s] = cent.astype(np.float64)
+    from picovdb_spark.session import driver_blas_threads
+
+    # driver-side Lloyd loops: raise the BLAS pin for the fit (see
+    # fit_centroids — same one-core bottleneck, same restore-after scope)
+    with driver_blas_threads():
+        for s in range(m):
+            xs = x32[:, s * dsub : (s + 1) * dsub]
+            cent = xs[rng.choice(len(xs), size=kk, replace=False)]
+            for _ in range(n_iter):
+                # argmin_c |x - c|² = argmin_c (|c|² - 2 x·c): the |x|²
+                # term is constant per row and dropped — no (n, k)
+                # broadcast of row norms, half the FLOPs
+                d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (xs @ cent.T)
+                assign = np.argmin(d2, axis=1)
+                cent = kmeans_mean_update(xs, assign, cent)
+            books[s] = cent.astype(np.float64)
     return books
 
 

@@ -8,6 +8,7 @@ played by Spark confs, overridable via env or builder kwargs.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -32,6 +33,64 @@ _DEFAULT_CONFS = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.ui.enabled": "false",
 }
+
+
+def _openblas_handle():
+    """ctypes handle + symbol suffix for the OpenBLAS numpy links against
+    (manylinux wheels ship it in numpy.libs, ILP64 builds suffix control
+    symbols with '64_'). Returns (lib, set_fn, get_fn) or None."""
+    import ctypes
+    import glob
+
+    import numpy
+
+    candidates = glob.glob(
+        os.path.join(os.path.dirname(numpy.__file__), "..", "numpy.libs", "libopenblas*")
+    ) + glob.glob(os.path.join(os.path.dirname(numpy.__file__), ".libs", "libopenblas*"))
+    for path in candidates:
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            continue
+        for suffix in ("64_", "", "_64"):
+            set_fn = getattr(lib, f"openblas_set_num_threads{suffix}", None)
+            get_fn = getattr(lib, f"openblas_get_num_threads{suffix}", None)
+            if set_fn is not None and get_fn is not None:
+                get_fn.restype = ctypes.c_int
+                return lib, set_fn, get_fn
+    return None
+
+
+@contextmanager
+def driver_blas_threads(n: int | None = None):
+    """Temporarily raise the DRIVER process's OpenBLAS thread count.
+
+    `get_spark` pins BLAS to one thread before the JVM starts so the 32
+    parallel Python workers don't oversubscribe (workers inherit the
+    env) — but the same pin reaches the driver's own numpy, which
+    serializes the driver-side model fits (IVF k-means, PQ codebooks:
+    dense GEMM Lloyd loops on a 25k sample) onto one core while the
+    other 31 idle. This scope raises the thread count for exactly those
+    fits and restores the pin afterwards.
+
+    Thread count CAN perturb GEMM results at the last-ulp level
+    (measured: OpenBLAS picks different kernels/blocking by thread
+    count), so fitted centroids may differ across host configurations —
+    acceptable because every downstream invariant is
+    centroid-value-independent (full-probe ≡ exact, refine rescoring is
+    exact) and a given host/thread config stays self-consistent. No-op
+    when the control symbols are absent (non-OpenBLAS numpy)."""
+    handle = _openblas_handle()
+    if handle is None:
+        yield
+        return
+    _, set_fn, get_fn = handle
+    prev = get_fn()
+    set_fn(int(n or os.cpu_count() or 1))
+    try:
+        yield
+    finally:
+        set_fn(prev)
 
 
 def get_spark(app_name: str = "picovdb_spark", **confs: str) -> SparkSession:
