@@ -262,3 +262,16 @@ def test_weighted_sample_plan_is_partial_topk(spark, weighted):
     plan = explain_str(weighted_sample(weighted.repartition(8), 10), mode="simple")
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_weighted_sample_prefix_nested(spark, weighted):
+    """A-ES with fixed deterministic keys is a PRIORITY sample: the k-row
+    sample is always a prefix of the (k+m)-row sample, so growing a
+    corpus budget never un-picks a document (stable curation decisions
+    across budget changes)."""
+    from picovdb_spark.operators.textops import weighted_sample
+
+    s10 = {r["doc_id"] for r in weighted_sample(weighted, 10).collect()}
+    s25 = {r["doc_id"] for r in weighted_sample(weighted, 25).collect()}
+    s50 = {r["doc_id"] for r in weighted_sample(weighted, 50).collect()}
+    assert s10 < s25 < s50
