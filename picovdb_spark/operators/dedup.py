@@ -575,6 +575,12 @@ def _near_dup_lsh(
     return out
 
 
+# Elements per (chunk × N) float64 score block in the GEMM kernel —
+# 2^25 ≈ 256 MB. Module-level so tests can shrink it to force the
+# chunk boundary on small fixtures.
+GEMM_CHUNK_ELEMS = 1 << 25
+
+
 def _near_dup_gemm(n: DataFrame, *, threshold: float, round_to: int) -> DataFrame:
     """Partition-block × broadcast-matrix exact threshold self-join."""
     from collections.abc import Iterator
@@ -598,6 +604,8 @@ def _near_dup_gemm(n: DataFrame, *, threshold: float, round_to: int) -> DataFram
         ]
     )
 
+    chunk_elems = GEMM_CHUNK_ELEMS
+
     def block(batches: Iterator) -> Iterator:
         import pandas as pd
 
@@ -605,7 +613,7 @@ def _near_dup_gemm(n: DataFrame, *, threshold: float, round_to: int) -> DataFram
         # bound the (chunk, N) float64 score matrix to ~256 MB no matter
         # how large the broadcast side is — an Arrow batch (10k rows)
         # against a 1M-row store would otherwise allocate 80 GB at once
-        chunk_rows = max(1, (1 << 25) // max(len(b_ids), 1))
+        chunk_rows = max(1, chunk_elems // max(len(b_ids), 1))
         for pdf in batches:
             if pdf.empty:
                 continue

@@ -425,3 +425,16 @@ def test_embedding_near_dup_lsh_zero_vectors_follow_e0_invariant(spark):
     # zero vectors normalize to e0, so z1~z2, z1~u, z2~u all hit 1.0
     assert lsh == sql
     assert ("z1", "z2", 1.0) in lsh
+
+
+def test_embedding_near_dup_gemm_chunking_exact(neardup_emb, monkeypatch):
+    """The GEMM kernel's bounded-chunk scoring (added so a 10k-row Arrow
+    batch against a 1M-row broadcast can't allocate an 80 GB score
+    matrix) must be result-identical to unchunked scoring. Shrink the
+    chunk budget so the 40-row fixture crosses several chunk boundaries."""
+    import picovdb_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "GEMM_CHUNK_ELEMS", 7 * 40)  # 7 rows per chunk
+    chunked = _pairs(dd.embedding_near_dup(neardup_emb, threshold=0.9, method="gemm"))
+    exact = _pairs(dd.embedding_near_dup(neardup_emb, threshold=0.9, method="sql"))
+    assert chunked == exact and len(chunked) >= 10
