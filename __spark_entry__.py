@@ -1925,13 +1925,20 @@ def _text_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("sample_bucket"),
         F.lit(True).alias("sampled"),
     )
+    from picovdb_spark.operators.ordering import release_global_rank
+
     docs = load_table(spark, sf_dir, "documents")
     scored = quality_score(docs).select("doc_id", "quality")
-    qr = global_rank(
+    ranked = global_rank(
         scored,
         [("quality", "desc"), ("doc_id", "asc")],
         rank_col="quality_rank",
-    ).select("doc_id", "quality_rank")
+    )
+    # materialize the tiny (doc_id, rank) projection eagerly, then free
+    # the sorted-source cache global_rank pins for offset correctness —
+    # otherwise every gate run leaks one cached copy of the scored table
+    qr = ranked.select("doc_id", "quality_rank").localCheckpoint(eager=True)
+    release_global_rank(ranked)
     # A-ES weighted sample (operators/textops.weighted_sample): k docs
     # chosen weight-proportionally by quality with no RNG — wkey audits
     # the decision, wsampled marks the winners (NULL-safe LEFT join)
