@@ -159,6 +159,37 @@ def _normalized_queries(queries: DataFrame, query_id: str, vector_col: str) -> D
 MAX_QUERY_MATRIX_BYTES = 8 << 30
 
 
+def normalize_query_matrix(qids, qmat):
+    """L2-normalize a driver-resident query matrix in place-compatible
+    NumPy (float64, zero ⇒ e₀ — pico_vdb.py:585-590). Shared by the
+    DataFrame collect path and the pre-collected `(ids, matrix)` query
+    form. Returns (ids ndarray[object], unit float64 matrix)."""
+    import numpy as np
+
+    qids = np.asarray(qids, dtype=object)
+    qmat = np.asarray(qmat, dtype=np.float64)
+    if qmat.ndim != 2 or len(qids) != qmat.shape[0]:
+        raise ValueError(
+            f"query matrix must be (len(ids), dim); got ids={len(qids)} "
+            f"matrix={qmat.shape}"
+        )
+    if qmat.nbytes > MAX_QUERY_MATRIX_BYTES:
+        raise ValueError(
+            f"query batch is {qmat.nbytes >> 20} MiB as a float64 matrix "
+            f"(cap {MAX_QUERY_MATRIX_BYTES >> 20} MiB): query batches are "
+            "driver-resident broadcast state — split the batch and union "
+            "the per-chunk results (each chunk's top-k is independent)"
+        )
+    norms = np.sqrt((qmat * qmat).sum(axis=1))
+    zero = norms == 0.0
+    if zero.any():
+        qmat = qmat.copy() if not qmat.flags.writeable else qmat
+        qmat[zero] = 0.0
+        qmat[zero, 0] = 1.0
+        norms[zero] = 1.0
+    return qids, qmat / norms[:, None]
+
+
 def collect_normalized_queries(queries: DataFrame, query_id: str, vector_col: str):
     """Collect the (bounded) query batch RAW and L2-normalize driver-side
     in NumPy — same semantics as the `l2_normalize` expression (float64,
@@ -199,7 +230,7 @@ def collect_normalized_queries(queries: DataFrame, query_id: str, vector_col: st
 
 def batch_query(
     store: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | tuple,
     *,
     top_k: int = 10,
     better_than: float | None = None,
@@ -219,7 +250,11 @@ def batch_query(
     (/root/reference/picovdb/pico_vdb.py:539-562): `top_k`, `better_than`
     (post-ranking score threshold), `where` (metadata prefilter), `ids`
     (candidate id allow-list). `queries` is a DataFrame with columns
-    (`query_id`, `vector_col`).
+    (`query_id`, `vector_col`) — or, for the GEMM path only, a
+    pre-collected ``(ids, matrix)`` tuple (sequence of ids + 2-D
+    array-like), the serving form: a request handler that already holds
+    the batch in memory (the reference's own `query(np_batch)` shape,
+    bench/batch_queries.py:33-39) skips a per-batch Spark collect job.
 
     Returns (query_id, _id_, <metadata…>, _metrics_, rank) — descending
     score per query. `_metrics_` is rounded to `round_to` decimals; the
@@ -232,6 +267,14 @@ def batch_query(
     # `rank` is the engine's output column; if the store carries user
     # metadata with that name, the ranking column yields to `_rank_`.
     rank_col = "_rank_" if "rank" in cand.columns else "rank"
+
+    if not isinstance(queries, DataFrame) and method == "auto":
+        method = "gemm"
+    if not isinstance(queries, DataFrame) and method != "gemm":
+        raise TypeError(
+            "pre-collected (ids, matrix) queries are only supported by "
+            "method='gemm'; build a DataFrame for the SQL path"
+        )
 
     if method == "auto":
         # GEMM is the scale path: columnar scan, Arrow-batched BLAS,
@@ -388,7 +431,10 @@ def _gemm_topk(
         raise ValueError(f"unknown score_dtype: {score_dtype!r}")
 
     spark = cand.sparkSession
-    qids, qmat = collect_normalized_queries(queries, query_id, vector_col)
+    if isinstance(queries, DataFrame):
+        qids, qmat = collect_normalized_queries(queries, query_id, vector_col)
+    else:
+        qids, qmat = normalize_query_matrix(*queries)
     if qmat.size == 0:
         return spark.createDataFrame(
             [], schema=f"query_id string, {K_ID} string, {K_METRICS} double, {rank_col} int"
@@ -412,9 +458,50 @@ def _gemm_topk(
     pad = 1.5 * 10.0 ** (-round_to)
     dtype = np.float32 if use32 else np.float64
 
+    def prefetched(it: Iterator, depth: int = 2) -> Iterator:
+        # Double-buffer the Arrow input stream: a pump thread reads the
+        # next batch off the worker socket while the main thread is in
+        # the GEMM (BLAS releases the GIL, so the socket read + Arrow
+        # decode genuinely overlap the matmul). Only pays off when a
+        # task's partition spans >1 Arrow batch; costs one thread spawn
+        # otherwise.
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=depth)
+        done = object()
+
+        def pump() -> None:
+            try:
+                for item in it:
+                    q.put(item)
+                q.put(done)
+            except BaseException as exc:  # propagate into the consumer
+                q.put(exc)
+
+        threading.Thread(target=pump, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
     def score_batches(batches: Iterator) -> Iterator:
         b_qids, b_qmat = bc.value
-        for batch in batches:
+        # Per-batch GEMM + local top-k, accumulated and emitted ONCE at
+        # task end. Single emit keeps the shuffle at O(num_q × k) per
+        # TASK regardless of how many Arrow batches the task's partition
+        # splits into (per-batch emit would multiply shuffle rows by the
+        # batch count), and lets a small
+        # `spark.sql.execution.arrow.maxRecordsPerBatch` pipeline the
+        # JVM→Python Arrow stream against the BLAS compute.
+        acc_q: list = []  # query indices into b_qids
+        acc_i: list = []  # store ids
+        acc_s: list = []  # scores (raw f32 for use32, rounded f64 else)
+        n_batches = 0
+        for batch in prefetched(batches):
             n = batch.num_rows
             if n == 0:
                 continue
@@ -437,10 +524,10 @@ def _gemm_topk(
             kk = min(top_k, n)
             if use32:
                 # partial top-k on RAW float32 scores, padded so rounding
-                # can't drop a boundary tie; round only the selection
+                # can't drop a boundary tie; round only at final emit
                 kth = np.partition(scores, n - kk, axis=1)[:, n - kk]
                 qi, vi = np.nonzero(scores >= (kth - pad)[:, None])
-                sel = np.round(scores[qi, vi].astype(np.float64), round_to)
+                sel = scores[qi, vi]
             else:
                 # tie-complete on ROUNDED scores (argpartition ≈
                 # pico_vdb.py:705-707): emit every row scoring >= the
@@ -451,14 +538,43 @@ def _gemm_topk(
                 qi, vi = np.nonzero(scores >= kth[:, None])
                 sel = scores[qi, vi]
             ids = batch.column(0).to_numpy(zero_copy_only=False)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(b_qids[qi], type=pa.string()),
-                    pa.array(ids[vi], type=pa.string()),
-                    pa.array(sel, type=pa.float64()),
-                ],
-                schema=pa_schema,
-            )
+            acc_q.append(qi)
+            acc_i.append(ids[vi])
+            acc_s.append(sel)
+            n_batches += 1
+        if not n_batches:
+            return
+        qi = np.concatenate(acc_q)
+        sid = np.concatenate(acc_i)
+        sel = np.concatenate(acc_s)
+        if n_batches > 1:
+            # Re-select across the task's batches so multi-batch tasks
+            # shuffle no more than single-batch ones. Each batch kept its
+            # full top-kk, and the k-th largest of a union is >= the k-th
+            # largest of any member, so the union of per-batch candidates
+            # contains every row the task-level selection needs — the
+            # task-level kth computed over candidates equals the kth over
+            # all task rows, and the per-batch keep condition (>= its own
+            # smaller kth, minus pad for f32) is a superset of the
+            # task-level one. Grouped threshold via one lexsort.
+            order = np.lexsort((-sel, qi))
+            qi, sid, sel = qi[order], sid[order], sel[order]
+            starts = np.flatnonzero(np.r_[True, qi[1:] != qi[:-1]])
+            counts = np.diff(np.r_[starts, len(qi)])
+            kth_pos = starts + np.minimum(top_k, counts) - 1
+            thr = np.repeat(sel[kth_pos], counts)
+            keep = sel >= (thr - pad if use32 else thr)
+            qi, sid, sel = qi[keep], sid[keep], sel[keep]
+        if use32:
+            sel = np.round(sel.astype(np.float64), round_to)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(b_qids[qi], type=pa.string()),
+                pa.array(sid, type=pa.string()),
+                pa.array(sel, type=pa.float64()),
+            ],
+            schema=pa_schema,
+        )
 
     local = cand.select(K_ID, vector_col).mapInArrow(score_batches, schema=out_schema)
     from picovdb_spark.operators.topk import topk_per_query

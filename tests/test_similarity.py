@@ -248,3 +248,52 @@ def test_oversized_query_batch_fails_fast(spark, store, queries, monkeypatch):
     monkeypatch.setattr(sim, "MAX_QUERY_MATRIX_BYTES", 64)
     with pytest.raises(ValueError, match="split the batch"):
         batch_query(store, queries, top_k=3, method="gemm").collect()
+
+
+def test_gemm_multi_batch_merge_equals_single_batch(spark, store, queries):
+    """The GEMM kernel accumulates per-Arrow-batch candidates and emits
+    once per task. Shrinking `arrow.maxRecordsPerBatch` so every task
+    spans many batches must not change results in either precision (the
+    merged task-end re-selection keeps the same tie-complete set)."""
+    q32 = batch_query(store, queries, top_k=10, method="gemm", score_dtype="float32")
+    q64 = batch_query(store, queries, top_k=10, method="gemm", score_dtype="float64")
+    b32 = sorted(map(tuple, q32.collect()))
+    b64 = sorted(map(tuple, q64.collect()))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        m32 = sorted(map(tuple, q32.collect()))
+        m64 = sorted(map(tuple, q64.collect()))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert m32 == b32
+    assert m64 == b64
+
+
+def test_precollected_query_tuple_equals_dataframe(store, queries):
+    """The serving form — queries as a pre-collected (ids, matrix) pair —
+    must return exactly what the DataFrame form returns (it skips the
+    collect job, not the normalize/score semantics)."""
+    rows = queries.collect()
+    ids = [r["query_id"] for r in rows]
+    mat = np.array([r["_vector_"] for r in rows], dtype=np.float64)
+    df_res = sorted(map(tuple, batch_query(store, queries, top_k=5, method="gemm").collect()))
+    np_res = sorted(map(tuple, batch_query(store, (ids, mat), top_k=5, method="gemm").collect()))
+    assert np_res == df_res
+    f32_df = sorted(
+        map(tuple, batch_query(store, queries, top_k=5, method="gemm", score_dtype="float32").collect())
+    )
+    f32_np = sorted(
+        map(tuple, batch_query(store, (ids, mat), top_k=5, method="gemm", score_dtype="float32").collect())
+    )
+    assert f32_np == f32_df
+
+
+def test_precollected_tuple_rejects_sql_path(store):
+    with pytest.raises(TypeError, match="gemm"):
+        batch_query(store, (np.array(["a"]), np.ones((1, 4))), method="sql")
+
+
+def test_precollected_tuple_shape_mismatch_raises(store):
+    with pytest.raises(ValueError, match="matrix"):
+        batch_query(store, (np.array(["a", "b"]), np.ones((1, 4))), method="gemm")
