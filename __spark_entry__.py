@@ -1488,17 +1488,82 @@ def _array_sig(col: str, alias: str):
     ).alias(alias)
 
 
-@_register("media_features")  # rows-only: stub decoder isn't SQL-expressible
+def _media_hash_corpus(spark: SparkSession, n: int, modality: str = "image"):
+    """SQL-reproducible media corpus (the `media_exact_dedup` pattern):
+    content = unhex(md5 || md5) of id-derived strings, fixed metadata.
+    DuckDB twin: the `base` CTE in the media oracles below."""
+    src = F.concat(F.lit("media-"), F.col("id").cast("string"))
+    src2 = F.concat(F.lit("media2-"), F.col("id").cast("string"))
+    return spark.range(n).select(
+        F.concat(F.lit(f"{modality}-"), F.col("id").cast("string")).alias("media_id"),
+        F.lit(modality).alias("modality"),
+        F.unhex(F.concat(F.md5(src), F.md5(src2))).alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(64).cast("int").alias("width"),
+            F.lit(48).cast("int").alias("height"),
+            F.lit(1000).cast("int").alias("duration_ms"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def _media_sig(col: str, alias: str):
+    """Exact integer signature of a fake-decode feature array: each
+    element is m / 2^48 with m an md5-substring integer (48 bits < the
+    53-bit double mantissa), so scaling back by 2^48 and rounding
+    recovers m EXACTLY — the driver hash compares integers, immune to
+    decimal-formatting/rounding-mode skew between engines."""
+    scale = float(1 << 48)
+    return F.concat_ws(
+        ",",
+        F.transform(F.col(col), lambda x: F.round(x * F.lit(scale)).cast("long").cast("string")),
+    ).alias(alias)
+
+
+def _media_profile_sql(idxs: list[int]) -> str:
+    """DuckDB expression list: fake_decode row value at each literal row
+    index (multimodal.py:fake_decode — md5 of "<content-hex>:<i>",
+    first 12 hex chars as an integer), emitted as the exact integer."""
+    return ", ".join(
+        f"('0x' || substr(md5(lower(hex(content)) || ':{i}'), 1, 12))::BIGINT"
+        for i in idxs
+    )
+
+
+def _media_features_oracle() -> str:
+    import numpy as np
+
+    # same resample rule as media_features: linspace over h=48 rows
+    idx = [int(x) for x in np.linspace(0, 47, 8).round().astype(int)]
+    return f"""
+WITH base AS (
+  SELECT 'image-' || i AS media_id, 'image' AS modality,
+         unhex(md5('media-' || i) || md5('media2-' || i)) AS content
+  FROM range(0, 64) t(i)
+)
+SELECT media_id, modality,
+       CAST(octet_length(content) AS INTEGER) AS n_bytes,
+       md5(hex(content)) AS content_hash,
+       concat_ws(',', {_media_profile_sql(idx)}) AS feature_sig
+FROM base
+"""
+
+
+@_register("media_features", _media_features_oracle())
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns → Arrow-batched decode (deterministic stub;
-    codec libs absent by design) + feature extraction. The feature array
-    is emitted as a fixed-point string signature so the contract
-    canonicalizer can sort it."""
-    from picovdb_spark.operators.multimodal import media_features, synthetic_media
+    codec libs absent by design) + feature extraction — now fully
+    oracle-checked: the corpus is SQL-reproducible and `fake_decode`'s
+    row profile is md5-substring arithmetic DuckDB can state exactly
+    (multimodal.py:fake_decode). Features are emitted as exact 48-bit
+    integer signatures (`_media_sig`), so the hash compare carries no
+    float-formatting risk."""
+    from picovdb_spark.operators.multimodal import media_features
 
-    out = media_features(synthetic_media(spark, n=64, seed=1), n_features=8)
+    out = media_features(_media_hash_corpus(spark, 64), n_features=8, hex_hash=True)
     return out.select(
-        "media_id", "modality", "n_bytes", "content_hash", _array_sig("feature", "feature_sig")
+        "media_id", "modality", "n_bytes", "content_hash", _media_sig("feature", "feature_sig")
     )
 
 
@@ -1538,16 +1603,46 @@ def _media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_exact_dedup(base, hex_hash=True)
 
 
-@_register("media_frame_sample")  # rows-only: stub decoder isn't SQL-expressible
+def _media_frames_oracle() -> str:
+    import numpy as np
+
+    # mirror frame_sample's frame positions and the np.roll(base, j)
+    # row-index arithmetic: frame j's first 4 row means are rows
+    # (i - j) mod h for i in 0..3 of the decoded array (h=48)
+    ts = [int(x) for x in np.linspace(0, 999, 4).astype(int)]
+    frames = ",\n    ".join(
+        f"({j}, {ts[j]}, concat_ws(',', {_media_profile_sql([(i - j) % 48 for i in range(4)])}))"
+        for j in range(4)
+    )
+    return f"""
+WITH base AS (
+  SELECT 'video-' || i AS media_id,
+         unhex(md5('media-' || i) || md5('media2-' || i)) AS content
+  FROM range(0, 32) t(i)
+)
+SELECT media_id,
+       CAST(f.j AS INTEGER) AS frame_idx,
+       CAST(f.ts AS INTEGER) AS ts_ms,
+       f.sig AS frame_sig
+FROM base, LATERAL (VALUES
+    {frames}
+) f(j, ts, sig)
+"""
+
+
+@_register("media_frame_sample", _media_frames_oracle())
 def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling: one row per (media, frame) — flatMap shape
-    over Arrow batches. Frame features emitted as string signatures
-    (see _array_sig)."""
-    from picovdb_spark.operators.multimodal import frame_sample, synthetic_media
+    over Arrow batches, fully oracle-checked: frame j of the stub decode
+    is np.roll of the md5-profile rows, so each frame feature is four
+    literal row indices DuckDB restates exactly (see
+    _media_frames_oracle). Exact integer signatures as in
+    media_features."""
+    from picovdb_spark.operators.multimodal import frame_sample
 
-    out = frame_sample(synthetic_media(spark, n=32, modality="video", seed=2), n_frames=4)
+    out = frame_sample(_media_hash_corpus(spark, 32, "video"), n_frames=4)
     return out.select(
-        "media_id", "frame_idx", "ts_ms", _array_sig("frame_feature", "frame_sig")
+        "media_id", "frame_idx", "ts_ms", _media_sig("frame_feature", "frame_sig")
     )
 
 
@@ -2009,20 +2104,39 @@ fused AS (
   SELECT coalesce(s.doc_id, d2.doc_id) AS doc_id,
          round(coalesce(1.0 / (60 + s.r), 0) + coalesce(1.0 / (60 + d2.r), 0), 6) AS rrf
   FROM sparse s FULL OUTER JOIN dense d2 ON s.doc_id = d2.doc_id
-)
-SELECT doc_id, rrf, rank FROM (
+),
+-- MaxSim branch (late interaction): embeddings grouped by label are the
+-- multi-vector "docs"; vec_id < 3 plays a 3-token query. Same algebra
+-- as operators/retrieval.py:maxsim_topk.
+ms_q AS (SELECT vec_id AS tok, embedding AS qv FROM embeddings WHERE vec_id < 3),
+ms_tok AS (
+  SELECT q.tok, e.label, max(list_cosine_similarity(q.qv, e.embedding)) AS m
+  FROM embeddings e CROSS JOIN ms_q q GROUP BY 1, 2
+),
+ms_doc AS (SELECT label, round(sum(m), 6) AS maxsim FROM ms_tok GROUP BY 1)
+SELECT 'rrf' AS variant, CAST(doc_id AS VARCHAR) AS doc_id, rrf AS score, rank FROM (
   SELECT doc_id, rrf,
          CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rank
   FROM fused) WHERE rank <= 10
+UNION ALL
+SELECT 'maxsim' AS variant, CAST(label AS VARCHAR) AS doc_id, maxsim AS score, rank
+FROM (
+  SELECT label, maxsim,
+         CAST(row_number() OVER (ORDER BY maxsim DESC, CAST(label AS VARCHAR) ASC) AS INTEGER) AS rank
+  FROM ms_doc) WHERE rank <= 5
 """
 
 
 @_register("pipeline_hybrid_rrf", _hybrid_oracle())
 def _hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: BM25 top-20 + dense (hash-embed cosine) top-20,
-    fused by reciprocal-rank fusion (k=60, Cormack et al. 2009) — the
-    standard sparse+dense serving composition, every stage this engine's
-    own operator and the whole chain stated in one SQL oracle."""
+    """Retrieval suite: (a) hybrid BM25 top-20 + dense (hash-embed
+    cosine) top-20 fused by reciprocal-rank fusion (k=60, Cormack et
+    al. 2009) — the standard sparse+dense serving composition; (b)
+    ColBERT MaxSim late-interaction scoring (Khattab & Zaharia 2020;
+    `operators/retrieval.py:maxsim_topk`) over the embeddings table as
+    multi-vector docs (label = doc, vec_id < 3 = a 3-token query).
+    UNION'd under one (variant, doc_id, score, rank) schema so both
+    operators share this registry slot's hash check."""
     from picovdb_spark.functions.text import tokens as _tokens
     from picovdb_spark.functions.vector import dot, l2_normalize
     from picovdb_spark.operators.embedding import embed_chunks, hash_embed_text
@@ -2048,7 +2162,31 @@ def _hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("q").alias("__q"),
     )
     dense = topk_per_query(dense_scored, 20, id_col="doc_id", score_col="score", query_col="__q")
-    return hybrid_rrf(sparse, dense, top_k=10)
+    rrf = hybrid_rrf(sparse, dense, top_k=10).select(
+        F.lit("rrf").alias("variant"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("rrf").alias("score"),
+        "rank",
+    )
+
+    from picovdb_spark.operators.retrieval import maxsim_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dvec = emb.select(
+        F.col("label").cast("string").alias("doc_id"), F.col("embedding").alias("vec")
+    )
+    qtok = emb.filter(F.col("vec_id") < 3).select(
+        F.lit("q0").alias("query_id"),
+        F.col("vec_id").cast("int").alias("token_idx"),
+        F.col("embedding").alias("vec"),
+    )
+    ms = maxsim_topk(dvec, qtok, top_k=5).select(
+        F.lit("maxsim").alias("variant"),
+        "doc_id",
+        F.col("maxsim").alias("score"),
+        "rank",
+    )
+    return rrf.unionByName(ms)
 
 
 @_register("ann_pq_topk", _topk_oracle(10))

@@ -71,14 +71,27 @@ def synthetic_media(
 
 
 def fake_decode(content: bytes, meta) -> np.ndarray:
-    """Deterministic stand-in decoder: md5-seeded pseudo-pixels shaped by
-    the metadata. Replace with a real codec (PIL.Image.open /
-    soundfile.read / av.open) in production."""
-    seed = int.from_bytes(hashlib.md5(content).digest()[:8], "little")
-    rng = np.random.default_rng(seed)
+    """Deterministic stand-in decoder shaped by the metadata: row ``i``
+    of the decoded (h, w) array is the constant
+    ``int(md5(f"{content.hex()}:{i}")[:12], 16) / 2**48`` — a pure
+    function of (bytes, meta) whose row means are exactly representable
+    md5-substring integers over 2^48. That makes every decode-dependent
+    operator ORACLE-EXPRESSIBLE: DuckDB can rebuild the same values with
+    ``('0x' || substr(md5(lower(hex(content)) || ':' || i), 1, 12))::BIGINT``
+    (see __spark_entry__'s media entries). Replace with a real codec
+    (PIL.Image.open / soundfile.read / av.open) in production."""
     h = int(meta["height"] or 8)
     w = int(meta["width"] or 8)
-    return rng.random((h, w), dtype=np.float64)
+    key = content.hex()
+    rows = np.array(
+        [
+            int(hashlib.md5(f"{key}:{i}".encode()).hexdigest()[:12], 16)
+            / float(1 << 48)
+            for i in range(h)
+        ],
+        dtype=np.float64,
+    )
+    return np.repeat(rows[:, None], w, axis=1)
 
 
 def media_features(
@@ -87,6 +100,7 @@ def media_features(
     decode: Callable[[bytes, dict], np.ndarray] | None = fake_decode,
     n_features: int = 8,
     batch_size_hint: int = 256,
+    hex_hash: bool = False,
 ) -> DataFrame:
     """Decode + feature-extract: (media_id, feature array<double>,
     n_bytes, content_hash). One Arrow batch at a time; feature = row-mean
@@ -94,7 +108,11 @@ def media_features(
     an embedding model forward pass).
 
     `decode=None` marks the real-codec path: raises NotImplementedError
-    naming the integration point rather than silently faking."""
+    naming the integration point rather than silently faking.
+    `hex_hash=True` hashes the UPPERCASE hex of the bytes instead of the
+    raw bytes — same dedup/identity semantics (hex is injective), but
+    expressible in engines whose md5 only accepts VARCHAR (DuckDB), the
+    `media_exact_dedup` convention."""
     if decode is None:
         raise NotImplementedError(
             "real media decode requires a codec library (Pillow/soundfile/pyav) "
@@ -120,13 +138,18 @@ def media_features(
                 continue
             feats, hashes, sizes = [], [], []
             for content, meta in zip(pdf["content"], pdf["meta"]):
-                arr = decode(bytes(content), meta)
+                b = bytes(content)
+                arr = decode(b, meta)
                 prof = arr.mean(axis=1)
                 # resample the profile to fixed length (cheap "pooling")
                 idx = np.linspace(0, len(prof) - 1, n_features).round().astype(int)
                 feats.append([float(x) for x in prof[idx]])
-                hashes.append(hashlib.md5(bytes(content)).hexdigest())
-                sizes.append(len(content))
+                hashes.append(
+                    hashlib.md5(b.hex().upper().encode()).hexdigest()
+                    if hex_hash
+                    else hashlib.md5(b).hexdigest()
+                )
+                sizes.append(len(b))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
