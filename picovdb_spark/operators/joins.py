@@ -35,6 +35,7 @@ def asof_join(
     right_ts: str = "ts",
     strict: bool = True,
     tie_break: str | None = None,
+    time_bucket_s: float | None = None,
 ) -> DataFrame:
     """For every left row, attach the LATEST right row of the same `on`
     key with ``right_ts < left_ts`` (``strict=False``: ``<=``) — the
@@ -53,15 +54,21 @@ def asof_join(
     set and sorts it — at 100 TB a single dominant key (a spam domain,
     a null user id) serializes rows_hot·log(rows_hot) into that task,
     and unlike an aggregation the carry-forward semantics cannot be
-    salted without breaking "latest prior row" across salt boundaries.
-    Mitigations, in preference order: (1) time-partition the key —
-    union a coarse time bucket into the shuffle key and carry the last
-    row of bucket b−1 into bucket b as a seed row (turns the hot task
-    into #buckets parallel tasks; exact); (2) pre-reduce the right side
-    to one row per (key, left-relevant ts) when the payload allows;
-    (3) route known hot keys through a per-key broadcast fast path.
-    `range_count_join(n_salts=…)` below shows shape (1)'s salted
-    analog for the aggregation-shaped case, where partials DO combine.
+    hash-salted without breaking "latest prior row" across salt
+    boundaries. The implemented guard is TIME bucketing
+    (``time_bucket_s``): a coarse time bucket joins the shuffle key, so
+    one hot key becomes #buckets parallel window tasks; exactness is
+    preserved by seeding each bucket with the latest right row of all
+    EARLIER buckets — computed as a per-(key, bucket) ``max_by``
+    aggregation (partials combine, no hot task) followed by a running
+    window over the #buckets-rows-per-key bucket list. Cost: three
+    extra small shuffles (per-bucket lasts, bucket list, seed window)
+    plus one extra pass over the right payload — opt-in for skewed
+    inputs, not the default. Alternatives when the payload allows:
+    pre-reduce the right side to one row per (key, ts), or route known
+    hot keys through a per-key broadcast fast path.
+    `range_count_join(n_salts=…)` below is the hash-salted analog for
+    the aggregation-shaped case, where partials combine directly.
 
     The right payload travels as ONE struct column so that a legitimately
     null right attribute is not "looked through" to an older right row.
@@ -80,6 +87,17 @@ def asof_join(
     clash = out_names & set(left.columns)
     if clash:
         raise ValueError(f"rename right columns colliding with left: {sorted(clash)}")
+    if time_bucket_s is not None:
+        return _asof_join_bucketed(
+            left,
+            right,
+            on=on,
+            left_ts=left_ts,
+            right_ts=right_ts,
+            strict=strict,
+            tie_break=tie_break,
+            bucket_s=time_bucket_s,
+        )
     # ordering tags: at equal ts the LEFT row must see the right row
     # iff non-strict — so right sorts before left exactly when strict=False
     l_tag, r_tag = (0, 1) if strict else (1, 0)
@@ -108,6 +126,94 @@ def asof_join(
     )
     matched = l2.unionByName(r2).withColumn(
         "__m", F.last("__rpay", ignorenulls=True).over(w)
+    )
+    out_cols = [F.col(f"__lpay.{c}").alias(c) for c in left.columns]
+    out_cols += [
+        F.col(f"__m.{c}").alias(f"asof_{c}" if c == right_ts else c) for c in r_payload
+    ]
+    return matched.filter(F.col("__lpay").isNotNull()).select(*out_cols)
+
+
+def _asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    strict: bool,
+    tie_break: str | None,
+    bucket_s: float,
+) -> DataFrame:
+    """Hot-key-safe as-of join: shuffle key = (key, time bucket), each
+    bucket seeded with the latest right row of all earlier buckets so
+    the per-bucket running window is exact (see `asof_join` docstring).
+    Requires timestamp-castable ts columns (same contract as
+    `range_count_join`). Seed rows sort first within their bucket
+    (tag −1 at the bucket-start instant — every real right row in the
+    bucket has ts ≥ bucket start, and the seed's true ts is strictly
+    earlier), so `last(__rpay, ignorenulls)` prefers in-bucket rows and
+    falls back to the seed."""
+    width = int(round(bucket_s * 1_000_000))
+    if width <= 0:
+        raise ValueError(f"time_bucket_s must be > 0, got {bucket_s}")
+    r_payload = [c for c in right.columns if c != on]
+    l_tag, r_tag = (0, 1) if strict else (1, 0)
+    tie = F.col(tie_break) if tie_break else F.lit(0)
+    tie_type = right.schema[tie_break].dataType if tie_break else T.IntegerType()
+    lpay_t = T.StructType([left.schema[c] for c in left.columns])
+    rpay_t = T.StructType([right.schema[c] for c in r_payload])
+
+    l2 = left.select(
+        F.col(on).alias("__k"),
+        _ts_micros(left_ts).alias("__us"),
+        F.lit(l_tag).alias("__tag"),
+        F.lit(None).cast(tie_type).alias("__tie"),
+        F.struct(*left.columns).alias("__lpay"),
+        F.lit(None).cast(rpay_t).alias("__rpay"),
+    ).withColumn("__bkt", F.floor(F.col("__us") / F.lit(width)))
+    r2 = right.select(
+        F.col(on).alias("__k"),
+        _ts_micros(right_ts).alias("__us"),
+        F.lit(r_tag).alias("__tag"),
+        tie.alias("__tie"),
+        F.lit(None).cast(lpay_t).alias("__lpay"),
+        F.struct(*r_payload).alias("__rpay"),
+    ).withColumn("__bkt", F.floor(F.col("__us") / F.lit(width)))
+
+    # (1) latest right row per (key, bucket): algebraic max_by — partial
+    # aggregation combines map-side, so the hot key costs no single task
+    rl = r2.groupBy("__k", "__bkt").agg(
+        F.max_by("__rpay", F.struct(F.col("__us"), F.col("__tie"))).alias("__last")
+    )
+    # (2) seed per bucket = latest right row of any EARLIER bucket: a
+    # running window over the per-key BUCKET LIST (#buckets rows per
+    # key, not #rows — the hot key's window here is tiny)
+    buckets = l2.select("__k", "__bkt").union(r2.select("__k", "__bkt")).distinct()
+    wseed = W.partitionBy("__k").orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    seeds = (
+        buckets.join(rl, ["__k", "__bkt"], "left")
+        .withColumn("__seed", F.last("__last", ignorenulls=True).over(wseed))
+        .filter(F.col("__seed").isNotNull())
+        .select(
+            "__k",
+            (F.col("__bkt") * F.lit(width)).alias("__us"),
+            F.lit(-1).alias("__tag"),
+            F.lit(None).cast(tie_type).alias("__tie"),
+            F.lit(None).cast(lpay_t).alias("__lpay"),
+            F.col("__seed").alias("__rpay"),
+            "__bkt",
+        )
+    )
+    w = (
+        W.partitionBy("__k", "__bkt")
+        .orderBy(F.col("__us").asc(), F.col("__tag").asc(), F.col("__tie").asc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    matched = (
+        l2.unionByName(r2)
+        .unionByName(seeds)
+        .withColumn("__m", F.last("__rpay", ignorenulls=True).over(w))
     )
     out_cols = [F.col(f"__lpay.{c}").alias(c) for c in left.columns]
     out_cols += [
@@ -164,7 +270,15 @@ def range_count_join(
         raise ValueError("upper_s must be > lower_s")
     width = up - lo
 
-    l2 = left.withColumn("__le", _ts_micros(left_ts)).withColumn(
+    # Unique probe id per LEFT ROW (dropped on output): the final
+    # groupBy would otherwise merge fully-identical left rows — two
+    # legitimate duplicate events in a log would collapse to ONE output
+    # row with one count. The id is assigned before the ≤2-bucket
+    # explode so both probes of a row re-combine under it. (Standard
+    # monotonically_increasing_id caveat: values are per-execution, not
+    # stable across jobs — fine here, the id never leaves this plan.)
+    l2 = left.withColumn("__probe", F.monotonically_increasing_id())
+    l2 = l2.withColumn("__le", _ts_micros(left_ts)).withColumn(
         "__b",
         F.explode(
             F.array_distinct(
@@ -201,6 +315,7 @@ def range_count_join(
         F.col("__re") < F.col("__le") + F.lit(up)
     )
     return (
-        j.groupBy(*[l2[c] for c in left.columns])
+        j.groupBy(l2["__probe"], *[l2[c] for c in left.columns])
         .agg(F.sum(F.when(in_range, 1).otherwise(0)).cast("long").alias(count_alias))
+        .drop("__probe")
     )

@@ -211,3 +211,66 @@ def test_asof_on_skewed_key_still_exact(spark, skewed_dfs):
         cands = [r for r in right if r[0] == k and r[1] < lts]
         brute[lid] = max(cands, key=lambda r: (r[1], r[2]))[1] if cands else None
     assert got == brute
+
+
+@pytest.mark.parametrize("strict", [True, False])
+@pytest.mark.parametrize("bucket_s", [7.0, 100.0, 5000.0])
+def test_asof_time_bucketed_matches_brute_force(spark, fixture_dfs, strict, bucket_s):
+    """The time-bucketed hot-key guard must be exact at every width:
+    narrow (rows scatter across many buckets, matches cross bucket
+    boundaries via seed rows), medium, and wider-than-data (single
+    bucket ≡ plain path). Widths hit bucket-start == left-ts alignment
+    (ts=10 with width 5/100) so the seed's sorts-first contract is
+    exercised at the boundary."""
+    ldf, rdf = fixture_dfs
+    res = asof_join(
+        ldf, rdf, on="key", strict=strict, tie_break="rid", time_bucket_s=bucket_s
+    )
+    got = {r["lid"]: (r["asof_ts"], r["rid"], r["val"]) for r in res.collect()}
+    left = [tuple(r) for r in ldf.collect()]
+    right = [tuple(r) for r in rdf.collect()]
+    assert got == _brute_asof(left, right, strict)
+
+
+def test_asof_time_bucketed_on_dominant_key(spark, skewed_dfs):
+    """One key holding ~97% of right rows: the bucketed variant must
+    stay exact (including left rows whose nearest right row is many
+    buckets earlier) and its main window must partition on (key, time
+    bucket) so the hot key's sort splits into #buckets tasks."""
+    ldf, rdf = skewed_dfs
+    rdf2 = rdf.withColumn("rid", F.monotonically_increasing_id())
+    res = asof_join(ldf, rdf2, on="key", tie_break="rid", time_bucket_s=10.0)
+    got = {r["lid"]: r["asof_ts"] for r in res.collect()}
+    left = [tuple(r) for r in ldf.collect()]
+    right = [tuple(r) for r in rdf2.collect()]
+    brute = {}
+    for lid, k, lts in left:
+        cands = [r for r in right if r[0] == k and r[1] < lts]
+        brute[lid] = max(cands, key=lambda r: (r[1], r[2]))[1] if cands else None
+    assert got == brute
+    plan = explain_str(
+        asof_join(ldf, rdf2, on="key", tie_break="rid", time_bucket_s=10.0),
+        mode="simple",
+    )
+    assert "__bkt" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_asof_time_bucketed_rejects_bad_width(spark, fixture_dfs):
+    ldf, rdf = fixture_dfs
+    with pytest.raises(ValueError, match="time_bucket_s"):
+        asof_join(ldf, rdf, on="key", time_bucket_s=0.0)
+
+
+def test_range_count_keeps_duplicate_left_rows(spark):
+    """Two byte-identical left events are distinct observations: each
+    must keep its own output row (regression: the final groupBy once
+    merged them into one row with a single count)."""
+    left = [(u, _ts(50.0)) for u in ["a", "a", "b"]]  # two identical 'a' rows
+    right = [("a", _ts(40.0)), ("a", _ts(45.0)), ("b", _ts(49.0))]
+    ldf = spark.createDataFrame(left, "key string, ts timestamp")
+    rdf = spark.createDataFrame(right, "key string, ts timestamp")
+    out = range_count_join(ldf, rdf, on="key", lower_s=-100.0, upper_s=0.0).collect()
+    assert len(out) == 3
+    counts = sorted((r["key"], r["n_in_range"]) for r in out)
+    assert counts == [("a", 2), ("a", 2), ("b", 1)]
