@@ -1985,13 +1985,16 @@ JOIN (SELECT doc_id,
              row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS quality_rank
       FROM ({_quality_oracle()})) qr USING (doc_id)
 LEFT JOIN (
-  SELECT doc_id, round(k, 6) AS wkey
+  -- select on the ROUNDED key + id tiebreak, mirroring weighted_sample:
+  -- raw ln() can differ by a last ulp between engines, which could flip
+  -- membership exactly at the rank-k boundary
+  SELECT doc_id, wkey
   FROM (
     SELECT doc_id,
-           ln((('0x' || substr(md5('wsample-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
-              / 4294967296.0) / quality AS k
+           round(ln((('0x' || substr(md5('wsample-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+              / 4294967296.0) / quality, 6) AS wkey
     FROM ({_quality_oracle()}) WHERE quality > 0
-  ) ORDER BY k DESC, doc_id ASC LIMIT 100
+  ) ORDER BY wkey DESC, doc_id ASC LIMIT 100
 ) ws USING (doc_id)
 """,
 )

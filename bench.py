@@ -680,13 +680,16 @@ def bench_queries(spark):
         scale_state["emb1m"].count()
 
     def q_scale1m_embedding_near_dup():
+        # auto routes to LSH at this scale, which returns an EAGERLY
+        # checkpointed small pair list (see embedding_near_dup docstring)
+        # — no .cache() on top: it would re-materialize checkpointed data
         pairs = embedding_near_dup(
             scale_state["emb1m"],
             threshold=0.95,
             method="auto",
             n_bits=200,  # 8 bands × 25 bits: ~1e5 random collisions at n=1M
             n_bands=8,
-        ).cache()
+        )
         found = pairs.count()
         # planted: 25k exact-copy pairs (cosine 1) + 25k noisy ~0.99
         exact_found = pairs.filter(F.col("cosine") >= 0.999999).count()
@@ -695,7 +698,6 @@ def bench_queries(spark):
             "exact_pairs_found": exact_found,
             "exact_pairs_planted": 25_000,
         }
-        pairs.unpersist()
 
     # -- disk-backed tier: the 100 TB regime in miniature. Everything
     # above serves from Spark columnar caches — the one configuration

@@ -88,10 +88,12 @@ def kmeans_mean_update(x: np.ndarray, assign: np.ndarray, prev: np.ndarray) -> n
     of the whole sample per iteration (and the k-loop before THAT was
     50-85 s of the PQ fit; bench history). Deterministic for a fixed
     host/thread config, but NOT bit-identical to a
-    `x[assign == c].mean(axis=0)` loop (GEMM blocking reorders the
-    sums, ~1 ulp apart). Every consumer is a cluster assignment —
-    argmax/argmin over centroids — where a 1-ulp centroid shift is
-    noise; accuracy is band-tested downstream and the oracle-checked
+    `x[assign == c].mean(axis=0)` loop: GEMM blocking reorders the
+    sums, and the float32 fit path accumulates ~25k-element cluster
+    sums in fp32 SGEMM — the error bound is the usual √n·ε_f32
+    accumulation level (~1e-5 relative), not 1 ulp. Every consumer is a
+    cluster assignment — argmax/argmin over centroids — where a shift
+    of that size is noise; accuracy is band-tested downstream and the oracle-checked
     full-probe/full-refine configurations are invariant to the
     clustering entirely."""
     k = len(prev)

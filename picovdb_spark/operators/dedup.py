@@ -465,7 +465,17 @@ def embedding_near_dup(
     slips under the byte cap at 1.02 GB but costs 1.3·10¹⁷ FLOPs).
 
     ``method="sql"``: pure Catalyst cross-join formulation (the DuckDB
-    oracle shape)."""
+    oracle shape).
+
+    Laziness caveat: the LSH path (and therefore ``auto`` when it
+    routes to LSH) EXECUTES EAGERLY at call time — it materializes the
+    verified pair list via ``localCheckpoint(eager=True)`` so the
+    banded-signature cache can be released before returning (the
+    signature frame is corpus-sized; holding it for a lazy consumer
+    would pin executor storage indefinitely). The returned frame is the
+    small checkpointed pair list: re-counting or re-filtering it is
+    cheap, and callers should NOT ``.cache()`` it again. ``gemm`` and
+    ``sql`` stay lazy."""
     raw = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     n = emb.select(
         F.col(id_col).alias("id"),

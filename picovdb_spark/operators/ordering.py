@@ -94,7 +94,19 @@ def release_global_rank(ranked: DataFrame) -> None:
     """Unpersist the internal sorted-source cache behind a
     :func:`global_rank` result. Safe to call once the result has been
     written/collected; the result must not be re-evaluated afterwards
-    (offsets stay correct only while the cache pins the partitioning)."""
+    (offsets stay correct only while the cache pins the partitioning).
+
+    Must be passed the EXACT frame `global_rank` returned: the private
+    cache handle does not survive `.select()`/`.filter()` descendants,
+    and silently skipping the unpersist would quietly reintroduce the
+    per-run cache leak this function exists to close — so an unmarked
+    frame raises instead."""
     src = getattr(ranked, "_global_rank_source", None)
-    if src is not None:
-        src.unpersist()
+    if src is None:
+        raise ValueError(
+            "release_global_rank must receive the DataFrame returned by "
+            "global_rank itself — transformed descendants drop the cache "
+            "handle; keep a reference to the original result and release "
+            "that one"
+        )
+    src.unpersist()

@@ -526,8 +526,13 @@ def weighted_sample(
     (tests/test_corpus_hygiene.py plan pin). The DuckDB twin is the same
     expression + ORDER BY key DESC, id LIMIT k.
 
-    Returns (id, wkey) for the sampled rows; `wkey` is rounded for
-    engine-independent audit/hashing, selection uses the raw key."""
+    Returns (id, wkey) for the sampled rows. Selection orders on the
+    `round_to`-ROUNDED key with the id tiebreak — not the raw key:
+    ln() differs by a last ulp between engines (JVM Math.log vs libm),
+    and a raw-key comparison exactly at the rank-k boundary could flip
+    sample membership between this plan and an oracle restating it.
+    Rounding first makes the decision engine-independent; within a
+    rounded tie the id order is total, so the selected set is unique."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     u = (
@@ -537,10 +542,9 @@ def weighted_sample(
     key = F.log(u) / F.col(weight_col)
     return (
         scored.filter(F.col(weight_col) > 0)
-        .select(F.col(id_col), key.alias("__wkey"))
-        .orderBy(F.col("__wkey").desc(), F.col(id_col).asc())
+        .select(F.col(id_col), F.round(key, round_to).alias("wkey"))
+        .orderBy(F.col("wkey").desc(), F.col(id_col).asc())
         .limit(k)
-        .select(F.col(id_col), F.round("__wkey", round_to).alias("wkey"))
     )
 
 

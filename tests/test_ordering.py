@@ -53,3 +53,14 @@ def test_global_rank_deterministic_across_runs(spark, scored):
 def test_global_rank_empty_input(spark, scored):
     empty = scored.filter(F.lit(False))
     assert global_rank(empty, [("quality", "desc"), ("doc_id", "asc")]).count() == 0
+
+
+def test_release_global_rank_rejects_descendants(spark, scored):
+    """A .select() descendant drops the private cache handle; releasing
+    it must raise rather than silently leak the sorted-source cache."""
+    import pytest
+
+    ranked = global_rank(scored, [("quality", "desc"), ("doc_id", "asc")])
+    with pytest.raises(ValueError, match="global_rank itself"):
+        release_global_rank(ranked.select("doc_id"))
+    release_global_rank(ranked)  # the original still releases cleanly
