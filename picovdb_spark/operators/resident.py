@@ -73,6 +73,33 @@ def _shm_root() -> str:
     return tempfile.gettempdir()
 
 
+def _probe_missing_blocks(probe_df: DataFrame, blk_dir: str, block_pids) -> list[int]:
+    """One cheap job over the same frame a resident query maps: each task
+    reports whether its partition's block file is visible from where it
+    ran. Used by the `on_missing="fallback"` degraded mode — best-effort
+    by nature (a node can die between this probe and the query job; the
+    query's own fail-fast still backstops that race)."""
+    from collections.abc import Iterator
+
+    def chk(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for _ in batches:
+            pass
+        ok = pid not in block_pids or os.path.exists(
+            os.path.join(blk_dir, f"mat_{pid}.npy")
+        )
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([pid], type=pa.int32()), pa.array([ok], type=pa.bool_())],
+            names=["pid", "ok"],
+        )
+
+    rows = probe_df.mapInArrow(chk, schema="pid int, ok boolean").collect()
+    return sorted(r["pid"] for r in rows if not r["ok"])
+
+
 class ResidentGemmStore:
     """Pin a store's vectors node-locally as unit float32 blocks and
     serve repeated top-k query batches against them.
@@ -97,13 +124,24 @@ class ResidentGemmStore:
         normalized: bool = False,
         shm_dir: str | None = None,
         block_dtype: str = "float32",
+        on_missing: str = "fail",
     ):
         if block_dtype not in ("float32", "int8"):
             raise ValueError(f"block_dtype must be float32 or int8, got {block_dtype!r}")
+        if on_missing not in ("fail", "fallback"):
+            raise ValueError(f"on_missing must be 'fail' or 'fallback', got {on_missing!r}")
         self.store = store
         self.vector_col = vector_col
         self.id_col = id_col
         self.normalized = normalized
+        # "fallback": before each query batch, a cheap existence probe
+        # runs over the block partitions; if any expected block is gone
+        # (preempted node, reaped tmpfs) the batch is served by the
+        # exact store scan (`batch_query(method="gemm")` — identical
+        # results, just slower) instead of failing. "fail" (default)
+        # keeps the serving-tier contract: a missing block is an
+        # operational error that should page, not silently degrade.
+        self.on_missing = on_missing
         # "int8": blocks hold symmetric per-row int8 codes + a float32
         # scale column (max|x|/127 — the same rule as
         # functions.vector.quantize_int8) — 4× more store per serving
@@ -233,6 +271,40 @@ class ResidentGemmStore:
 
         if self.n_rows is None:
             raise RuntimeError("resident store not materialized — call materialize()")
+        if self.on_missing == "fallback":
+            missing = _probe_missing_blocks(
+                self.store.select(F.lit(True).alias("__probe")),
+                self.dir,
+                getattr(self, "block_pids", frozenset()),
+            )
+            if missing:
+                import warnings
+
+                from picovdb_spark.operators.similarity import batch_query
+
+                warnings.warn(
+                    f"resident blocks missing for partitions {missing[:8]} "
+                    f"({len(missing)} total) — serving this batch via the "
+                    "exact store scan (degraded mode); re-materialize() to "
+                    "restore resident serving",
+                    stacklevel=2,
+                )
+                # id+vector projection keeps the output shape identical
+                # to the resident path (no metadata join-back)
+                return batch_query(
+                    self.store.select(
+                        F.col(self.id_col).alias(K_ID), F.col(self.vector_col)
+                    ),
+                    queries,
+                    top_k=top_k,
+                    better_than=better_than,
+                    method="gemm",
+                    normalized=self.normalized,
+                    score_dtype="float32",
+                    round_to=round_to,
+                    query_id=query_id,
+                    vector_col=self.vector_col,
+                )
         spark = self.store.sparkSession
         qids, qmat = collect_normalized_queries(
             queries, query_id, vector_col or self.vector_col
@@ -355,6 +427,7 @@ class ResidentIvfStore:
         dtype: str = "float32",
         shm_dir: str | None = None,
         local_cache_bytes: int = 1 << 30,
+        on_missing: str = "fail",
     ):
         # "int8": blocks hold symmetric per-row int8 codes + a float32
         # scale column (same rule as ResidentGemmStore's int8 mode) —
@@ -372,8 +445,16 @@ class ResidentIvfStore:
         # it to the expected hot set or disable.
         if dtype not in ("float32", "float64", "int8"):
             raise ValueError("dtype must be 'float32', 'float64' or 'int8'")
+        if on_missing not in ("fail", "fallback"):
+            raise ValueError(f"on_missing must be 'fail' or 'fallback', got {on_missing!r}")
         self.store = store
         self.dtype = dtype
+        # "fallback": probe block existence per query batch and serve via
+        # the exact store scan when blocks are gone (preemptible-cluster
+        # degraded mode) — results are EXACT top-k, a quality superset of
+        # the routed nprobe answer, at full-scan cost. Default "fail"
+        # keeps missing blocks loud (see ResidentGemmStore.on_missing).
+        self.on_missing = on_missing
         self.local_cache_bytes = int(local_cache_bytes)
         self.n_centroids = n_centroids
         self.seed = seed
@@ -537,6 +618,36 @@ class ResidentIvfStore:
 
         if self.n_rows is None or self._blocks_df is None:
             raise RuntimeError("resident IVF store not materialized — call materialize()")
+        if self.on_missing == "fallback":
+            missing = _probe_missing_blocks(
+                self._blocks_df.select(F.lit(True).alias("__probe")),
+                self.dir,
+                self.block_pids,
+            )
+            if missing:
+                import warnings
+
+                from picovdb_spark.operators.similarity import batch_query
+
+                warnings.warn(
+                    f"resident IVF blocks missing for partitions {missing[:8]} "
+                    f"({len(missing)} total) — serving this batch via the "
+                    "exact store scan (degraded mode, exact results); "
+                    "re-materialize() to restore routed serving",
+                    stacklevel=2,
+                )
+                return batch_query(
+                    self.store.select(
+                        F.col(self.id_col).alias(K_ID), F.col(self.vector_col)
+                    ),
+                    queries,
+                    top_k=top_k,
+                    method="gemm",
+                    score_dtype="float32" if self.dtype != "float64" else "float64",
+                    round_to=round_to,
+                    query_id=query_id,
+                    vector_col=self.vector_col,
+                )
         spark = self.store.sparkSession
         qids, qmat = collect_normalized_queries(
             queries, query_id, vector_col or self.vector_col

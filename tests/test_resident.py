@@ -318,3 +318,75 @@ def test_resident_ivf_int8_hot_segment_cache_identical(store, queries):
             a2 = cached.query_local(qr["_vector_"], top_k=10, nprobe=4)  # cache hit
             b = uncached.query_local(qr["_vector_"], top_k=10, nprobe=4)
             assert a == a2 == b
+
+
+def test_resident_fallback_serves_exact_when_block_missing(store, queries):
+    """on_missing='fallback': delete one block after materialize — the
+    next batch must be served by the exact scan with IDENTICAL results
+    (and a warning), not fail. Default mode keeps failing loudly."""
+    import glob
+    import os
+    import warnings
+
+    from picovdb_spark.operators.similarity import batch_query
+
+    base = store.select(K_ID, "_vector_")
+    want = sorted(
+        map(
+            tuple,
+            batch_query(base, queries, top_k=5, method="gemm", score_dtype="float32").collect(),
+        )
+    )
+    rs = ResidentGemmStore(base, on_missing="fallback")
+    try:
+        rs.materialize()
+        victim = sorted(glob.glob(os.path.join(rs.dir, "mat_*.npy")))[0]
+        os.remove(victim)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            got = sorted(map(tuple, rs.query(queries, top_k=5).collect()))
+        assert any("degraded mode" in str(w.message) for w in caught)
+        assert got == want
+        # with all blocks present, no warning and the resident path serves
+        rs.materialize()
+        with warnings.catch_warnings(record=True) as caught2:
+            warnings.simplefilter("always")
+            got2 = sorted(map(tuple, rs.query(queries, top_k=5).collect()))
+        assert not any("degraded mode" in str(w.message) for w in caught2)
+        assert got2 == want
+    finally:
+        rs.close()
+
+
+def test_resident_ivf_fallback_serves_exact_when_block_missing(store, queries):
+    import glob
+    import os
+    import warnings
+
+    from picovdb_spark.operators.resident import ResidentIvfStore
+    from picovdb_spark.operators.similarity import batch_query
+
+    base = store.select(K_ID, "_vector_")
+    want = sorted(
+        map(
+            tuple,
+            batch_query(base, queries, top_k=5, method="gemm", score_dtype="float32").collect(),
+        )
+    )
+    rs = ResidentIvfStore(base, n_centroids=16, seed=42, on_missing="fallback")
+    try:
+        rs.materialize()
+        victim = sorted(glob.glob(os.path.join(rs.dir, "mat_*.npy")))[0]
+        os.remove(victim)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            got = sorted(map(tuple, rs.query(queries, top_k=5).collect()))
+        assert any("degraded mode" in str(w.message) for w in caught)
+        assert got == want  # degraded mode = exact results
+    finally:
+        rs.close()
+
+
+def test_resident_on_missing_validation(store):
+    with pytest.raises(ValueError, match="on_missing"):
+        ResidentGemmStore(store.select(K_ID, "_vector_"), on_missing="ignore")
