@@ -32,7 +32,6 @@ import numpy as np
 from pyspark.sql import SparkSession
 
 from picovdb_spark.schema import K_ID, K_METRICS, K_VECTOR
-from picovdb_spark.session import local_df
 from picovdb_spark.session import get_spark
 from picovdb_spark.sources.picovdb_files import read_picovdb_store, write_picovdb_store
 from picovdb_spark.store import VectorStore
@@ -124,12 +123,8 @@ class PicoVectorDB:
             raise ValueError(
                 f"query vectors must be (n, {self.dim}) or ({self.dim},); got {arr.shape}"
             )
-        rows = [(str(i), [float(x) for x in arr[i]]) for i in range(arr.shape[0])]
-        queries = local_df(
-            self._spark, rows, f"query_id string, {K_VECTOR} array<float>"
-        )
         out = self.store.query(
-            queries,
+            arr,  # 2-D float32 batch — store.query takes the fast path
             top_k=top_k,
             better_than=better_than,
             where=where,

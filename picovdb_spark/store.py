@@ -330,18 +330,37 @@ class VectorStore:
 
         use_ann = kwargs.pop("ann", False)
         nprobe = kwargs.pop("nprobe", 8)
-        if not isinstance(queries, DataFrame):
-            rows = [(str(i), [float(x) for x in v]) for i, v in enumerate(queries)]
-            queries = local_df(
-                self.spark,
-                rows,
-                T.StructType(
-                    [
-                        T.StructField("query_id", T.StringType()),
-                        T.StructField(K_VECTOR, T.ArrayType(T.FloatType())),
-                    ]
-                ),
-            )
+        if not isinstance(queries, DataFrame) and not (
+            isinstance(queries, tuple) and len(queries) == 2
+        ):
+            import numpy as np
+
+            # float32 FIRST: the DataFrame form's array<float> schema
+            # truncates before scoring, so the fast path must too —
+            # identical results either way
+            vecs = queries if isinstance(queries, np.ndarray) else list(queries)
+            arr = np.asarray(vecs, dtype=np.float32)
+            if len(arr) and arr.ndim != 2:
+                raise ValueError(
+                    f"queries must be a 2-D batch of vectors; got shape {arr.shape}"
+                )
+            qids = [str(i) for i in range(len(arr))]
+            if len(arr) and not use_ann and kwargs.get("method", "auto") in ("auto", "gemm"):
+                # GEMM path: hand the batch straight to the kernel as the
+                # pre-collected serving form — skips building + collecting
+                # a one-shot LocalRelation per query batch
+                queries = (qids, arr)
+            else:
+                queries = local_df(
+                    self.spark,
+                    [(qids[i], [float(x) for x in arr[i]]) for i in range(len(arr))],
+                    T.StructType(
+                        [
+                            T.StructField("query_id", T.StringType()),
+                            T.StructField(K_VECTOR, T.ArrayType(T.FloatType())),
+                        ]
+                    ),
+                )
         if (
             use_ann
             # `is None`, not truthiness: a Spark Column where-clause raises
@@ -352,6 +371,23 @@ class VectorStore:
         ):
             from picovdb_spark.operators.ann import ann_query
 
+            if not isinstance(queries, DataFrame):
+                # the ANN index kernel takes a DataFrame; lift a
+                # user-passed (ids, matrix) tuple into a LocalRelation
+                qids_t, qmat_t = queries
+                queries = local_df(
+                    self.spark,
+                    [
+                        (str(qids_t[i]), [float(x) for x in qmat_t[i]])
+                        for i in range(len(qids_t))
+                    ],
+                    T.StructType(
+                        [
+                            T.StructField("query_id", T.StringType()),
+                            T.StructField(K_VECTOR, T.ArrayType(T.FloatType())),
+                        ]
+                    ),
+                )
             self._ensure_ann()
             return ann_query(
                 self._ann,
