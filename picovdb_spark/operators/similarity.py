@@ -151,6 +151,16 @@ def _normalized_queries(queries: DataFrame, query_id: str, vector_col: str) -> D
     )
 
 
+# Input-stream prefetch depth (Arrow batches) for the GEMM kernel's
+# double-buffering pump thread; 0 (default) disables the thread.
+# A/B-measured OFF on local[32]: neither the in-memory nor the
+# disk-parquet tier showed a win (the JVM writer thread + socket buffer
+# already overlap enough locally), so the default avoids the extra
+# thread per task. Raise it when the input stream is genuinely slow
+# relative to the GEMM — e.g. object-store reads on a real cluster.
+GEMM_PREFETCH_DEPTH = 0
+
+
 # Ceiling on the driver-resident float64 query matrix (bytes). Query
 # batches are broadcast state by design (every kernel scores against
 # them); a batch past this size must be CHUNKED by the caller — failing
@@ -457,8 +467,12 @@ def _gemm_topk(
     )
     pad = 1.5 * 10.0 ** (-round_to)
     dtype = np.float32 if use32 else np.float64
+    prefetch_depth = GEMM_PREFETCH_DEPTH
 
     def prefetched(it: Iterator, depth: int = 2) -> Iterator:
+        if depth <= 0:
+            yield from it
+            return
         # Double-buffer the Arrow input stream: a pump thread reads the
         # next batch off the worker socket while the main thread is in
         # the GEMM (BLAS releases the GIL, so the socket read + Arrow
@@ -501,7 +515,7 @@ def _gemm_topk(
         acc_i: list = []  # store ids
         acc_s: list = []  # scores (raw f32 for use32, rounded f64 else)
         n_batches = 0
-        for batch in prefetched(batches):
+        for batch in prefetched(batches, depth=prefetch_depth):
             n = batch.num_rows
             if n == 0:
                 continue
