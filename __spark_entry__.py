@@ -1477,17 +1477,6 @@ def _rel_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- multimodal ops
 
-def _array_sig(col: str, alias: str):
-    """Canonicalizable signature of an array<double> column: each element
-    rounded to 6 and fixed-point formatted, comma-joined. The driver's
-    canonicalizer (pandas sort_values) can't sort list cells — entries
-    must emit scalars (CORRECTNESS_r01 harness errors)."""
-    return F.concat_ws(
-        ",",
-        F.transform(F.col(col), lambda x: F.round(x, 6).cast("decimal(10,6)").cast("string")),
-    ).alias(alias)
-
-
 def _media_hash_corpus(spark: SparkSession, n: int, modality: str = "image"):
     """SQL-reproducible media corpus (the `media_exact_dedup` pattern):
     content = unhex(md5 || md5) of id-derived strings, fixed metadata.
@@ -1513,7 +1502,10 @@ def _media_sig(col: str, alias: str):
     element is m / 2^48 with m an md5-substring integer (48 bits < the
     53-bit double mantissa), so scaling back by 2^48 and rounding
     recovers m EXACTLY — the driver hash compares integers, immune to
-    decimal-formatting/rounding-mode skew between engines."""
+    decimal-formatting/rounding-mode skew between engines. (Array cells
+    must be emitted as scalars regardless: the driver canonicalizer
+    can't sort list cells — CORRECTNESS_r01 harness errors. This
+    supersedes the earlier decimal-format `_array_sig`.)"""
     scale = float(1 << 48)
     return F.concat_ws(
         ",",

@@ -73,12 +73,17 @@ def _shm_root() -> str:
     return tempfile.gettempdir()
 
 
-def _probe_missing_blocks(probe_df: DataFrame, blk_dir: str, block_pids) -> list[int]:
+def _probe_missing_blocks(
+    probe_df: DataFrame, blk_dir: str, block_pids, artifacts: tuple[str, ...]
+) -> list[int]:
     """One cheap job over the same frame a resident query maps: each task
-    reports whether its partition's block file is visible from where it
-    ran. Used by the `on_missing="fallback"` degraded mode — best-effort
-    by nature (a node can die between this probe and the query job; the
-    query's own fail-fast still backstops that race)."""
+    reports whether its partition's block files are ALL visible from
+    where it ran (`artifacts` lists every per-partition file the query
+    kernel loads — a partition that lost only ids/scales must degrade
+    too, not crash mid-query). Used by the `on_missing="fallback"`
+    degraded mode — best-effort by nature (a node can die between this
+    probe and the query job; the query's own fail-fast still backstops
+    that race)."""
     from collections.abc import Iterator
 
     def chk(batches: Iterator) -> Iterator:
@@ -88,8 +93,9 @@ def _probe_missing_blocks(probe_df: DataFrame, blk_dir: str, block_pids) -> list
         pid = TaskContext.get().partitionId()
         for _ in batches:
             pass
-        ok = pid not in block_pids or os.path.exists(
-            os.path.join(blk_dir, f"mat_{pid}.npy")
+        ok = pid not in block_pids or all(
+            os.path.exists(os.path.join(blk_dir, f"{name}_{pid}.npy"))
+            for name in artifacts
         )
         yield pa.RecordBatch.from_arrays(
             [pa.array([pid], type=pa.int32()), pa.array([ok], type=pa.bool_())],
@@ -137,10 +143,13 @@ class ResidentGemmStore:
         # "fallback": before each query batch, a cheap existence probe
         # runs over the block partitions; if any expected block is gone
         # (preempted node, reaped tmpfs) the batch is served by the
-        # exact store scan (`batch_query(method="gemm")` — identical
-        # results, just slower) instead of failing. "fail" (default)
-        # keeps the serving-tier contract: a missing block is an
-        # operational error that should page, not silently degrade.
+        # exact store scan (`batch_query(method="gemm")`) instead of
+        # failing — identical results for float32 blocks; for int8
+        # blocks the degraded batch gets EXACT scores instead of the
+        # quantized ones (better quality, not bit-stable across the
+        # transition). "fail" (default) keeps the serving-tier
+        # contract: a missing block is an operational error that should
+        # page, not silently degrade.
         self.on_missing = on_missing
         # "int8": blocks hold symmetric per-row int8 codes + a float32
         # scale column (max|x|/127 — the same rule as
@@ -272,10 +281,14 @@ class ResidentGemmStore:
         if self.n_rows is None:
             raise RuntimeError("resident store not materialized — call materialize()")
         if self.on_missing == "fallback":
+            artifacts = ("mat", "ids") + (
+                ("scales",) if self.block_dtype == "int8" else ()
+            )
             missing = _probe_missing_blocks(
                 self.store.select(F.lit(True).alias("__probe")),
                 self.dir,
                 getattr(self, "block_pids", frozenset()),
+                artifacts,
             )
             if missing:
                 import warnings
@@ -290,12 +303,22 @@ class ResidentGemmStore:
                     stacklevel=2,
                 )
                 # id+vector projection keeps the output shape identical
-                # to the resident path (no metadata join-back)
+                # to the resident path (no metadata join-back); the query
+                # side realigns its vector column to the store's so
+                # batch_query's single vector_col fits both. NOTE for
+                # int8 blocks: this serves EXACT float32 scores for the
+                # degraded batch, not the quantized ~1e-3-error scores
+                # the resident path returns — better quality, but not
+                # bit-stable across the transition.
+                q_side = queries.select(
+                    F.col(query_id),
+                    F.col(vector_col or self.vector_col).alias(self.vector_col),
+                )
                 return batch_query(
                     self.store.select(
                         F.col(self.id_col).alias(K_ID), F.col(self.vector_col)
                     ),
-                    queries,
+                    q_side,
                     top_k=top_k,
                     better_than=better_than,
                     method="gemm",
@@ -619,10 +642,14 @@ class ResidentIvfStore:
         if self.n_rows is None or self._blocks_df is None:
             raise RuntimeError("resident IVF store not materialized — call materialize()")
         if self.on_missing == "fallback":
+            artifacts = ("mat", "ids", "clus") + (
+                ("scales",) if self.dtype == "int8" else ()
+            )
             missing = _probe_missing_blocks(
                 self._blocks_df.select(F.lit(True).alias("__probe")),
                 self.dir,
                 self.block_pids,
+                artifacts,
             )
             if missing:
                 import warnings
@@ -640,7 +667,10 @@ class ResidentIvfStore:
                     self.store.select(
                         F.col(self.id_col).alias(K_ID), F.col(self.vector_col)
                     ),
-                    queries,
+                    queries.select(
+                        F.col(query_id),
+                        F.col(vector_col or self.vector_col).alias(self.vector_col),
+                    ),
                     top_k=top_k,
                     method="gemm",
                     score_dtype="float32" if self.dtype != "float64" else "float64",

@@ -193,7 +193,10 @@ def normalize_query_matrix(qids, qmat):
     norms = np.sqrt((qmat * qmat).sum(axis=1))
     zero = norms == 0.0
     if zero.any():
-        qmat = qmat.copy() if not qmat.flags.writeable else qmat
+        # always copy before the e₀ substitution: np.asarray hands back
+        # the CALLER'S array when dtypes match, and mutating it would
+        # silently corrupt the caller's batch (retry, logging, reuse)
+        qmat = qmat.copy()
         qmat[zero] = 0.0
         qmat[zero, 0] = 1.0
         norms[zero] = 1.0
@@ -228,14 +231,9 @@ def collect_normalized_queries(queries: DataFrame, query_id: str, vector_col: st
             "driver-resident broadcast state — split the batch and union "
             "the per-chunk results (each chunk's top-k is independent)"
         )
-    qmat = vals.reshape(tbl.num_rows, -1).astype(np.float64)
-    norms = np.sqrt((qmat * qmat).sum(axis=1))
-    zero = norms == 0.0
-    if zero.any():  # zero ⇒ e₀ (pico_vdb.py:585-590)
-        qmat[zero] = 0.0
-        qmat[zero, 0] = 1.0
-        norms[zero] = 1.0
-    return qids, qmat / norms[:, None]
+    # one shared normalize kernel (zero ⇒ e₀, pico_vdb.py:585-590) so the
+    # DataFrame and pre-collected paths can never desynchronize
+    return normalize_query_matrix(qids, vals.reshape(tbl.num_rows, -1))
 
 
 def batch_query(
@@ -484,23 +482,41 @@ def _gemm_topk(
 
         q: queue.Queue = queue.Queue(maxsize=depth)
         done = object()
+        stop = threading.Event()
+
+        def offer(item) -> bool:
+            # bounded put that gives up when the consumer is gone — a
+            # plain q.put would block FOREVER if score_batches dies
+            # mid-stream, leaving a live thread draining this task's
+            # input socket inside a REUSED Python worker
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def pump() -> None:
             try:
                 for item in it:
-                    q.put(item)
-                q.put(done)
+                    if not offer(item):
+                        return
+                offer(done)
             except BaseException as exc:  # propagate into the consumer
-                q.put(exc)
+                offer(exc)
 
         threading.Thread(target=pump, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is done:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
     def score_batches(batches: Iterator) -> Iterator:
         b_qids, b_qmat = bc.value

@@ -330,10 +330,18 @@ class VectorStore:
 
         use_ann = kwargs.pop("ann", False)
         nprobe = kwargs.pop("nprobe", 8)
-        if not isinstance(queries, DataFrame) and not (
-            isinstance(queries, tuple) and len(queries) == 2
-        ):
-            import numpy as np
+        import numpy as np
+
+        # the pre-collected serving form is (ids, 2-D matrix); a tuple of
+        # two 1-D QUERY VECTORS (long-accepted input) stays on the
+        # vector-batch path — the second element's dimensionality is the
+        # unambiguous discriminator
+        is_qtuple = (
+            isinstance(queries, tuple)
+            and len(queries) == 2
+            and np.ndim(queries[1]) == 2
+        )
+        if not isinstance(queries, DataFrame) and not is_qtuple:
 
             # float32 FIRST: the DataFrame form's array<float> schema
             # truncates before scoring, so the fast path must too —

@@ -390,3 +390,30 @@ def test_resident_ivf_fallback_serves_exact_when_block_missing(store, queries):
 def test_resident_on_missing_validation(store):
     with pytest.raises(ValueError, match="on_missing"):
         ResidentGemmStore(store.select(K_ID, "_vector_"), on_missing="ignore")
+
+
+def test_resident_fallback_honors_query_vector_col_and_partial_loss(store, queries):
+    """Degraded mode must survive (a) a custom query vector column and
+    (b) a partition that lost only its ids file (regressions: the
+    fallback once pinned the store's vector_col onto the query frame,
+    and the probe once checked only mat_*.npy)."""
+    import glob
+    import os
+    import warnings
+
+    base = store.select(K_ID, "_vector_")
+    q2 = queries.withColumnRenamed("_vector_", "qvec")
+    rs = ResidentGemmStore(base, on_missing="fallback")
+    try:
+        rs.materialize()
+        want = sorted(map(tuple, rs.query(queries, top_k=3).collect()))
+        # delete ONLY the ids sidecar of one partition
+        victim = sorted(glob.glob(os.path.join(rs.dir, "ids_*.npy")))[0]
+        os.remove(victim)
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            got = sorted(map(tuple, rs.query(q2, top_k=3, vector_col="qvec").collect()))
+        assert any("degraded mode" in str(w.message) for w in caught)
+        assert got == want
+    finally:
+        rs.close()

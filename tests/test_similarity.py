@@ -297,3 +297,13 @@ def test_precollected_tuple_rejects_sql_path(store):
 def test_precollected_tuple_shape_mismatch_raises(store):
     with pytest.raises(ValueError, match="matrix"):
         batch_query(store, (np.array(["a", "b"]), np.ones((1, 4))), method="gemm")
+
+
+def test_normalize_does_not_mutate_caller_matrix(store):
+    """A zero row triggers the e0 substitution — it must happen on a
+    copy, never on the caller's own array (regression)."""
+    mat = np.zeros((2, len(store.first()["_vector_"])), dtype=np.float64)
+    mat[1, 0] = 3.0
+    keep = mat.copy()
+    batch_query(store, (["z", "a"], mat), top_k=2, method="gemm").collect()
+    assert np.array_equal(mat, keep)

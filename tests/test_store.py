@@ -437,3 +437,15 @@ def test_save_without_ann_writes_no_artifact(spark, tmp_path):
     path = str(tmp_path / "no_ann_store")
     st.save(path)
     assert not os.path.exists(os.path.join(path, "ann_ivf"))
+
+
+def test_query_tuple_of_two_vectors_still_means_two_queries(store):
+    """A tuple of two 1-D query vectors predates the (ids, matrix)
+    serving form and must keep meaning TWO queries (regression: the
+    serving form is only recognized when the second element is 2-D)."""
+    import numpy as np
+
+    v = store.active().select("_vector_").first()[0]
+    res = store.query((list(v), list(np.roll(v, 1))), top_k=2).collect()
+    qids = {r["query_id"] for r in res}
+    assert qids == {"0", "1"}
