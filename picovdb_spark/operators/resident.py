@@ -252,6 +252,10 @@ class ResidentGemmStore:
         except Exception:
             pass  # session gone — driver-side cleanup still runs
         shutil.rmtree(self.dir, ignore_errors=True)
+        # drop the in-process serving cache: its mmaps point at the
+        # removed files, and a closed store must fail loudly, not serve
+        # stale data
+        self._local_cache = None
 
     def __enter__(self) -> "ResidentGemmStore":
         self.materialize()
@@ -400,6 +404,97 @@ class ResidentGemmStore:
         if better_than is not None:
             out = out.filter(F.col(K_METRICS) >= F.lit(float(better_than)))
         return out
+
+    # ---------------------------------------------------- in-process serving
+
+    def _local_blocks(self):
+        """mmap every resident block from THIS process; loaded once,
+        cached. int8 blocks are cast to float32 ONCE here — a per-query
+        cast would re-materialize the whole store every call, and unlike
+        the IVF store there is no probed subset to cache hot segments
+        of. The serving process therefore trades store-sized RAM for
+        GEMV speed; the 4× int8 density still applies to the shm blocks
+        the DISTRIBUTED path reads."""
+        cached = getattr(self, "_local_cache", None)
+        if cached is not None:
+            return cached
+        if self.n_rows is None:
+            raise RuntimeError("resident store not materialized — call materialize()")
+        blocks = []
+        for pid in sorted(self.block_pids):
+            mat_path = os.path.join(self.dir, f"mat_{pid}.npy")
+            if not os.path.exists(mat_path):
+                raise RuntimeError(
+                    f"resident block for partition {pid} not visible from "
+                    f"this process ({self.dir}) — query_local() serves from "
+                    "node-local blocks and must run co-resident with them "
+                    "(a serving node); use query() for the distributed path"
+                )
+            mat = np.load(mat_path, mmap_mode="r")
+            ids = np.load(os.path.join(self.dir, f"ids_{pid}.npy"), allow_pickle=True)
+            if self.block_dtype == "int8":
+                scales = np.load(os.path.join(self.dir, f"scales_{pid}.npy"))
+                # float32 copy scaled ONCE: (codes * scale_i) is exactly
+                # what the distributed kernel's per-query rescale yields,
+                # modulo multiplication order — see query_local docstring
+                mat = np.ascontiguousarray(mat, dtype=np.float32) * scales[:, None]
+            else:
+                # prefault: touch one element per row so first queries
+                # measure GEMV, not page-in
+                float(np.asarray(mat[:, 0]).astype(np.float32).sum())
+            blocks.append((mat, ids))
+        self._local_cache = blocks
+        return blocks
+
+    def query_local(
+        self,
+        vector,
+        *,
+        top_k: int = 10,
+        better_than: float | None = None,
+        round_to: int = 6,
+    ) -> list[dict]:
+        """Exact single-query serving WITHOUT a Spark job: one GEMV over
+        every node-local block — the EXACT-path analog of
+        `ResidentIvfStore.query_local` (which routes), and the serving
+        twin of the reference's in-process exact scan
+        (pico_vdb.py:680-713, its "100 single queries = 0.8-1.5 s" bench
+        regime). Same blocks, semantics, and tie rule as `query()`; a
+        score can differ by one float32 ulp at the rounding boundary
+        because GEMV and the distributed batched GEMM accumulate in
+        different orders (and, for int8, the scale multiplies the f32
+        copy once here vs per-dot there) — tolerance-pinned in tests.
+
+        Returns [{'_id_', '_metrics_', 'rank'}, ...] best-first."""
+        blocks = self._local_blocks()
+        q = np.asarray(vector, dtype=np.float64).ravel()
+        nrm = float(np.sqrt((q * q).sum()))
+        if nrm == 0.0:  # zero vector => e0, the store-wide invariant
+            q = np.zeros_like(q)
+            q[0] = 1.0
+        else:
+            q = q / nrm
+        q32 = q.astype(np.float32)
+        cand_scores = [mat @ q32 for mat, _ in blocks]
+        if not cand_scores:
+            return []
+        scores = np.round(np.concatenate(cand_scores).astype(np.float64), round_to)
+        ids = np.concatenate([ids for _, ids in blocks])
+        if better_than is not None:
+            keep = scores >= float(better_than)
+            scores, ids = scores[keep], ids[keep]
+        kk = min(top_k, len(scores))
+        if kk == 0:
+            return []
+        # tie-complete on the rounded scores, then (score desc, id asc) —
+        # the topk_per_query rule
+        kth = np.partition(scores, len(scores) - kk)[len(scores) - kk]
+        cand = np.flatnonzero(scores >= kth)
+        order = sorted(cand, key=lambda i: (-scores[i], str(ids[i])))[:kk]
+        return [
+            {K_ID: str(ids[i]), K_METRICS: float(scores[i]), "rank": r + 1}
+            for r, i in enumerate(order)
+        ]
 
 
 class ResidentIvfStore:

@@ -417,3 +417,42 @@ def test_resident_fallback_honors_query_vector_col_and_partial_loss(store, queri
         assert got == want
     finally:
         rs.close()
+
+
+def test_resident_gemm_query_local_matches_distributed(store, queries):
+    """In-process exact serving == the distributed resident query for
+    the same vector: identical ids/ranks; scores within one float32 ulp
+    (GEMV vs batched GEMM accumulation order), same tolerance rule as
+    the IVF local/distributed pin."""
+    base = store.select(K_ID, "_vector_")
+    qrow = queries.first()
+    with ResidentGemmStore(base) as rs:
+        dist = (
+            rs.query(queries.limit(1), top_k=5)
+            .select(K_ID, K_METRICS, "rank")
+            .collect()
+        )
+        loc = rs.query_local(qrow["_vector_"], top_k=5)
+    dist_by_rank = sorted(dist, key=lambda r: r["rank"])
+    assert [r[K_ID] for r in dist_by_rank] == [d[K_ID] for d in loc]
+    for a, b in zip(dist_by_rank, loc):
+        assert abs(a[K_METRICS] - b[K_METRICS]) <= 2e-6
+
+
+def test_resident_gemm_query_local_int8_and_lifecycle(store, queries):
+    import pytest as _pytest
+
+    base = store.select(K_ID, "_vector_")
+    qrow = queries.first()
+    rs = ResidentGemmStore(base, block_dtype="int8")
+    with _pytest.raises(RuntimeError, match="materialize"):
+        rs.query_local(qrow["_vector_"])
+    rs.materialize()
+    loc = rs.query_local(qrow["_vector_"], top_k=3)
+    assert len(loc) == 3 and loc[0]["rank"] == 1
+    # int8 quantization error band, not exact: top hit should still be
+    # the query's own row with score ~1
+    assert loc[0][K_METRICS] > 0.99
+    rs.close()
+    with _pytest.raises(RuntimeError, match="not visible|materialize"):
+        rs.query_local(qrow["_vector_"])
