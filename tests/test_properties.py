@@ -137,3 +137,45 @@ def test_quantize_int8_empty_vector(sess):
         dequantize_int8(quantize_int8(F.col("v"))).alias("r"),
     ).first()
     assert row["qv"]["q"] == [] and row["r"] == []
+
+
+# quantized values make rounded-score ties COMMON rather than measure-zero,
+# which is exactly where the gemm/sql dual-path equivalence can break
+tie_f32 = st.sampled_from([0.0, 0.25, -0.25, 0.5, -0.5, 1.0, -1.0])
+tie_vec = st.lists(tie_f32, min_size=DIM, max_size=DIM)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    store_vs=st.lists(tie_vec, min_size=1, max_size=24),
+    q_vs=st.lists(tie_vec, min_size=1, max_size=4),
+    k=st.integers(min_value=1, max_value=5),
+)
+def test_batch_query_gemm_equals_sql_on_tie_heavy_stores(sess, store_vs, q_vs, k):
+    """Dual-path equivalence under adversarial inputs: quantized
+    components force massive rounded-score ties (plus zero vectors and
+    duplicate rows), and a 7-row Arrow batch cap forces the multi-batch
+    merged-emit path. The float64 GEMM kernel must equal the pure-SQL
+    formulation EXACTLY — both round the same float64 values, so this
+    is the invariant the DuckDB oracle gate rests on. (float32's
+    looser same-sets/1e-4 contract is pinned on real data in
+    test_similarity.py; on tie-heavy inputs its rounded-boundary
+    membership legitimately depends on precision.)"""
+    from picovdb_spark.operators.similarity import batch_query
+
+    store = sess.createDataFrame(
+        [(f"s{i}", [float(x) for x in v]) for i, v in enumerate(store_vs + store_vs[:2])],
+        "_id_ string, _vector_ array<float>",
+    )
+    queries = sess.createDataFrame(
+        [(f"q{i}", [float(x) for x in v]) for i, v in enumerate(q_vs)],
+        "query_id string, _vector_ array<float>",
+    )
+    old = sess.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    sess.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        sql_r = sorted(map(tuple, batch_query(store, queries, top_k=k, method="sql").collect()))
+        g64 = sorted(map(tuple, batch_query(store, queries, top_k=k, method="gemm").collect()))
+    finally:
+        sess.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert g64 == sql_r
