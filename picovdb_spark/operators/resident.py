@@ -106,6 +106,40 @@ def _probe_missing_blocks(
     return sorted(r["pid"] for r in rows if not r["ok"])
 
 
+def _normalize_local_query(vector) -> "np.ndarray":
+    """Float64 normalize with the zero⇒e₀ store invariant — the exact
+    sequence of `collect_normalized_queries` (so in-process scores agree
+    with the distributed path to the last bit before the dtype cast).
+    Shared by both stores' `query_local`."""
+    q = np.asarray(vector, dtype=np.float64).ravel()
+    nrm = float(np.sqrt((q * q).sum()))
+    if nrm == 0.0:
+        q = np.zeros_like(q)
+        q[0] = 1.0
+        return q
+    return q / nrm
+
+
+def _local_topk(scores, ids, *, top_k: int, better_than, round_to: int) -> list[dict]:
+    """Rounded-score tie-complete selection, then (score desc, id asc) —
+    the `topk_per_query` rule, shared by both stores' `query_local`."""
+    scores = np.round(np.asarray(scores).astype(np.float64), round_to)
+    ids = np.asarray(ids, dtype=object)
+    if better_than is not None:
+        keep = scores >= float(better_than)
+        scores, ids = scores[keep], ids[keep]
+    kk = min(top_k, len(scores))
+    if kk == 0:
+        return []
+    kth = np.partition(scores, len(scores) - kk)[len(scores) - kk]
+    cand = np.flatnonzero(scores >= kth)
+    order = sorted(cand, key=lambda i: (-scores[i], str(ids[i])))[:kk]
+    return [
+        {K_ID: str(ids[i]), K_METRICS: float(scores[i]), "rank": r + 1}
+        for r, i in enumerate(order)
+    ]
+
+
 class ResidentGemmStore:
     """Pin a store's vectors node-locally as unit float32 blocks and
     serve repeated top-k query batches against them.
@@ -170,6 +204,10 @@ class ResidentGemmStore:
         """One job over the store: each task normalizes its partition to a
         float32 block and writes (ids.npy, mat.npy) atomically under the
         node-local resident dir. Returns the total row count."""
+        # re-materializing must invalidate the in-process serving cache:
+        # unlinked files stay readable through live mmaps, so a stale
+        # cache would silently keep serving the PREVIOUS materialization
+        self._local_cache = None
         blk_dir = self.dir
         vec_col, id_col = self.vector_col, self.id_col
         pre_normalized = self.normalized
@@ -252,10 +290,12 @@ class ResidentGemmStore:
         except Exception:
             pass  # session gone — driver-side cleanup still runs
         shutil.rmtree(self.dir, ignore_errors=True)
-        # drop the in-process serving cache: its mmaps point at the
-        # removed files, and a closed store must fail loudly, not serve
-        # stale data
+        # drop the in-process serving cache AND the materialized marker:
+        # the cache's mmaps point at removed files, and a closed store
+        # must fail loudly ("not materialized") from every entry point —
+        # the same lifecycle rule as ResidentIvfStore.close()
         self._local_cache = None
+        self.n_rows = None
 
     def __enter__(self) -> "ResidentGemmStore":
         self.materialize()
@@ -420,31 +460,48 @@ class ResidentGemmStore:
             return cached
         if self.n_rows is None:
             raise RuntimeError("resident store not materialized — call materialize()")
-        blocks = []
+        artifacts = ("mat", "ids") + (
+            ("scales",) if self.block_dtype == "int8" else ()
+        )
+        mats, id_parts = [], []
         for pid in sorted(self.block_pids):
-            mat_path = os.path.join(self.dir, f"mat_{pid}.npy")
-            if not os.path.exists(mat_path):
+            paths = {
+                name: os.path.join(self.dir, f"{name}_{pid}.npy") for name in artifacts
+            }
+            lost = sorted(n for n, p in paths.items() if not os.path.exists(p))
+            if lost:
                 raise RuntimeError(
-                    f"resident block for partition {pid} not visible from "
-                    f"this process ({self.dir}) — query_local() serves from "
-                    "node-local blocks and must run co-resident with them "
-                    "(a serving node); use query() for the distributed path"
+                    f"resident block artifact(s) {lost} for partition {pid} not "
+                    f"visible from this process ({self.dir}) — query_local() "
+                    "serves from node-local blocks and must run co-resident "
+                    "with them (a serving node); re-materialize() or use "
+                    "query() for the distributed path"
                 )
-            mat = np.load(mat_path, mmap_mode="r")
-            ids = np.load(os.path.join(self.dir, f"ids_{pid}.npy"), allow_pickle=True)
+            mat = np.load(paths["mat"], mmap_mode="r")
+            ids = np.load(paths["ids"], allow_pickle=True)
             if self.block_dtype == "int8":
-                scales = np.load(os.path.join(self.dir, f"scales_{pid}.npy"))
+                scales = np.load(paths["scales"])
                 # float32 copy scaled ONCE: (codes * scale_i) is exactly
                 # what the distributed kernel's per-query rescale yields,
-                # modulo multiplication order — see query_local docstring
-                mat = np.ascontiguousarray(mat, dtype=np.float32) * scales[:, None]
+                # modulo multiplication order — see query_local docstring.
+                # In-place multiply: the copy-then-multiply form would
+                # transiently hold TWO float32 stores.
+                mat = np.ascontiguousarray(mat, dtype=np.float32)
+                mat *= scales[:, None]
             else:
                 # prefault: touch one element per row so first queries
                 # measure GEMV, not page-in
                 float(np.asarray(mat[:, 0]).astype(np.float32).sum())
-            blocks.append((mat, ids))
-        self._local_cache = blocks
-        return blocks
+            mats.append(mat)
+            id_parts.append(ids)
+        ids_all = (
+            np.concatenate(id_parts) if id_parts else np.empty(0, dtype=object)
+        )
+        # ids pre-concatenated once: blocks are immutable after load, and
+        # a per-query concatenate of a store-sized object array is pure
+        # hot-loop waste
+        self._local_cache = (mats, ids_all)
+        return self._local_cache
 
     def query_local(
         self,
@@ -466,35 +523,14 @@ class ResidentGemmStore:
         copy once here vs per-dot there) — tolerance-pinned in tests.
 
         Returns [{'_id_', '_metrics_', 'rank'}, ...] best-first."""
-        blocks = self._local_blocks()
-        q = np.asarray(vector, dtype=np.float64).ravel()
-        nrm = float(np.sqrt((q * q).sum()))
-        if nrm == 0.0:  # zero vector => e0, the store-wide invariant
-            q = np.zeros_like(q)
-            q[0] = 1.0
-        else:
-            q = q / nrm
-        q32 = q.astype(np.float32)
-        cand_scores = [mat @ q32 for mat, _ in blocks]
-        if not cand_scores:
+        mats, ids_all = self._local_blocks()
+        if not mats:
             return []
-        scores = np.round(np.concatenate(cand_scores).astype(np.float64), round_to)
-        ids = np.concatenate([ids for _, ids in blocks])
-        if better_than is not None:
-            keep = scores >= float(better_than)
-            scores, ids = scores[keep], ids[keep]
-        kk = min(top_k, len(scores))
-        if kk == 0:
-            return []
-        # tie-complete on the rounded scores, then (score desc, id asc) —
-        # the topk_per_query rule
-        kth = np.partition(scores, len(scores) - kk)[len(scores) - kk]
-        cand = np.flatnonzero(scores >= kth)
-        order = sorted(cand, key=lambda i: (-scores[i], str(ids[i])))[:kk]
-        return [
-            {K_ID: str(ids[i]), K_METRICS: float(scores[i]), "rank": r + 1}
-            for r, i in enumerate(order)
-        ]
+        q32 = _normalize_local_query(vector).astype(np.float32)
+        scores = np.concatenate([mat @ q32 for mat in mats])
+        return _local_topk(
+            scores, ids_all, top_k=top_k, better_than=better_than, round_to=round_to
+        )
 
 
 class ResidentIvfStore:
@@ -597,6 +633,12 @@ class ResidentIvfStore:
         IVF build's cluster-layout write (ann.IvfIndex.write)."""
         from picovdb_spark.operators.ann import assign_clusters, fit_centroids
 
+        # re-materializing must invalidate the in-process serving caches:
+        # unlinked files stay readable through live mmaps, so stale
+        # caches would silently keep serving the PREVIOUS materialization
+        self._local_cache = None
+        self._seg_cache = None
+        self._seg_cache_sz = 0
         spark = self.store.sparkSession
         if self.centroids is None:
             self.centroids = fit_centroids(
@@ -881,24 +923,30 @@ class ResidentIvfStore:
             return cached
         if self.n_rows is None:
             raise RuntimeError("resident IVF store not materialized — call materialize()")
+        artifacts = ("mat", "ids", "clus") + (
+            ("scales",) if self.dtype == "int8" else ()
+        )
         blocks, segmap = [], {}
         for pid in sorted(self.block_pids):
-            mat_path = os.path.join(self.dir, f"mat_{pid}.npy")
-            if not os.path.exists(mat_path):
+            paths = {
+                name: os.path.join(self.dir, f"{name}_{pid}.npy") for name in artifacts
+            }
+            lost = sorted(n for n, p in paths.items() if not os.path.exists(p))
+            if lost:
                 raise RuntimeError(
-                    f"resident IVF block for partition {pid} not visible from "
-                    f"this process ({self.dir}) — query_local() serves from "
-                    "node-local blocks and must run co-resident with them "
-                    "(a serving node); use query() for the distributed path"
+                    f"resident IVF block artifact(s) {lost} for partition {pid} "
+                    f"not visible from this process ({self.dir}) — query_local() "
+                    "serves from node-local blocks and must run co-resident "
+                    "with them (a serving node); re-materialize() or use "
+                    "query() for the distributed path"
                 )
-            mat = np.load(mat_path, mmap_mode="r")
+            mat = np.load(paths["mat"], mmap_mode="r")
             # prefault: touch one element per row (rows span >= a page at
             # serving dims) so first queries measure GEMV, not page-in
             float(np.asarray(mat[:, 0]).astype(np.float32).sum())
-            ids = np.load(os.path.join(self.dir, f"ids_{pid}.npy"), allow_pickle=True)
-            clus = np.load(os.path.join(self.dir, f"clus_{pid}.npy"))
-            scales_path = os.path.join(self.dir, f"scales_{pid}.npy")
-            scales = np.load(scales_path) if os.path.exists(scales_path) else None
+            ids = np.load(paths["ids"], allow_pickle=True)
+            clus = np.load(paths["clus"])
+            scales = np.load(paths["scales"]) if self.dtype == "int8" else None
             bi = len(blocks)
             blocks.append((mat, ids, scales))
             seg_clusters, seg_starts = np.unique(clus, return_index=True)
@@ -959,14 +1007,9 @@ class ResidentIvfStore:
         # normalize in float64 THEN cast — the exact sequence of
         # collect_normalized_queries + query()'s astype, so scores agree
         # to the last bit with the distributed path
-        q = np.asarray(vector, dtype=np.float64).ravel()
-        nrm = float(np.sqrt((q * q).sum()))
-        if nrm == 0.0:  # zero vector => e0, the store-wide invariant
-            q = np.zeros_like(q)
-            q[0] = 1.0
-        else:
-            q = q / nrm
-        q = q.astype("float32" if self.dtype == "int8" else self.dtype)
+        q = _normalize_local_query(vector).astype(
+            "float32" if self.dtype == "int8" else self.dtype
+        )
         k = len(self._cent32)
         npb = min(nprobe, k)
         # route on the FLOAT centroids, exactly like query()'s routing
@@ -994,21 +1037,10 @@ class ResidentIvfStore:
                 cand_ids.append(ids[s:e])
         if not cand_ids:
             return []
-        scores = np.round(np.concatenate(cand_scores).astype(np.float64), round_to)
-        ids = np.concatenate(cand_ids)
-        if better_than is not None:
-            keep = scores >= float(better_than)
-            scores, ids = scores[keep], ids[keep]
-        kk = min(top_k, len(scores))
-        if kk == 0:
-            return []
-        # every candidate tied with the kth score stays in (scores are
-        # already rounded, so ties are exact), then the final order is
-        # score desc, id asc — the topk_per_query rule
-        kth = np.partition(scores, len(scores) - kk)[len(scores) - kk]
-        cand = np.flatnonzero(scores >= kth)
-        order = sorted(cand, key=lambda i: (-scores[i], str(ids[i])))[:kk]
-        return [
-            {K_ID: str(ids[i]), K_METRICS: float(scores[i]), "rank": r + 1}
-            for r, i in enumerate(order)
-        ]
+        return _local_topk(
+            np.concatenate(cand_scores),
+            np.concatenate(cand_ids),
+            top_k=top_k,
+            better_than=better_than,
+            round_to=round_to,
+        )

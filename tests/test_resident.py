@@ -69,8 +69,12 @@ def test_resident_close_removes_blocks_and_fails_loudly(store, queries):
     assert os.path.isdir(rs.dir)
     rs.close()
     assert not os.path.isdir(rs.dir)
-    with pytest.raises(Exception, match="resident block for partition"):
+    # close() resets the materialized marker (IVF lifecycle rule), so
+    # every entry point fails loudly and accurately
+    with pytest.raises(Exception, match="not materialized"):
         rs.query(queries, top_k=5).collect()
+    with pytest.raises(Exception, match="not materialized"):
+        rs.query_local([0.0] * 4)
 
 
 def test_resident_empty_queries(store, queries):
@@ -456,3 +460,23 @@ def test_resident_gemm_query_local_int8_and_lifecycle(store, queries):
     rs.close()
     with _pytest.raises(RuntimeError, match="not visible|materialize"):
         rs.query_local(qrow["_vector_"])
+
+
+def test_resident_rematerialize_refreshes_local_cache(store, queries):
+    """materialize() must invalidate the in-process serving cache:
+    unlinked files stay readable through live mmaps, so a stale cache
+    would silently serve the previous materialization."""
+    base = store.select(K_ID, "_vector_")
+    qrow = queries.first()
+    rs = ResidentGemmStore(base)
+    try:
+        rs.materialize()
+        before = rs.query_local(qrow["_vector_"], top_k=3)
+        old_mats, _ = rs._local_cache
+        rs.materialize()
+        assert rs._local_cache is None  # cache dropped until next load
+        after = rs.query_local(qrow["_vector_"], top_k=3)
+        assert after == before  # same data -> same answers, fresh mmaps
+        assert rs._local_cache[0][0] is not old_mats[0]
+    finally:
+        rs.close()
