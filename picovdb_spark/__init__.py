@@ -19,6 +19,8 @@ from picovdb_spark.schema import (
     load_embeddings_store,
 )
 from picovdb_spark.compat import PicoVectorDB
+from picovdb_spark.operators.resident import ResidentGemmStore, ResidentIvfStore
+from picovdb_spark.operators.similarity import batch_query
 from picovdb_spark.session import get_spark
 from picovdb_spark.sources import read_picovdb_store, write_picovdb_store
 from picovdb_spark.store import VectorStore
@@ -30,7 +32,10 @@ __all__ = [
     "K_VECTOR",
     "K_METRICS",
     "PicoVectorDB",
+    "ResidentGemmStore",
+    "ResidentIvfStore",
     "VectorStore",
+    "batch_query",
     "get_spark",
     "vector_store_schema",
     "load_table",
