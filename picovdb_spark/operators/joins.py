@@ -64,7 +64,13 @@ def asof_join(
     window over the #buckets-rows-per-key bucket list. Cost: three
     extra small shuffles (per-bucket lasts, bucket list, seed window)
     plus one extra pass over the right payload — opt-in for skewed
-    inputs, not the default. Alternatives when the payload allows:
+    inputs, not the default. Measured crossover (local[32], one key
+    holding 90 % of rows): at ~1.8M hot rows the plain path still wins
+    (2.1 s vs 2.45 s — the single-task sort is not yet the bottleneck);
+    at ~11M hot rows the guard wins 2.2× (3.5 s vs 7.9 s) and the gap
+    grows with hot-key size (single-task n·log n + spill risk vs
+    #buckets parallel tasks). Reach for it when one key's row count
+    approaches a task's comfortable sort capacity. Alternatives when the payload allows:
     pre-reduce the right side to one row per (key, ts), or route known
     hot keys through a per-key broadcast fast path.
     `range_count_join(n_salts=…)` below is the hash-salted analog for
