@@ -963,6 +963,10 @@ def main() -> None:
         "ref100k_pq_query_1000",
         "ref100k_ivfpq_query_1000",
         "ref100k_ivf_query_100",
+        # merge_upsert is a pure plan (no state mutation), so the upsert
+        # row re-runs cleanly — median-of-3 with published pass_times was
+        # round-4's missing evidence for the README range
+        "ref100k_upsert",
         "scale1m_batch_100_exact",
         "scale1m_ivfpq_query_100",
         "scale1m_ivfpq_query_8",
@@ -987,18 +991,36 @@ def main() -> None:
         "_prepare_emb1m": ("scale1m_embedding",),
         "_prepare_disk_tier": ("scale4m_",),
     }
+    # README-quoted one-shot rows whose in-suite numbers kept landing
+    # outside the quoted ranges (round-3/4 finding): after the whole
+    # suite finishes (contention from other entries gone), re-run each
+    # once and publish the result as `settled_times`. README ranges
+    # quote BOTH the in-suite value and this settled value.
+    settled_rerun = [
+        "ref100k_upsert",
+        "scale1m_dedup_minhash",
+        "scale1m_embedding_near_dup",
+    ]
     timings: dict[str, float] = {}
-    for name, fn in bench_queries(spark).items():
+    all_queries = bench_queries(spark)
+    deferred_cleanups: list = []
+    query_fns: dict = {}
+    for name, fn in all_queries.items():
         if name.startswith("_"):
             prefixes = setup_deps.get(name)
             if only and prefixes is not None and not any(
                 q.startswith(p) for p in prefixes for q in only
             ):
                 continue
+            if name.startswith("_cleanup"):
+                # defer: settled re-runs below need the prepared tiers
+                deferred_cleanups.append(fn)
+                continue
             fn()  # setup step — runs, not timed
             continue
         if only and name not in only:
             continue
+        query_fns[name] = fn
         passes = []
         # the bar metric gets 5 passes: it drifted 1.2-1.9 s across
         # isolated runs at median-of-3 and the comparison bar is 2.0 s
@@ -1015,6 +1037,15 @@ def main() -> None:
             EXTRA_STATS.setdefault("pass_times", {})[name] = [
                 round(p, 3) for p in passes
             ]
+    for name in settled_rerun:
+        if name in query_fns:
+            t0 = time.perf_counter()
+            query_fns[name]()
+            EXTRA_STATS.setdefault("settled_times", {})[name] = round(
+                time.perf_counter() - t0, 3
+            )
+    for fn in deferred_cleanups:
+        fn()
 
     import re
 
@@ -1024,7 +1055,7 @@ def main() -> None:
     n_queries = min(
         N_BATCH_QUERIES, load_table(spark, SF_DIR, "embeddings").count()
     )
-    out = {
+    headline = {
         "metric": "headline_suite_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -1038,9 +1069,32 @@ def main() -> None:
         "ref_scale_queries_per_sec": round(1000 / timings["ref100k_batch_1000"], 1)
         if "ref100k_batch_1000" in timings
         else None,
-        **EXTRA_STATS,
     }
-    print(json.dumps(out))
+    detail = {**headline, **EXTRA_STATS}
+    # Full detail (pass_times, settled_times, diagnostics) goes to a file
+    # and an EARLIER stdout line; the FINAL stdout line stays compact so
+    # the driver's bounded tail capture can always parse it (round-4's
+    # BENCH artifact was `parsed: null` because the single detail line
+    # outgrew the 2000-char window).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail, separators=(",", ":")))
+    final = json.dumps(headline, separators=(",", ":"))
+    if len(final) > 1900:
+        # last-resort shrink: keep the contract fields, drop per-query
+        # precision first, then the longest-named rows (detail line and
+        # file retain everything)
+        headline["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        final = json.dumps(headline, separators=(",", ":"))
+        while len(final) > 1900 and headline["queries"]:
+            drop = max(headline["queries"], key=len)
+            headline["queries"].pop(drop)
+            final = json.dumps(headline, separators=(",", ":"))
+    print(final)
 
 
 if __name__ == "__main__":
