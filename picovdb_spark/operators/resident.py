@@ -83,7 +83,11 @@ def _probe_missing_blocks(
     too, not crash mid-query). Used by the `on_missing="fallback"`
     degraded mode — best-effort by nature (a node can die between this
     probe and the query job; the query's own fail-fast still backstops
-    that race)."""
+    that race). On a multi-node cluster Spark gives no locality
+    guarantee for these probe tasks, so a mis-scheduled probe can
+    report a false 'missing' — which is why callers CACHE a healthy
+    probe result (one probe per store lifetime, not one per batch) and
+    re-probe only after `invalidate_probe()`."""
     from collections.abc import Iterator
 
     def chk(batches: Iterator) -> Iterator:
@@ -197,6 +201,10 @@ class ResidentGemmStore:
         self.dir = shm_dir or os.path.join(_shm_root(), f"picovdb_resident_{self.token}")
         self.n_rows: int | None = None
         self.n_partitions: int | None = None
+        # fallback-mode probe cache: a healthy probe sticks for the
+        # store's lifetime (see _probe_missing_blocks on why per-batch
+        # probing is both wasteful and locality-unsafe off local mode)
+        self._probe_ok = False
 
     # ------------------------------------------------------------ lifecycle
 
@@ -208,6 +216,7 @@ class ResidentGemmStore:
         # unlinked files stay readable through live mmaps, so a stale
         # cache would silently keep serving the PREVIOUS materialization
         self._local_cache = None
+        self._probe_ok = False
         blk_dir = self.dir
         vec_col, id_col = self.vector_col, self.id_col
         pre_normalized = self.normalized
@@ -296,6 +305,15 @@ class ResidentGemmStore:
         # the same lifecycle rule as ResidentIvfStore.close()
         self._local_cache = None
         self.n_rows = None
+        self._probe_ok = False
+
+    def invalidate_probe(self) -> None:
+        """Re-arm the `on_missing="fallback"` existence probe. A healthy
+        probe result is cached for the store's lifetime (per-batch
+        probing costs one extra job per query and has no task-locality
+        guarantee off local mode); call this after an observed
+        executor/node loss so the next batch re-checks the blocks."""
+        self._probe_ok = False
 
     def __enter__(self) -> "ResidentGemmStore":
         self.materialize()
@@ -324,7 +342,7 @@ class ResidentGemmStore:
 
         if self.n_rows is None:
             raise RuntimeError("resident store not materialized — call materialize()")
-        if self.on_missing == "fallback":
+        if self.on_missing == "fallback" and not self._probe_ok:
             artifacts = ("mat", "ids") + (
                 ("scales",) if self.block_dtype == "int8" else ()
             )
@@ -334,6 +352,11 @@ class ResidentGemmStore:
                 getattr(self, "block_pids", frozenset()),
                 artifacts,
             )
+            if not missing:
+                # healthy: remember it — per-batch probes cost one extra
+                # job each and can false-'missing' off local mode (no
+                # task-locality guarantee); invalidate_probe() re-arms
+                self._probe_ok = True
             if missing:
                 import warnings
 
@@ -620,6 +643,8 @@ class ResidentIvfStore:
         self.dir = shm_dir or os.path.join(_shm_root(), f"picovdb_rivf_{self.token}")
         self.n_rows: int | None = None
         self._blocks_df: DataFrame | None = None
+        # fallback-mode probe cache (see ResidentGemmStore._probe_ok)
+        self._probe_ok = False
 
     # ------------------------------------------------------------ lifecycle
 
@@ -639,6 +664,7 @@ class ResidentIvfStore:
         self._local_cache = None
         self._seg_cache = None
         self._seg_cache_sz = 0
+        self._probe_ok = False
         spark = self.store.sparkSession
         if self.centroids is None:
             self.centroids = fit_centroids(
@@ -749,6 +775,12 @@ class ResidentIvfStore:
         self._seg_cache_sz = 0
         self.n_rows = None
         self._blocks_df = None
+        self._probe_ok = False
+
+    def invalidate_probe(self) -> None:
+        """Re-arm the `on_missing="fallback"` existence probe after an
+        observed executor/node loss (see ResidentGemmStore.invalidate_probe)."""
+        self._probe_ok = False
 
     def __enter__(self) -> "ResidentIvfStore":
         self.materialize()
@@ -778,7 +810,7 @@ class ResidentIvfStore:
 
         if self.n_rows is None or self._blocks_df is None:
             raise RuntimeError("resident IVF store not materialized — call materialize()")
-        if self.on_missing == "fallback":
+        if self.on_missing == "fallback" and not self._probe_ok:
             artifacts = ("mat", "ids", "clus") + (
                 ("scales",) if self.dtype == "int8" else ()
             )
@@ -788,6 +820,8 @@ class ResidentIvfStore:
                 self.block_pids,
                 artifacts,
             )
+            if not missing:
+                self._probe_ok = True
             if missing:
                 import warnings
 

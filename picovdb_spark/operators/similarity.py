@@ -37,6 +37,7 @@ DuckDB oracle.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Iterable, Iterator
 from typing import Any
 
@@ -157,7 +158,11 @@ def _normalized_queries(queries: DataFrame, query_id: str, vector_col: str) -> D
 # disk-parquet tier showed a win (the JVM writer thread + socket buffer
 # already overlap enough locally), so the default avoids the extra
 # thread per task. Raise it when the input stream is genuinely slow
-# relative to the GEMM — e.g. object-store reads on a real cluster.
+# relative to the GEMM — e.g. object-store reads on a real cluster —
+# via PICOVDB_SPARK_GEMM_PREFETCH on the DRIVER (read at plan-build
+# time and shipped in the task closure, so the env var only needs to be
+# set where the plan is constructed), or by setting this module
+# attribute programmatically.
 GEMM_PREFETCH_DEPTH = 0
 
 
@@ -176,7 +181,11 @@ def normalize_query_matrix(qids, qmat):
     form. Returns (ids ndarray[object], unit float64 matrix)."""
     import numpy as np
 
-    qids = np.asarray(qids, dtype=object)
+    # coerce ids to str up front: the DataFrame path's schema enforces
+    # string ids, but a pre-collected (ids, matrix) batch can carry ints
+    # (or anything) — without this they crash executor-side in
+    # pa.array(..., type=pa.string()) with an opaque ArrowTypeError
+    qids = np.asarray([str(i) for i in qids], dtype=object)
     qmat = np.asarray(qmat, dtype=np.float64)
     if qmat.ndim != 2 or len(qids) != qmat.shape[0]:
         raise ValueError(
@@ -465,7 +474,9 @@ def _gemm_topk(
     )
     pad = 1.5 * 10.0 ** (-round_to)
     dtype = np.float32 if use32 else np.float64
-    prefetch_depth = GEMM_PREFETCH_DEPTH
+    prefetch_depth = int(
+        os.environ.get("PICOVDB_SPARK_GEMM_PREFETCH", str(GEMM_PREFETCH_DEPTH))
+    )
 
     def prefetched(it: Iterator, depth: int = 2) -> Iterator:
         if depth <= 0:

@@ -341,6 +341,13 @@ class VectorStore:
             and len(queries) == 2
             and np.ndim(queries[1]) == 2
         )
+        if is_qtuple:
+            # every other input form flows through the array<float>
+            # schema and is truncated to float32 before scoring; truncate
+            # the user tuple's matrix too so identical vectors can never
+            # score differently between input forms near rounded-score
+            # boundaries
+            queries = (queries[0], np.asarray(queries[1], dtype=np.float32))
         if not isinstance(queries, DataFrame) and not is_qtuple:
 
             # float32 FIRST: the DataFrame form's array<float> schema

@@ -400,7 +400,10 @@ def test_resident_fallback_honors_query_vector_col_and_partial_loss(store, queri
     """Degraded mode must survive (a) a custom query vector column and
     (b) a partition that lost only its ids file (regressions: the
     fallback once pinned the store's vector_col onto the query frame,
-    and the probe once checked only mat_*.npy)."""
+    and the probe once checked only mat_*.npy). A healthy probe result
+    is CACHED for the store's lifetime (per-batch probes are an extra
+    job each and locality-unsafe off local mode), so a loss observed
+    after a healthy batch needs `invalidate_probe()` to re-arm it."""
     import glob
     import os
     import warnings
@@ -410,15 +413,21 @@ def test_resident_fallback_honors_query_vector_col_and_partial_loss(store, queri
     rs = ResidentGemmStore(base, on_missing="fallback")
     try:
         rs.materialize()
+        assert rs._probe_ok is False  # re-armed by materialize
         want = sorted(map(tuple, rs.query(queries, top_k=3).collect()))
+        assert rs._probe_ok is True  # healthy probe result sticks
         # delete ONLY the ids sidecar of one partition
         victim = sorted(glob.glob(os.path.join(rs.dir, "ids_*.npy")))[0]
         os.remove(victim)
+        rs.invalidate_probe()  # the documented post-loss re-arm
         with warnings.catch_warnings(record=True) as caught:
             warnings.simplefilter("always")
             got = sorted(map(tuple, rs.query(q2, top_k=3, vector_col="qvec").collect()))
         assert any("degraded mode" in str(w.message) for w in caught)
         assert got == want
+        # a degraded probe result is NOT cached: the next batch probes
+        # again (and degrades again while the block stays missing)
+        assert rs._probe_ok is False
     finally:
         rs.close()
 

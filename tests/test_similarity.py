@@ -289,6 +289,18 @@ def test_precollected_query_tuple_equals_dataframe(store, queries):
     assert f32_np == f32_df
 
 
+def test_precollected_tuple_accepts_non_string_ids(store, queries):
+    """Non-string ids in a pre-collected batch (e.g. ints straight from
+    a range) must be coerced to str driver-side — they used to crash
+    executor-side in pa.array(..., type=pa.string()) with an opaque
+    ArrowTypeError (ADVICE r4)."""
+    rows = queries.limit(3).collect()
+    mat = np.array([r["_vector_"] for r in rows], dtype=np.float64)
+    int_ids = list(range(len(rows)))
+    res = batch_query(store, (int_ids, mat), top_k=2, method="gemm").collect()
+    assert {r["query_id"] for r in res} == {"0", "1", "2"}
+
+
 def test_precollected_tuple_rejects_sql_path(store):
     with pytest.raises(TypeError, match="gemm"):
         batch_query(store, (np.array(["a"]), np.ones((1, 4))), method="sql")

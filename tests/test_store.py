@@ -449,3 +449,23 @@ def test_query_tuple_of_two_vectors_still_means_two_queries(store):
     res = store.query((list(v), list(np.roll(v, 1))), top_k=2).collect()
     qids = {r["query_id"] for r in res}
     assert qids == {"0", "1"}
+
+
+def test_query_tuple_form_gets_float32_truncation(store):
+    """The (ids, matrix) tuple form must score IDENTICALLY to the
+    list-of-vectors form: every other input flows through the
+    array<float> schema and is truncated to float32 before scoring, so
+    the tuple's float64 matrix must be truncated too (ADVICE r4 —
+    divergence showed near rounded-score boundaries)."""
+    import numpy as np
+
+    vecs = [r[0] for r in store.active().select("_vector_").limit(2).collect()]
+    # float64 values that do NOT round-trip through float32 exactly
+    mat = np.array(vecs, dtype=np.float64) * (1.0 + 1e-9)
+    got_tuple = sorted(
+        map(tuple, store.query((["0", "1"], mat), top_k=3, method="gemm").collect())
+    )
+    got_list = sorted(
+        map(tuple, store.query([list(row) for row in mat], top_k=3, method="gemm").collect())
+    )
+    assert got_tuple == got_list
