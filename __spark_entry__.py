@@ -2256,30 +2256,70 @@ def _ann_ivfpq_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index.query(_queries_df(spark, sf_dir), top_k=10, nprobe=4, refine_k=50)
 
 
-@_register("ann_partial_probe_suite")  # rows-only: approximate by design
+@_register(
+    "ann_partial_probe_suite",
+    """
+SELECT v.variant, CAST(q.vec_id AS VARCHAR) AS query_id,
+       CAST(10 AS BIGINT) AS n_rows,
+       CAST(1 AS INTEGER) AS min_rank,
+       CAST(10 AS INTEGER) AS max_rank,
+       CAST(10 AS BIGINT) AS n_ranks,
+       TRUE AS recall_ok
+FROM (VALUES ('ivf_partial'), ('ivfpq_routed'), ('pq_adc')) v(variant)
+CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id < 8) q
+""",
+)
 def _ann_partial_probe_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The three honestly-approximate ANN serving regimes under one
-    driver entry (suite of the former ann_ivf_topk_partial /
-    ann_pq_topk_adc / ann_ivfpq_routed entries — rows-only because
-    recall < 1.0 BY DESIGN, so no SQL oracle can state their result):
+    driver entry:
     - `ivf_partial`: IVF at nprobe=4/16 — the cluster-pruning regime;
     - `pq_adc`: PQ ADC-only top-k — compressed-domain scores;
     - `ivfpq_routed`: routed ADC top-50 refined exactly — the 100 TB
       layout (probe pruning × 16-byte codes).
-    Each regime's recall band vs the exact scan is pinned in
+    Recall < 1.0 BY DESIGN, so no SQL oracle can restate the hit lists —
+    instead the entry computes value-level INVARIANTS per
+    (variant, query) that a constant-grid oracle CAN state and the hash
+    check enforces: exactly k rows, ranks a dense 1..k permutation, and
+    recall@10 vs the exact scan (computed in-entry against the same
+    hash-green GEMM path the exact entries use) ≥ 0.3 — one full hit
+    below the measured per-query minimum of 0.4 at sf0.01 AND sf0.001,
+    so the gate has one-hit jitter margin while still failing on any
+    real routing/ADC regression. The tight recall bands stay pinned in
     tests/test_ann.py / test_pq.py / test_ivfpq.py, and each family's
     EXACT-regime twin (full probe / full refine) is a separate
     hash-checked entry (ann_ivf_topk, ann_pq_topk, ann_ivfpq_topk)."""
-    cols = ["query_id", K_ID, K_METRICS, "rank"]
+    from picovdb_spark.operators.similarity import batch_query
+
+    cols = ["query_id", K_ID, "rank"]
     parts = [
         _ann_ivf_partial(spark, sf_dir).select(F.lit("ivf_partial").alias("variant"), *cols),
         _ann_pq_adc(spark, sf_dir).select(F.lit("pq_adc").alias("variant"), *cols),
         _ann_ivfpq_routed(spark, sf_dir).select(F.lit("ivfpq_routed").alias("variant"), *cols),
     ]
-    out = parts[0]
+    hits = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        hits = hits.unionByName(p)
+    exact = (
+        batch_query(
+            load_embeddings_store(spark, sf_dir),
+            _queries_df(spark, sf_dir),
+            top_k=10,
+            method="gemm",
+        )
+        .select("query_id", K_ID)
+        .withColumn("__in_exact", F.lit(1))
+    )
+    return (
+        hits.join(F.broadcast(exact), on=["query_id", K_ID], how="left")
+        .groupBy("variant", "query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("rank").alias("min_rank"),
+            F.max("rank").alias("max_rank"),
+            F.countDistinct("rank").alias("n_ranks"),
+            (F.coalesce(F.sum("__in_exact"), F.lit(0)) >= F.lit(3)).alias("recall_ok"),
+        )
+    )
 
 
 # ------------------------------------------------------------------
