@@ -11,10 +11,14 @@ windows, context counting).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql import Window as W
+
+_log = logging.getLogger(__name__)
 
 
 def _ts_micros(col: str) -> F.Column:
@@ -36,6 +40,9 @@ def asof_join(
     strict: bool = True,
     tie_break: str | None = None,
     time_bucket_s: float | None = None,
+    auto_guard: bool = False,
+    auto_guard_threshold: int = 2_000_000,
+    auto_guard_sample: float = 0.001,
 ) -> DataFrame:
     """For every left row, attach the LATEST right row of the same `on`
     key with ``right_ts < left_ts`` (``strict=False``: ``<=``) — the
@@ -70,7 +77,14 @@ def asof_join(
     at ~11M hot rows the guard wins 2.2× (3.5 s vs 7.9 s) and the gap
     grows with hot-key size (single-task n·log n + spill risk vs
     #buckets parallel tasks). Reach for it when one key's row count
-    approaches a task's comfortable sort capacity. Alternatives when the payload allows:
+    approaches a task's comfortable sort capacity — or pass
+    ``auto_guard=True`` to let a sampled key-frequency probe decide:
+    two cheap sample jobs estimate the hottest key's row count and time
+    span; past ``auto_guard_threshold`` rows (default 2M — just above
+    the measured ~1.8M still-wins-plain point) the bucketed path is
+    taken with a width targeting ~500k rows per bucket, otherwise the
+    plain single-shuffle plan runs. An explicit ``time_bucket_s``
+    always wins over ``auto_guard``. Alternatives when the payload allows:
     pre-reduce the right side to one row per (key, ts), or route known
     hot keys through a per-key broadcast fast path.
     `range_count_join(n_salts=…)` below is the hash-salted analog for
@@ -93,6 +107,21 @@ def asof_join(
     clash = out_names & set(left.columns)
     if clash:
         raise ValueError(f"rename right columns colliding with left: {sorted(clash)}")
+    if time_bucket_s is None and auto_guard:
+        time_bucket_s = _auto_guard_bucket_s(
+            left,
+            right,
+            on=on,
+            left_ts=left_ts,
+            right_ts=right_ts,
+            threshold=auto_guard_threshold,
+            sample_fraction=auto_guard_sample,
+        )
+        if time_bucket_s is not None:
+            _log.info(
+                "asof_join auto_guard: hot key detected, bucketing at %.3fs",
+                time_bucket_s,
+            )
     if time_bucket_s is not None:
         return _asof_join_bucketed(
             left,
@@ -138,6 +167,59 @@ def asof_join(
         F.col(f"__m.{c}").alias(f"asof_{c}" if c == right_ts else c) for c in r_payload
     ]
     return matched.filter(F.col("__lpay").isNotNull()).select(*out_cols)
+
+
+def _auto_guard_bucket_s(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    threshold: int,
+    sample_fraction: float,
+    rows_per_bucket: int = 500_000,
+) -> float | None:
+    """Sampled hot-key probe for `asof_join(auto_guard=True)`: estimate
+    the hottest key's (left + right) row count from a Bernoulli sample;
+    if it exceeds `threshold`, return a bucket width (seconds) sizing
+    that key's time span to ~`rows_per_bucket` rows per bucket, else
+    None (plain path). One extra job over a `sample_fraction` slice of
+    both inputs (count + span partial-aggregate, map-side combined —
+    never a full-rows shuffle). Detection floor: a hot key needs
+    ~threshold·fraction sampled rows (2,000 at the defaults) to be
+    seen, so estimates at the decision boundary carry ±~2% sampling
+    noise — the threshold is a crossover REGION, not a cliff, and both
+    sides of it are correct plans (the probe only picks the faster
+    one). Returns None on empty samples and on a degenerate time span
+    (every hot-key row at one instant — bucketing cannot split that;
+    the plain path's single sorted run is already the best available
+    shape)."""
+    u = left.select(F.col(on).alias("__k"), _ts_micros(left_ts).alias("__us")).unionByName(
+        right.select(F.col(on).alias("__k"), _ts_micros(right_ts).alias("__us"))
+    )
+    top = (
+        u.sample(fraction=sample_fraction, seed=42)
+        .groupBy("__k")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("__us").alias("__lo"),
+            F.max("__us").alias("__hi"),
+        )
+        .orderBy(F.col("__n").desc())
+        .limit(1)
+        .collect()
+    )
+    if not top:
+        return None
+    est_rows = top[0]["__n"] / sample_fraction
+    if est_rows < threshold:
+        return None
+    span_us = top[0]["__hi"] - top[0]["__lo"]
+    if span_us <= 0:
+        return None
+    n_buckets = max(2, int(est_rows / rows_per_bucket))
+    return max(span_us / n_buckets, 1) / 1_000_000.0
 
 
 def _asof_join_bucketed(

@@ -262,6 +262,74 @@ def test_asof_time_bucketed_rejects_bad_width(spark, fixture_dfs):
         asof_join(ldf, rdf, on="key", time_bucket_s=0.0)
 
 
+def test_asof_auto_guard_routing_decision(spark, skewed_dfs):
+    """The sampled probe must route: hot key past the threshold →
+    bucketing with a positive width; below the threshold (or with a
+    degenerate zero-span hot key) → plain path (None)."""
+    from picovdb_spark.operators.joins import _auto_guard_bucket_s
+
+    ldf, rdf = skewed_dfs
+    # the 'hot' key holds ~2020 of ~2140 rows — with full sampling and a
+    # low threshold the probe must detect it and size buckets to it
+    width = _auto_guard_bucket_s(
+        ldf, rdf, on="key", left_ts="ts", right_ts="ts",
+        threshold=1000, sample_fraction=1.0,
+    )
+    assert width is not None and width > 0
+    # below threshold: plain path
+    assert (
+        _auto_guard_bucket_s(
+            ldf, rdf, on="key", left_ts="ts", right_ts="ts",
+            threshold=10_000, sample_fraction=1.0,
+        )
+        is None
+    )
+    # degenerate span — every hot-key row at one instant: bucketing
+    # cannot split that, plain path
+    r_one = rdf.withColumn("ts", F.lit(_ts(0.0)).cast("timestamp"))
+    l_one = ldf.withColumn("ts", F.lit(_ts(0.0)).cast("timestamp"))
+    assert (
+        _auto_guard_bucket_s(
+            l_one, r_one, on="key", left_ts="ts", right_ts="ts",
+            threshold=1000, sample_fraction=1.0,
+        )
+        is None
+    )
+
+
+def test_asof_auto_guard_matches_plain_on_skew(spark, skewed_dfs):
+    """auto_guard=True with a threshold the hot key crosses must return
+    exactly the plain path's rows (the guard changes the plan, never
+    the answer)."""
+    ldf, rdf = skewed_dfs
+    rdf2 = rdf.withColumn("rid", F.monotonically_increasing_id())
+    plain = asof_join(ldf, rdf2, on="key", tie_break="rid")
+    guarded = asof_join(
+        ldf, rdf2, on="key", tie_break="rid",
+        auto_guard=True, auto_guard_threshold=1000, auto_guard_sample=1.0,
+    )
+    got_p = {r["lid"]: (r["asof_ts"], r["rid"]) for r in plain.collect()}
+    got_g = {r["lid"]: (r["asof_ts"], r["rid"]) for r in guarded.collect()}
+    assert got_g == got_p
+    # and the guarded plan really took the bucketed shape
+    plan = explain_str(guarded, mode="simple")
+    assert "__bkt" in plan, plan
+
+
+def test_asof_explicit_bucket_overrides_auto_guard(spark, fixture_dfs):
+    """An explicit time_bucket_s wins: the probe must not run (no
+    sample jobs) and the requested width must be used."""
+    ldf, rdf = fixture_dfs
+    res = asof_join(
+        ldf, rdf, on="key", tie_break="rid",
+        time_bucket_s=100.0, auto_guard=True, auto_guard_threshold=1,
+    )
+    got = {r["lid"]: (r["asof_ts"], r["rid"], r["val"]) for r in res.collect()}
+    left = [tuple(r) for r in ldf.collect()]
+    right = [tuple(r) for r in rdf.collect()]
+    assert got == _brute_asof(left, right, True)
+
+
 def test_range_count_keeps_duplicate_left_rows(spark):
     """Two byte-identical left events are distinct observations: each
     must keep its own output row (regression: the final groupBy once
