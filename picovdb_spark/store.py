@@ -124,13 +124,25 @@ class VectorStore:
     def active(self) -> DataFrame:
         return self._df.filter(~F.col(K_DELETED))
 
-    def _set(self, df: DataFrame, changed_ids: Iterable[str] | None = None) -> None:
+    def _set(
+        self,
+        df: DataFrame,
+        changed_ids: Iterable[str] | None = None,
+        *,
+        pre_checkpointed: bool = False,
+    ) -> None:
         # Truncate lineage after each mutation so chained upsert/delete
         # don't grow an unbounded plan (the Delta-table analog of commit).
-        self._df = df.localCheckpoint(eager=True) if self._checkpoint else df
+        # `pre_checkpointed`: the caller already checkpointed this plan
+        # (upsert checkpoints ONCE and derives store + report from it) —
+        # checkpointing again would copy the whole store a second time.
+        if pre_checkpointed or not self._checkpoint:
+            self._df = df
+        else:
+            self._df = df.localCheckpoint(eager=True)
         # a checkpointed plan lives in block storage — no file dependence;
         # an unchckpointed mutation still scans the loaded files
-        self._detached = self._checkpoint
+        self._detached = self._checkpoint or pre_checkpointed
         # dirty-flag parity (pico_vdb.py:496-497): mutations don't rebuild
         # eagerly — they accumulate a pending-change set, and the next ANN
         # query picks incremental vs full maintenance by the change ratio
@@ -195,16 +207,48 @@ class VectorStore:
         cols = existing.columns
 
         batch = batch.cache()
-        # classify against ACTIVE ids: the reference pops deleted ids from
-        # its index (pico_vdb.py:527-531), so re-upserting a tombstoned id
-        # is an INSERT (slot revive), not an update
+        # ONE tagged merge plan produces both the new store AND the
+        # insert/update report (it used to be separate semi+anti report
+        # joins plus the merge — three column-pruned scans of the cached
+        # store; now two: the keep-side anti-join and the batch classify
+        # join, with the report read back from the same checkpoint).
+        # Classification is against ACTIVE ids: the reference pops
+        # deleted ids from its index (pico_vdb.py:527-531), so
+        # re-upserting a tombstoned id is an INSERT (slot revive), not
+        # an update.
         active_ids = existing.filter(~F.col(K_DELETED)).select(K_ID)
-        report_df = batch.select(K_ID).join(active_ids, K_ID, "left_semi").select(
-            K_ID, F.lit("update").alias("action")
-        ).unionByName(
-            batch.select(K_ID).join(active_ids, K_ID, "left_anti").select(
-                K_ID, F.lit("insert").alias("action")
+        kept = existing.join(batch.select(K_ID), K_ID, "left_anti").select(*cols).withColumn(
+            "__action", F.lit(None).cast("string")
+        )
+        tagged_batch = (
+            batch.select(*cols)
+            .join(active_ids.withColumn("__upd", F.lit(1)), K_ID, "left")
+            .withColumn(
+                "__action",
+                F.when(F.col("__upd").isNotNull(), F.lit("update")).otherwise(
+                    F.lit("insert")
+                ),
             )
+            .drop("__upd")
+            .select(*cols, "__action")
+        )
+        merged_tagged = kept.unionByName(tagged_batch)
+        if self._capacity is not None:
+            # slot-reuse semantics (pico_vdb.py:434-442): free slots are
+            # reusable, so the binding constraint is the ACTIVE row
+            # count. Counted BEFORE the checkpoint so a rejected upsert
+            # never materializes (or pins) the would-be store.
+            active_after = merged_tagged.filter(~F.col(K_DELETED)).count()
+            if active_after > self._capacity:
+                batch.unpersist()
+                raise RuntimeError(
+                    f"capacity exceeded: {active_after} > {self._capacity} "
+                    "(fixed-capacity store, pico_vdb.py:440-442)"
+                )
+        if self._checkpoint:
+            merged_tagged = merged_tagged.localCheckpoint(eager=True)
+        report_df = merged_tagged.filter(F.col("__action").isNotNull()).select(
+            K_ID, F.col("__action").alias("action")
         )
         if report == "dict":
             rows = report_df.collect()
@@ -214,26 +258,16 @@ class VectorStore:
             # relational report: never ship ids driver-side. The pending
             # ANN change-set is a driver-side structure, so a bulk load
             # drops the index instead (full rebuild on next use — the
-            # right maintenance mode for a bulk change anyway).
-            report_df = report_df.localCheckpoint(eager=True)
+            # right maintenance mode for a bulk change anyway). With
+            # checkpointing off, pin the report so later reads don't
+            # re-run the merge against a store that has since mutated.
+            if not self._checkpoint:
+                report_df = report_df.localCheckpoint(eager=True)
             updated = inserted = None
-
-        merged = existing.join(batch.select(K_ID), K_ID, "left_anti").select(*cols).unionByName(
-            batch.select(*cols)
-        )
-        if self._capacity is not None:
-            # slot-reuse semantics (pico_vdb.py:434-442): free slots are
-            # reusable, so the binding constraint is the ACTIVE row count
-            active_after = merged.filter(~F.col(K_DELETED)).count()
-            if active_after > self._capacity:
-                batch.unpersist()
-                raise RuntimeError(
-                    f"capacity exceeded: {active_after} > {self._capacity} "
-                    "(fixed-capacity store, pico_vdb.py:440-442)"
-                )
         self._set(
-            merged,
+            merged_tagged.drop("__action"),
             changed_ids=None if updated is None else updated + inserted,
+            pre_checkpointed=self._checkpoint,
         )
         batch.unpersist()  # merged is eagerly checkpointed; don't pin the batch
         if report == "dataframe":
