@@ -1216,20 +1216,31 @@ ranked AS (
             PARTITION BY query_id ORDER BY _metrics_ DESC, _id_ ASC) AS INTEGER) AS rank
   FROM scored
 )
-SELECT query_id, _id_, _metrics_, rank FROM ranked WHERE rank <= 5
+SELECT v.variant, query_id, _id_, _metrics_, rank
+FROM (VALUES ('blocked'), ('broadcast')) v(variant)
+CROSS JOIN (SELECT query_id, _id_, _metrics_, rank FROM ranked WHERE rank <= 5)
 """,
 )
 def _knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact kNN join (self-join flavor, self-matches excluded) — the
-    brute-force baseline the LSH join approximates."""
-    from picovdb_spark.operators.similarity import knn_join
+    """Exact kNN join, both distributed shapes against ONE oracle
+    ranking: `broadcast` (small query side rides a
+    BroadcastNestedLoopJoin — the baseline the LSH join approximates)
+    and `blocked` (cogrouped block-nested-loop GEMM — neither side
+    broadcast or collected, the large×large form; 2×3 block grid here
+    so the merge really crosses cell boundaries). Self-matches
+    excluded in both."""
+    from picovdb_spark.operators.similarity import knn_join, knn_join_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    return knn_join(
-        q, emb, k=5,
+    kw = dict(
         left_id="vec_id", right_id="vec_id", left_vec="embedding", right_vec="embedding",
         exclude_self=True,
+    )
+    bc = knn_join(q, emb, k=5, **kw)
+    bl = knn_join_blocked(q, emb, k=5, left_blocks=2, right_blocks=3, **kw)
+    return bc.select(F.lit("broadcast").alias("variant"), "*").unionByName(
+        bl.select(F.lit("blocked").alias("variant"), "*")
     )
 
 

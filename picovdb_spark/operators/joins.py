@@ -310,6 +310,67 @@ def _asof_join_bucketed(
     return matched.filter(F.col("__lpay").isNotNull()).select(*out_cols)
 
 
+def _auto_salt_count(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    width: int,
+    lo: int,
+    up: int,
+    threshold: int,
+    sample_fraction: float,
+) -> int | None:
+    """Sampled hot-pair probe for `range_count_join(n_salts="auto")`:
+    estimate the max (key, bucket) match work (left probes × right
+    rows) from Bernoulli samples of both sides; return a salt count
+    when it crosses `threshold`, else None. One small join of two
+    sampled aggregates — never a full-rows shuffle. Left probes count
+    on BOTH buckets a row's window overlaps (the same ≤2-bucket
+    explode the real join performs), so a hot right bucket is seen
+    whichever side of a bucket boundary the left window starts on."""
+    import math
+
+    ls = (
+        left.sample(fraction=sample_fraction, seed=42)
+        .select(
+            F.col(on).alias("__k"),
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor((_ts_micros(left_ts) + F.lit(lo)) / F.lit(width)),
+                        F.floor((_ts_micros(left_ts) + F.lit(up) - 1) / F.lit(width)),
+                    )
+                )
+            ).alias("__b"),
+        )
+        .groupBy("__k", "__b")
+        .agg(F.count(F.lit(1)).alias("__nl"))
+    )
+    rs = (
+        right.sample(fraction=sample_fraction, seed=43)
+        .select(
+            F.col(on).alias("__k"),
+            F.floor(_ts_micros(right_ts) / F.lit(width)).alias("__b"),
+        )
+        .groupBy("__k", "__b")
+        .agg(F.count(F.lit(1)).alias("__nr"))
+    )
+    row = (
+        ls.join(rs, ["__k", "__b"])
+        .agg(F.max(F.col("__nl") * F.col("__nr")).alias("__w"))
+        .collect()
+    )
+    if not row or row[0]["__w"] is None:
+        return None
+    est = row[0]["__w"] / (sample_fraction * sample_fraction)
+    if est < threshold:
+        return None
+    return min(64, max(2, math.ceil(est / threshold)))
+
+
 def range_count_join(
     left: DataFrame,
     right: DataFrame,
@@ -320,7 +381,9 @@ def range_count_join(
     lower_s: float = -3600.0,
     upper_s: float = 0.0,
     count_alias: str = "n_in_range",
-    n_salts: int | None = None,
+    n_salts: int | str | None = None,
+    auto_salt_threshold: int = 100_000_000,
+    auto_salt_sample: float = 0.001,
 ) -> DataFrame:
     """Per left row, COUNT right rows of the same key whose timestamp
     falls in ``[left_ts + lower_s, left_ts + upper_s)`` seconds — the
@@ -351,12 +414,41 @@ def range_count_join(
     split (enabled in session.py) is the runtime fallback; explicit
     salting also covers the single-giant-partition case AQE can't
     split (one key whose sorted run exceeds a task's memory).
+
+    ``n_salts="auto"`` runs a sampled probe instead (the
+    `asof_join(auto_guard=True)` pattern): estimate each (key, bucket)
+    pair's left-probe × right-row match work from a Bernoulli sample of
+    both sides; if the hottest pair's estimated pair-evaluations exceed
+    ``auto_salt_threshold`` (default 1e8 — roughly one task-second of
+    hash-probe work), salt with
+    ``clamp(ceil(work / threshold), 2, 64)`` salts; below it, run
+    unsalted. Same exactness either way — the probe only picks the
+    plan. Detection floor: a pair needs ~√work·fraction sampled rows on
+    each side to register, so sub-threshold pairs near the boundary may
+    read as zero — both plans are correct there.
     """
     lo = int(round(lower_s * 1_000_000))
     up = int(round(upper_s * 1_000_000))
     if up <= lo:
         raise ValueError("upper_s must be > lower_s")
     width = up - lo
+    if n_salts == "auto":
+        n_salts = _auto_salt_count(
+            left,
+            right,
+            on=on,
+            left_ts=left_ts,
+            right_ts=right_ts,
+            width=width,
+            lo=lo,
+            up=up,
+            threshold=auto_salt_threshold,
+            sample_fraction=auto_salt_sample,
+        )
+        if n_salts is not None:
+            _log.info("range_count_join auto salt: hot (key, bucket) pair, n_salts=%d", n_salts)
+    elif isinstance(n_salts, str):
+        raise ValueError(f"n_salts must be an int, None, or 'auto'; got {n_salts!r}")
 
     # Unique probe id per LEFT ROW (dropped on output): the final
     # groupBy would otherwise merge fully-identical left rows — two

@@ -197,7 +197,9 @@ def normalize_query_matrix(qids, qmat):
             f"query batch is {qmat.nbytes >> 20} MiB as a float64 matrix "
             f"(cap {MAX_QUERY_MATRIX_BYTES >> 20} MiB): query batches are "
             "driver-resident broadcast state — split the batch and union "
-            "the per-chunk results (each chunk's top-k is independent)"
+            "the per-chunk results (each chunk's top-k is independent), "
+            "or use knn_join_blocked for a query side that should never "
+            "live on the driver at all"
         )
     norms = np.sqrt((qmat * qmat).sum(axis=1))
     zero = norms == 0.0
@@ -238,7 +240,9 @@ def collect_normalized_queries(queries: DataFrame, query_id: str, vector_col: st
             f"query batch is {f64_bytes >> 20} MiB as a float64 matrix "
             f"(cap {MAX_QUERY_MATRIX_BYTES >> 20} MiB): query batches are "
             "driver-resident broadcast state — split the batch and union "
-            "the per-chunk results (each chunk's top-k is independent)"
+            "the per-chunk results (each chunk's top-k is independent), "
+            "or use knn_join_blocked for a query side that should never "
+            "live on the driver at all"
         )
     # one shared normalize kernel (zero ⇒ e₀, pico_vdb.py:585-590) so the
     # DataFrame and pre-collected paths can never desynchronize
@@ -404,6 +408,128 @@ def knn_join(
         pairs = pairs.filter(F.col("query_id") != F.col(K_ID))
     scored = pairs.withColumn(K_METRICS, F.round(dot(F.col("__qv"), F.col("__rv")), round_to))
     return topk_per_query(scored, k).select("query_id", K_ID, K_METRICS, "rank")
+
+
+def knn_join_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    k: int,
+    left_id: str,
+    right_id: str,
+    left_vec: str,
+    right_vec: str,
+    round_to: int = 6,
+    exclude_self: bool = False,
+    left_blocks: int | None = None,
+    right_blocks: int | None = None,
+) -> DataFrame:
+    """Exact k-nearest-neighbors join for TWO LARGE SIDES — same
+    semantics as `knn_join_exact` (cosine on L2-normalized vectors,
+    zero ⇒ e₀, scores rounded to `round_to`, ties by id) but neither
+    side is broadcast or collected, so it scales past the driver-memory
+    and broadcast caps that bound the baseline form.
+
+    Distributed shape: block nested-loop as a COGROUP. Each side is
+    hashed into blocks (`left_blocks` × `right_blocks` grid); the left
+    side replicates across the right blocks and vice versa, so shuffle
+    volume is |L|·right_blocks + |R|·left_blocks rows — choose the
+    block counts to trade replication against per-task GEMM size
+    (defaults: √parallelism each, giving ~parallelism tasks). Each
+    (left block, right block) cell runs one Arrow-batched NumPy GEMM
+    and emits a tie-complete local top-k per left row (every row whose
+    ROUNDED score ties the kth — same rule as `_gemm_topk`'s float64
+    path), and a global `topk_per_query` merges the per-cell candidates
+    into the exact final ranking. Candidate volume into the merge is
+    O(|L| · right_blocks · k).
+
+    At 100 TB this is the EXACT baseline for corpus×corpus similarity;
+    the sublinear paths (IVF/LSH routing in operators/ann.py,
+    dedup.embedding_near_dup) should win whenever they apply — this
+    exists for the regimes that need exactness or defy routing
+    (verification sweeps, recall measurement, small-k joins of two
+    mid-size tables)."""
+    import math
+
+    from picovdb_spark.operators.topk import topk_per_query
+
+    spark = left.sparkSession
+    if left_blocks is None or right_blocks is None:
+        side = max(1, int(math.isqrt(spark.sparkContext.defaultParallelism)))
+        left_blocks = left_blocks or side
+        right_blocks = right_blocks or side
+    if left_blocks < 1 or right_blocks < 1:
+        raise ValueError("block counts must be >= 1")
+
+    l2 = left.select(
+        F.col(left_id).cast("string").alias("query_id"),
+        F.col(left_vec).cast("array<double>").alias("__qv"),
+        F.pmod(F.xxhash64(F.col(left_id).cast("string")), F.lit(left_blocks)).alias("__lb"),
+    ).withColumn("__rb", F.explode(F.array(*[F.lit(b) for b in range(right_blocks)])))
+    r2 = right.select(
+        F.col(right_id).cast("string").alias(K_ID),
+        F.col(right_vec).cast("array<double>").alias("__rv"),
+        F.pmod(F.xxhash64(F.col(right_id).cast("string")), F.lit(right_blocks)).alias("__rb"),
+    ).withColumn("__lb", F.explode(F.array(*[F.lit(b) for b in range(left_blocks)])))
+
+    kk = int(k)
+    skip_self = bool(exclude_self)
+    rnd = int(round_to)
+
+    def cell_topk(lpdf, rpdf):
+        import numpy as np
+        import pandas as pd
+
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"query_id": [], K_ID: [], K_METRICS: []})
+
+        def unit(series):
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in series])
+            nrm = np.sqrt((m * m).sum(axis=1))
+            z = nrm == 0.0
+            if z.any():
+                m[z] = 0.0
+                m[z, 0] = 1.0
+                nrm[z] = 1.0
+            return m / nrm[:, None]
+
+        lm, rm = unit(lpdf["__qv"]), unit(rpdf["__rv"])
+        lids = lpdf["query_id"].to_numpy()
+        rids = rpdf[K_ID].to_numpy()
+        scores = np.round(lm @ rm.T, rnd)
+        if skip_self:
+            same = lids[:, None] == rids[None, :]
+            scores[same] = -np.inf
+        n = scores.shape[1]
+        take = min(kk, n)
+        # tie-complete on ROUNDED values: every row matching the kth
+        # rounded score survives to the global merge (exact ranking is
+        # applied there — same contract as _gemm_topk float64)
+        kth = np.partition(scores, n - take, axis=1)[:, n - take]
+        out_q, out_i, out_s = [], [], []
+        for qi in range(scores.shape[0]):
+            keep = np.flatnonzero(scores[qi] >= kth[qi])
+            keep = keep[np.isfinite(scores[qi][keep])]
+            out_q.append(np.repeat(lids[qi], len(keep)))
+            out_i.append(rids[keep])
+            out_s.append(scores[qi][keep])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q) if out_q else [],
+                K_ID: np.concatenate(out_i) if out_i else [],
+                K_METRICS: np.concatenate(out_s) if out_s else [],
+            }
+        )
+
+    cand = (
+        l2.groupBy("__lb", "__rb")
+        .cogroup(r2.groupBy("__lb", "__rb"))
+        .applyInPandas(
+            lambda lp, rp: cell_topk(lp, rp),
+            schema=f"query_id string, {K_ID} string, {K_METRICS} double",
+        )
+    )
+    return topk_per_query(cand, kk).select("query_id", K_ID, K_METRICS, "rank")
 
 
 def _gemm_topk(

@@ -194,6 +194,47 @@ def test_range_count_salted_rejects_bad_n_salts(spark, skewed_dfs):
     ldf, rdf = skewed_dfs
     with pytest.raises(ValueError, match="n_salts"):
         range_count_join(ldf, rdf, on="key", n_salts=0)
+    with pytest.raises(ValueError, match="n_salts"):
+        range_count_join(ldf, rdf, on="key", n_salts="sometimes")
+
+
+def test_range_count_auto_salt_routes_and_stays_exact(spark, skewed_dfs):
+    """n_salts='auto': past the work threshold the plan must salt (and
+    stay exact); below it, no salt column appears in the plan. The hot
+    (key, bucket) pair here is ~20 left probes × ~2000 right rows."""
+    from picovdb_spark.operators.joins import _auto_salt_count
+
+    ldf, rdf = skewed_dfs
+    # decision probe directly: full sampling, low threshold → salts
+    n = _auto_salt_count(
+        ldf, rdf, on="key", left_ts="ts", right_ts="ts",
+        width=100_000_000, lo=-100_000_000, up=0,
+        threshold=1000, sample_fraction=1.0,
+    )
+    assert n is not None and 2 <= n <= 64
+    # high threshold → plain
+    assert (
+        _auto_salt_count(
+            ldf, rdf, on="key", left_ts="ts", right_ts="ts",
+            width=100_000_000, lo=-100_000_000, up=0,
+            threshold=10_000_000, sample_fraction=1.0,
+        )
+        is None
+    )
+    auto = range_count_join(
+        ldf, rdf, on="key", lower_s=-100.0, upper_s=0.0,
+        n_salts="auto", auto_salt_threshold=1000, auto_salt_sample=1.0,
+    )
+    assert "__salt" in explain_str(auto, mode="simple")
+    got = {r["lid"]: r["n_in_range"] for r in auto.collect()}
+    left = [tuple(r) for r in ldf.collect()]
+    right = [tuple(r) for r in rdf.collect()]
+    assert got == _brute_range_count(left, right, -100.0, 0.0)
+    plain_auto = range_count_join(
+        ldf, rdf, on="key", lower_s=-100.0, upper_s=0.0,
+        n_salts="auto", auto_salt_threshold=10_000_000, auto_salt_sample=1.0,
+    )
+    assert "__salt" not in explain_str(plain_auto, mode="simple")
 
 
 def test_asof_on_skewed_key_still_exact(spark, skewed_dfs):

@@ -148,6 +148,49 @@ def test_knn_join_self(store, spark, sf_dir):
     assert all(r["query_id"] != r[K_ID] for r in res)
 
 
+def test_knn_join_blocked_matches_broadcast(store, spark, sf_dir):
+    """The cogrouped block-nested-loop form must return exactly the
+    broadcast baseline's rows — across a non-square grid whose cell
+    boundaries the global merge must cross, with and without self."""
+    from picovdb_spark.operators.similarity import knn_join_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 30)
+    kw = dict(
+        left_id="vec_id", right_id="vec_id",
+        left_vec="embedding", right_vec="embedding",
+    )
+    for excl in (True, False):
+        want = sorted(map(tuple, knn_join(emb, emb, k=3, exclude_self=excl, **kw).collect()))
+        got = sorted(
+            map(
+                tuple,
+                knn_join_blocked(
+                    emb, emb, k=3, exclude_self=excl, left_blocks=3, right_blocks=4, **kw
+                ).collect(),
+            )
+        )
+        assert got == want
+
+
+def test_knn_join_blocked_zero_vector_and_empty(spark):
+    """Zero vectors map to e0 on both sides (same rule as l2_normalize);
+    an empty left side yields an empty result, not an error."""
+    from picovdb_spark.operators.similarity import knn_join_blocked
+
+    rows = [("a", [0.0, 0.0]), ("b", [1.0, 0.0]), ("c", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "id string, v array<float>")
+    kw = dict(left_id="id", right_id="id", left_vec="v", right_vec="v")
+    got = {
+        (r["query_id"], r[K_ID]): r[K_METRICS]
+        for r in knn_join_blocked(df, df, k=1, left_blocks=2, right_blocks=2, **kw).collect()
+    }
+    # zero vector 'a' ≡ e0 ≡ 'b': they score 1.0 against each other and
+    # rank-1 by id tie-break ('a' maps to itself first)
+    assert got[("a", "a")] == 1.0 and got[("b", "a")] == 1.0
+    empty = df.filter("id = 'nope'")
+    assert knn_join_blocked(empty, df, k=1, left_blocks=2, right_blocks=2, **kw).count() == 0
+
+
 def test_boundary_tie_resolution_matches_id_order(spark):
     """Rounded ties at the top-k boundary must resolve by id ascending in
     BOTH physical paths — partition-local selection must not drop the
