@@ -1039,6 +1039,12 @@ def main() -> None:
             ]
     for name in settled_rerun:
         if name in query_fns:
+            # untimed re-warm first: by the end of the suite the 1M/4M
+            # tiers have evicted parts of this tier's executor cache, and
+            # a cold settled pass would time the cache refill, not the
+            # operator (observed: settled upsert 3.9 s vs 1.1 s in-suite
+            # purely from eviction)
+            query_fns[name]()
             t0 = time.perf_counter()
             query_fns[name]()
             EXTRA_STATS.setdefault("settled_times", {})[name] = round(
