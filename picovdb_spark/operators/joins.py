@@ -79,8 +79,9 @@ def asof_join(
     #buckets parallel tasks). Reach for it when one key's row count
     approaches a task's comfortable sort capacity — or pass
     ``auto_guard=True`` to let a sampled key-frequency probe decide:
-    two cheap sample jobs estimate the hottest key's row count and time
-    span; past ``auto_guard_threshold`` rows (default 2M — just above
+    one cheap job over a union of both sides' samples estimates the
+    hottest key's row count and time span; past
+    ``auto_guard_threshold`` rows (default 2M — just above
     the measured ~1.8M still-wins-plain point) the bucketed path is
     taken with a width targeting ~500k rows per bucket, otherwise the
     plain single-shuffle plan runs. An explicit ``time_bucket_s``

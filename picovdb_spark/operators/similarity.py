@@ -174,6 +174,24 @@ GEMM_PREFETCH_DEPTH = 0
 MAX_QUERY_MATRIX_BYTES = 8 << 30
 
 
+def _unit_rows(mat):
+    """Row-wise L2 normalize a float64 matrix with the store's zero ⇒ e₀
+    rule (pico_vdb.py:62-67) — THE normalize kernel shared by the
+    driver-side query paths and the blocked kNN join's cell kernel, so
+    the rule can never desynchronize between them. Copies before the e₀
+    substitution (the input may alias a caller's array)."""
+    import numpy as np
+
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    zero = norms == 0.0
+    if zero.any():
+        mat = mat.copy()
+        mat[zero] = 0.0
+        mat[zero, 0] = 1.0
+        norms[zero] = 1.0
+    return mat / norms[:, None]
+
+
 def normalize_query_matrix(qids, qmat):
     """L2-normalize a driver-resident query matrix in place-compatible
     NumPy (float64, zero ⇒ e₀ — pico_vdb.py:585-590). Shared by the
@@ -181,6 +199,11 @@ def normalize_query_matrix(qids, qmat):
     form. Returns (ids ndarray[object], unit float64 matrix)."""
     import numpy as np
 
+    if isinstance(qids, (str, bytes)):
+        # a bare string would silently iterate into per-character ids
+        raise ValueError(
+            "query ids must be a sequence of ids, not a single string"
+        )
     # coerce ids to str up front: the DataFrame path's schema enforces
     # string ids, but a pre-collected (ids, matrix) batch can carry ints
     # (or anything) — without this they crash executor-side in
@@ -201,17 +224,7 @@ def normalize_query_matrix(qids, qmat):
             "or use knn_join_blocked for a query side that should never "
             "live on the driver at all"
         )
-    norms = np.sqrt((qmat * qmat).sum(axis=1))
-    zero = norms == 0.0
-    if zero.any():
-        # always copy before the e₀ substitution: np.asarray hands back
-        # the CALLER'S array when dtypes match, and mutating it would
-        # silently corrupt the caller's batch (retry, logging, reuse)
-        qmat = qmat.copy()
-        qmat[zero] = 0.0
-        qmat[zero, 0] = 1.0
-        norms[zero] = 1.0
-    return qids, qmat / norms[:, None]
+    return qids, _unit_rows(qmat)
 
 
 def collect_normalized_queries(queries: DataFrame, query_id: str, vector_col: str):
@@ -454,12 +467,15 @@ def knn_join_blocked(
     from picovdb_spark.operators.topk import topk_per_query
 
     spark = left.sparkSession
+    # validate BEFORE defaulting: `x or side` would silently rewrite an
+    # explicit 0 to the default instead of rejecting it
+    for name, v in (("left_blocks", left_blocks), ("right_blocks", right_blocks)):
+        if v is not None and v < 1:
+            raise ValueError(f"block counts must be >= 1, got {name}={v}")
     if left_blocks is None or right_blocks is None:
         side = max(1, int(math.isqrt(spark.sparkContext.defaultParallelism)))
-        left_blocks = left_blocks or side
-        right_blocks = right_blocks or side
-    if left_blocks < 1 or right_blocks < 1:
-        raise ValueError("block counts must be >= 1")
+        left_blocks = side if left_blocks is None else left_blocks
+        right_blocks = side if right_blocks is None else right_blocks
 
     l2 = left.select(
         F.col(left_id).cast("string").alias("query_id"),
@@ -476,56 +492,70 @@ def knn_join_blocked(
     skip_self = bool(exclude_self)
     rnd = int(round_to)
 
-    def cell_topk(lpdf, rpdf):
+    def cell_topk(ltbl, rtbl):
+        # Arrow in/out (not pandas): a pandas round-trip would conflate
+        # a NaN score with NULL in the double column, and the two sort
+        # differently (NaN greatest, null last) — the baseline ranks a
+        # NaN-score row FIRST, so the blocked form must emit real NaNs.
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        if lpdf.empty or rpdf.empty:
-            return pd.DataFrame({"query_id": [], K_ID: [], K_METRICS: []})
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.string()),
+                K_ID: pa.array([], type=pa.string()),
+                K_METRICS: pa.array([], type=pa.float64()),
+            }
+        )
+        if ltbl.num_rows == 0 or rtbl.num_rows == 0 or kk <= 0:
+            # k <= 0 returns empty like the broadcast baseline's
+            # rank <= 0 filter (not an executor-side partition error)
+            return empty
 
-        def unit(series):
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in series])
-            nrm = np.sqrt((m * m).sum(axis=1))
-            z = nrm == 0.0
-            if z.any():
-                m[z] = 0.0
-                m[z, 0] = 1.0
-                nrm[z] = 1.0
-            return m / nrm[:, None]
+        def unit(col):
+            vec = col.combine_chunks()
+            vals = vec.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            return _unit_rows(vals.reshape(len(vec), -1))
 
-        lm, rm = unit(lpdf["__qv"]), unit(rpdf["__rv"])
-        lids = lpdf["query_id"].to_numpy()
-        rids = rpdf[K_ID].to_numpy()
+        lm, rm = unit(ltbl.column("__qv")), unit(rtbl.column("__rv"))
+        lids = np.asarray(ltbl.column("query_id").to_pylist(), dtype=object)
+        rids = np.asarray(rtbl.column(K_ID).to_pylist(), dtype=object)
         scores = np.round(lm @ rm.T, rnd)
+        # Selection array: NaN ranks GREATEST (Spark's sort ordering, so
+        # the global merge and the broadcast baseline agree on NaN-score
+        # rows) and excluded self-pairs rank below everything. The
+        # EMITTED score stays the raw value (NaN preserved).
+        sel = np.where(np.isnan(scores), np.inf, scores)
         if skip_self:
             same = lids[:, None] == rids[None, :]
-            scores[same] = -np.inf
-        n = scores.shape[1]
+            sel = np.where(same, -np.inf, sel)
+        n = sel.shape[1]
         take = min(kk, n)
         # tie-complete on ROUNDED values: every row matching the kth
         # rounded score survives to the global merge (exact ranking is
         # applied there — same contract as _gemm_topk float64)
-        kth = np.partition(scores, n - take, axis=1)[:, n - take]
+        kth = np.partition(sel, n - take, axis=1)[:, n - take]
         out_q, out_i, out_s = [], [], []
-        for qi in range(scores.shape[0]):
-            keep = np.flatnonzero(scores[qi] >= kth[qi])
-            keep = keep[np.isfinite(scores[qi][keep])]
+        for qi in range(sel.shape[0]):
+            keep = np.flatnonzero((sel[qi] >= kth[qi]) & (sel[qi] > -np.inf))
             out_q.append(np.repeat(lids[qi], len(keep)))
             out_i.append(rids[keep])
             out_s.append(scores[qi][keep])
-        return pd.DataFrame(
+        if not out_q:
+            return empty
+        return pa.table(
             {
-                "query_id": np.concatenate(out_q) if out_q else [],
-                K_ID: np.concatenate(out_i) if out_i else [],
-                K_METRICS: np.concatenate(out_s) if out_s else [],
+                "query_id": pa.array(np.concatenate(out_q), type=pa.string()),
+                K_ID: pa.array(np.concatenate(out_i), type=pa.string()),
+                K_METRICS: pa.array(np.concatenate(out_s), type=pa.float64()),
             }
         )
 
     cand = (
         l2.groupBy("__lb", "__rb")
         .cogroup(r2.groupBy("__lb", "__rb"))
-        .applyInPandas(
-            lambda lp, rp: cell_topk(lp, rp),
+        .applyInArrow(
+            lambda lt, rt: cell_topk(lt, rt),
             schema=f"query_id string, {K_ID} string, {K_METRICS} double",
         )
     )
@@ -600,9 +630,20 @@ def _gemm_topk(
     )
     pad = 1.5 * 10.0 ** (-round_to)
     dtype = np.float32 if use32 else np.float64
-    prefetch_depth = int(
-        os.environ.get("PICOVDB_SPARK_GEMM_PREFETCH", str(GEMM_PREFETCH_DEPTH))
-    )
+    # precedence: a programmatic module-attribute override (non-zero)
+    # wins; the env var supplies the default otherwise. Parse loudly —
+    # a malformed value should name the setting, not surface as a bare
+    # ValueError three calls deep.
+    if GEMM_PREFETCH_DEPTH:
+        prefetch_depth = int(GEMM_PREFETCH_DEPTH)
+    else:
+        raw = os.environ.get("PICOVDB_SPARK_GEMM_PREFETCH", "0")
+        try:
+            prefetch_depth = int(raw)
+        except ValueError as exc:
+            raise ValueError(
+                f"PICOVDB_SPARK_GEMM_PREFETCH must be an integer, got {raw!r}"
+            ) from exc
 
     def prefetched(it: Iterator, depth: int = 2) -> Iterator:
         if depth <= 0:

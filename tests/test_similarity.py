@@ -172,6 +172,33 @@ def test_knn_join_blocked_matches_broadcast(store, spark, sf_dir):
         assert got == want
 
 
+def test_knn_join_blocked_nan_k0_and_bad_blocks(spark):
+    """Review-pass regressions: a NaN-component right vector must rank
+    FIRST (Spark's NaN-greatest ordering — the broadcast baseline's
+    behavior), not poison the cell's kth selection into dropping every
+    candidate; k=0 returns empty like the baseline; an explicit 0 block
+    count raises even when the other count is defaulted."""
+    from picovdb_spark.operators.similarity import knn_join_blocked
+
+    rows = [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("n", [float("nan"), 1.0])]
+    df = spark.createDataFrame(rows, "id string, v array<float>")
+    q = df.filter("id = 'a'")
+    kw = dict(left_id="id", right_id="id", left_vec="v", right_vec="v")
+    got = knn_join_blocked(q, df, k=1, left_blocks=1, right_blocks=2, **kw).collect()
+    base = knn_join(q, df, k=1, **kw).collect()
+    assert [r[K_ID] for r in got] == [r[K_ID] for r in base] == ["n"]
+    assert knn_join_blocked(q, df, k=0, left_blocks=1, right_blocks=2, **kw).count() == 0
+    with pytest.raises(ValueError, match="block counts"):
+        knn_join_blocked(q, df, k=1, left_blocks=0, **kw)
+
+
+def test_precollected_tuple_rejects_bare_string_ids(store):
+    """A single string as qids would silently iterate into per-character
+    ids matching the matrix by accident — must raise."""
+    with pytest.raises(ValueError, match="sequence of ids"):
+        batch_query(store, ("ab", np.ones((2, 4))), method="gemm")
+
+
 def test_knn_join_blocked_zero_vector_and_empty(spark):
     """Zero vectors map to e0 on both sides (same rule as l2_normalize);
     an empty left side yields an empty result, not an error."""
