@@ -151,7 +151,12 @@ def test_knn_join_self(store, spark, sf_dir):
 def test_knn_join_blocked_matches_broadcast(store, spark, sf_dir):
     """The cogrouped block-nested-loop form must return exactly the
     broadcast baseline's rows — across a non-square grid whose cell
-    boundaries the global merge must cross, with and without self."""
+    boundaries the global merge must cross, with and without self.
+    AQE partition-coalescing is disabled for the comparison: on a tiny
+    fixture it collapses the cogroup exchange to ONE partition, which
+    masked a grouping-key TYPE mismatch (bigint vs int block ids hash
+    to different partitions, silently stranding cell halves — real
+    multi-partition shuffles lost most cells at sf0.1)."""
     from picovdb_spark.operators.similarity import knn_join_blocked
 
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 30)
@@ -159,17 +164,23 @@ def test_knn_join_blocked_matches_broadcast(store, spark, sf_dir):
         left_id="vec_id", right_id="vec_id",
         left_vec="embedding", right_vec="embedding",
     )
-    for excl in (True, False):
-        want = sorted(map(tuple, knn_join(emb, emb, k=3, exclude_self=excl, **kw).collect()))
-        got = sorted(
-            map(
-                tuple,
-                knn_join_blocked(
-                    emb, emb, k=3, exclude_self=excl, left_blocks=3, right_blocks=4, **kw
-                ).collect(),
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        for excl in (True, False):
+            want = sorted(map(tuple, knn_join(emb, emb, k=3, exclude_self=excl, **kw).collect()))
+            got = sorted(
+                map(
+                    tuple,
+                    knn_join_blocked(
+                        emb, emb, k=3, exclude_self=excl, left_blocks=3, right_blocks=4, **kw
+                    ).collect(),
+                )
             )
-        )
-        assert got == want
+            assert got == want
+    finally:
+        spark.conf.set(coalesce_key, prev)
 
 
 def test_knn_join_blocked_nan_k0_and_bad_blocks(spark):
