@@ -842,6 +842,21 @@ def bench_queries(spark):
             )
         )
 
+    def _settled_rewarm():
+        # later tiers call spark.catalog.clearCache(), which drops BOTH
+        # the cached data AND the persistence marker of earlier tiers'
+        # frames — without re-marking, every post-suite settled action
+        # regenerates its corpus from scratch (measured: settled upsert
+        # 3.6 s vs 0.9 s in-suite, pure regeneration). Re-mark here; the
+        # settled loop's untimed warm pass fills the cache.
+        for frame in (
+            ref_state.get("store"),
+            scale_state.get("docs1m"),
+            scale_state.get("emb1m"),
+        ):
+            if frame is not None:
+                frame.cache()
+
     def q_scale4m_disk_ivfpq_1():
         # single query probes 8/256 clusters — 3% of the code files, 3%
         # of the raw files: the regime partition pruning exists for
@@ -928,6 +943,7 @@ def bench_queries(spark):
         "scale4m_disk_ivfpq_8": q_scale4m_disk_ivfpq_8,
         "scale4m_disk_exact_1": q_scale4m_disk_exact_1,
         "scale4m_disk_ivfpq_1": q_scale4m_disk_ivfpq_1,
+        "_settled_rewarm": _settled_rewarm,
         "_cleanup_disk_tier": _cleanup_disk_tier,
         "_cleanup_resident": _cleanup_resident,
     }
