@@ -246,6 +246,10 @@ def collect_normalized_queries(queries: DataFrame, query_id: str, vector_col: st
         return np.empty(0, dtype=object), np.empty((0, 0))
     qids = np.asarray(tbl.column("query_id").to_pylist(), dtype=object)
     vec = tbl.column(vector_col).combine_chunks()
+    if vec.null_count:
+        # a null list row would silently vanish in flatten() and shift
+        # every later row's values in the reshape — fail loudly instead
+        raise ValueError(f"query column {vector_col!r} contains null vectors")
     vals = vec.flatten().to_numpy(zero_copy_only=False)
     f64_bytes = 8 * vals.size
     if f64_bytes > MAX_QUERY_MATRIX_BYTES:
@@ -530,6 +534,10 @@ def knn_join_blocked(
 
         def unit(col):
             vec = col.combine_chunks()
+            if vec.null_count:
+                # a null list row silently vanishes in flatten() and
+                # shifts every later row in the reshape — fail loudly
+                raise ValueError("knn_join_blocked: null vectors in input")
             vals = vec.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
             return _unit_rows(vals.reshape(len(vec), -1))
 

@@ -203,6 +203,27 @@ def test_knn_join_blocked_nan_k0_and_bad_blocks(spark):
         knn_join_blocked(q, df, k=1, left_blocks=0, **kw)
 
 
+def test_null_query_vector_fails_loudly(store, spark):
+    """A null vector row would silently vanish in the Arrow flatten and
+    shift every later row's values in the reshape — both the collect
+    path and the blocked join must raise instead."""
+    from picovdb_spark.operators.similarity import knn_join_blocked
+
+    dim = len(store.first()["_vector_"])
+    q = spark.createDataFrame(
+        [("q0", [1.0] * dim), ("q1", None)],
+        f"query_id string, _vector_ array<float>",
+    )
+    with pytest.raises(Exception, match="null vectors"):
+        batch_query(store, q, top_k=2, method="gemm").collect()
+    nn = q.withColumnRenamed("query_id", "id").withColumnRenamed("_vector_", "v")
+    with pytest.raises(Exception, match="null vectors"):
+        knn_join_blocked(
+            nn, nn, k=1, left_id="id", right_id="id", left_vec="v", right_vec="v",
+            left_blocks=1, right_blocks=1,
+        ).collect()
+
+
 def test_precollected_tuple_rejects_bare_string_ids(store):
     """A single string as qids would silently iterate into per-character
     ids matching the matrix by accident — must raise."""
