@@ -487,6 +487,7 @@ from picovdb_spark.operators.dedup import (  # noqa: E402
     embedding_near_dup,
     exact_dedup,
     minhash_lsh_pairs,
+    paragraph_dedup,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -523,16 +524,68 @@ def _d_jaccard(a: str, b: str) -> str:
 @_register(
     "dedup_exact",
     """
-SELECT doc_id,
+SELECT 'exact' AS variant, doc_id,
        min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
-       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup,
+       CAST(NULL AS BIGINT) AS n_paras, CAST(NULL AS BIGINT) AS n_kept,
+       CAST(NULL AS VARCHAR) AS clean_digest
 FROM documents
+UNION ALL
+SELECT 'paragraph' AS variant, n.doc_id, n.doc_id AS canonical_id,
+       COALESCE(n.n_kept, 0) < n.n_paras AS is_dup,
+       n.n_paras, COALESCE(n.n_kept, 0) AS n_kept,
+       COALESCE(n.clean_digest, md5('')) AS clean_digest
+FROM (
+  WITH pdp AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+  pdx AS (SELECT doc_id, unnest(arr) AS para, unnest(range(len(arr))) AS pos
+          FROM pdp),
+  pde AS (SELECT doc_id, pos, para, md5(para) AS h FROM pdx
+          WHERE length(para) >= 1),
+  pdw AS (SELECT doc_id, pos, para FROM (
+            SELECT doc_id, pos, para,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+            FROM pde) WHERE rn = 1),
+  pdk AS (SELECT doc_id, pos, para FROM pdx WHERE length(para) < 1
+          UNION ALL SELECT doc_id, pos, para FROM pdw)
+  SELECT p.doc_id, len(p.arr) AS n_paras, c2.n_kept, c2.clean_digest
+  FROM pdp p LEFT JOIN (
+    SELECT doc_id, count(*) AS n_kept,
+           md5(string_agg(para, ' ' ORDER BY pos)) AS clean_digest
+    FROM pdk GROUP BY doc_id) c2 USING (doc_id)
+) n
 """,
 )
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by content hash (generalizes auto-id dedup,
-    pico_vdb.py:54-55)."""
-    return exact_dedup(load_table(spark, sf_dir, "documents"))
+    """Dedup-granularity suite over the documents corpus:
+    - 'exact': whole-document content-hash dedup (generalizes the
+      reference's auto-id collapse, pico_vdb.py:54-55).
+    - 'paragraph': corpus-wide span removal (operators/dedup.py:
+      paragraph_dedup) — the RefinedWeb/FineWeb step that rewrites each
+      document to its globally-first-occurrence spans. The synthetic
+      corpus is single-line word streams, so the suite exercises the
+      identical plan at word granularity (sep=' '); real corpora use the
+      default '\\n\\n'. The reassembled text is hash-checked end-to-end
+      via md5(text_clean)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = exact_dedup(docs).select(
+        F.lit("exact").alias("variant"),
+        "doc_id",
+        "canonical_id",
+        "is_dup",
+        F.lit(None).cast("long").alias("n_paras"),
+        F.lit(None).cast("long").alias("n_kept"),
+        F.lit(None).cast("string").alias("clean_digest"),
+    )
+    para = paragraph_dedup(docs, sep=" ").select(
+        F.lit("paragraph").alias("variant"),
+        "doc_id",
+        F.col("doc_id").alias("canonical_id"),
+        (F.col("n_kept") < F.col("n_paras")).alias("is_dup"),
+        "n_paras",
+        "n_kept",
+        F.md5("text_clean").alias("clean_digest"),
+    )
+    return exact.unionByName(para)
 
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:

@@ -763,3 +763,79 @@ def keep_best_per_component(
         .withColumn("keep", F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide exact paragraph (span) dedup with removal — the
+    RefinedWeb/FineWeb curation step the document-level ladder above
+    can't express: split every document on `sep`, keep only the GLOBAL
+    first occurrence of each repeated paragraph (ordered by
+    (id, position) — deterministic), and reassemble each document from
+    its surviving paragraphs in original order.
+
+    Output: (id_col, n_paras, n_kept, text_clean). A document whose
+    every paragraph appeared earlier in the corpus comes back with
+    n_kept = 0 and text_clean = "" — the caller decides whether to drop
+    such husks (the standard pipeline does).
+
+    Paragraphs shorter than `min_chars` (default 1 — i.e. empty splits
+    from consecutive separators) are never dedup-eligible: they carry
+    formatting, not content, and deduping them corpus-wide would delete
+    every blank line after the first document.
+
+    Scale shape — the decision never shuffles text:
+      1. posexplode to (id, pos, para) and hash: map-side only.
+      2. Elect winners: groupBy(md5(para)) ⇒ min(struct(id, pos)) — a
+         partial-aggregating shuffle of (digest, id, pos) triplets; the
+         paragraph BYTES stay put.
+      3. Collapse winners + ineligible positions to one sorted int
+         array per doc: a second narrow shuffle of (id, pos) only.
+      4. Reassemble map-side: join the int keep-list back to `docs` on
+         id (the single full-width shuffle, ~= one pass over the corpus;
+         zero if the corpus is bucketed/partitioned by id, and AQE
+         broadcasts the keep-list when it fits) and re-split + filter +
+         join the text in place. The alternative — grouping exploded
+         paragraph text back per doc — shuffles every text byte through
+         the aggregate; this plan moves each doc's text at most once.
+
+    The per-element `array_contains` in the reassembly filter is O(k)
+    per paragraph (k = kept count) — fine for web documents (k ≤ 10³);
+    for pathological million-paragraph docs pre-chunk first
+    (operators/chunking.py).
+
+    Reference contrast: the reference dedups whole payloads only via
+    content-hash auto-ids (pico_vdb.py:54-55); sub-document spans are
+    out of its model entirely.
+    """
+    import re as _re
+
+    arr = F.split(F.col(text_col), _re.escape(sep), -1)
+    paras = docs.select(F.col(id_col), F.posexplode(arr).alias("pos", "para"))
+    elig = paras.filter(F.length("para") >= min_chars).select(
+        F.col(id_col), F.col("pos"), F.md5(F.col("para")).alias("__h")
+    )
+    win = (
+        elig.groupBy("__h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
+        .select(F.col(f"w.{id_col}").alias(id_col), F.col("w.pos").alias("pos"))
+    )
+    inelig = paras.filter(F.length("para") < min_chars).select(F.col(id_col), F.col("pos"))
+    keep = win.unionByName(inelig)
+    keeplist = keep.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("__keep")
+    )
+    karr = F.coalesce(F.col("__keep"), F.array().cast("array<int>"))
+    kept_arr = F.filter(arr, lambda x, i: F.array_contains(karr, i))
+    return docs.join(keeplist, on=id_col, how="left").select(
+        F.col(id_col),
+        F.size(arr).cast("long").alias("n_paras"),
+        F.size(karr).cast("long").alias("n_kept"),
+        F.array_join(kept_arr, sep).alias("text_clean"),
+    )

@@ -1,0 +1,130 @@
+"""paragraph_dedup — corpus-wide span removal (RefinedWeb/FineWeb style).
+
+Covers the real configuration (multi-paragraph texts split on "\\n\\n")
+that the synthetic driver corpus can't exercise (its documents are
+single-line word streams, so the driver suite runs the operator at word
+granularity instead), plus a bit-exact DuckDB twin of the full
+split → elect → reassemble pipeline.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from picovdb_spark.operators.dedup import paragraph_dedup
+
+DOCS = [
+    # doc 1: unique intro + a boilerplate footer
+    (1, "alpha beta gamma\n\nshared footer text"),
+    # doc 2: repeats doc 1's footer (must lose it) + unique body
+    (2, "delta epsilon\n\nshared footer text\n\nzeta eta"),
+    # doc 3: entirely made of already-seen paragraphs -> husk
+    (3, "shared footer text\n\nalpha beta gamma"),
+    # doc 4: consecutive separators -> empty paragraphs are kept
+    (4, "solo para\n\n\n\ntail para"),
+    # doc 5: internal repeat — second copy inside the SAME doc drops too
+    (5, "repeat me\n\nrepeat me\n\nunique tail"),
+    # doc 6: empty document
+    (6, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def cleaned(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    rows = paragraph_dedup(df, sep="\n\n").collect()
+    return {r["doc_id"]: r for r in rows}
+
+
+def test_first_occurrence_wins_and_later_spans_drop(cleaned):
+    assert cleaned[1]["text_clean"] == "alpha beta gamma\n\nshared footer text"
+    assert cleaned[1]["n_paras"] == 2 and cleaned[1]["n_kept"] == 2
+    # doc 2 loses only the footer, order preserved
+    assert cleaned[2]["text_clean"] == "delta epsilon\n\nzeta eta"
+    assert cleaned[2]["n_paras"] == 3 and cleaned[2]["n_kept"] == 2
+
+
+def test_all_duplicate_doc_becomes_empty_husk(cleaned):
+    assert cleaned[3]["n_kept"] == 0
+    assert cleaned[3]["text_clean"] == ""
+
+
+def test_empty_paragraphs_preserve_formatting(cleaned):
+    # "\n\n\n\n" splits to ["solo para", "", "tail para"]; the empty
+    # middle is ineligible (min_chars=1) and must survive verbatim
+    assert cleaned[4]["text_clean"] == "solo para\n\n\n\ntail para"
+    assert cleaned[4]["n_paras"] == 3 and cleaned[4]["n_kept"] == 3
+
+
+def test_within_doc_repeat_drops_second_copy(cleaned):
+    assert cleaned[5]["text_clean"] == "repeat me\n\nunique tail"
+
+
+def test_empty_document_roundtrips(cleaned):
+    assert cleaned[6]["n_paras"] == 1  # split("") == [""]
+    assert cleaned[6]["n_kept"] == 1
+    assert cleaned[6]["text_clean"] == ""
+
+
+def test_duckdb_twin_bit_exact(spark):
+    """The whole pipeline restated in SQL must agree doc-for-doc."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["n_paras"], r["n_kept"], r["text_clean"])
+        for r in paragraph_dedup(df, sep="\n\n").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", DOCS)
+    sep = "chr(10) || chr(10)"
+    want = set(
+        tuple(t)
+        for t in con.execute(
+            f"""
+WITH p AS (SELECT doc_id, string_split(text, {sep}) AS arr FROM d),
+x AS (SELECT doc_id, unnest(arr) AS para, unnest(range(len(arr))) AS pos FROM p),
+e AS (SELECT doc_id, pos, para, md5(para) AS h FROM x WHERE length(para) >= 1),
+w AS (SELECT doc_id, pos, para FROM (
+        SELECT doc_id, pos, para,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM e) WHERE rn = 1),
+k AS (SELECT doc_id, pos, para FROM x WHERE length(para) < 1
+      UNION ALL SELECT doc_id, pos, para FROM w),
+c AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(para, {sep} ORDER BY pos) AS text_clean
+      FROM k GROUP BY doc_id)
+SELECT p.doc_id, len(p.arr) AS n_paras, COALESCE(c.n_kept, 0) AS n_kept,
+       COALESCE(c.text_clean, '') AS text_clean
+FROM p LEFT JOIN c USING (doc_id)
+"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_word_granularity_matches_driver_configuration(spark, sf_dir):
+    """The driver-suite configuration (sep=' ' over the synthetic word
+    streams) must conserve totals: kept words <= total words, and every
+    distinct word survives exactly once corpus-wide."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    out = paragraph_dedup(docs, sep=" ")
+    agg = out.agg(
+        F.sum("n_paras").alias("np"), F.sum("n_kept").alias("nk")
+    ).collect()[0]
+    distinct_words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .select("w")
+        .distinct()
+        .count()
+    )
+    empty_words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") < 1)
+        .count()
+    )
+    assert agg["nk"] == distinct_words + empty_words
+    assert agg["nk"] <= agg["np"]
