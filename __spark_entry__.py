@@ -486,6 +486,8 @@ def oracle_sql() -> dict[str, str]:
 from picovdb_spark.operators.dedup import (  # noqa: E402
     embedding_near_dup,
     exact_dedup,
+    minhash_dedup_against,
+    minhash_index,
     minhash_lsh_pairs,
     paragraph_dedup,
     ngram_jaccard_pairs,
@@ -604,6 +606,9 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
         )
         for b in range(bands)
     )
+    est_sum = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
     return f"""
 WITH {_D_TOKSHING_CTE},
 hashed AS (SELECT doc_id, sh, list_transform(sh, s -> {_d_hash32('s')}) AS hs FROM shing),
@@ -621,16 +626,51 @@ ver AS (
   FROM cand c
   JOIN shing sa ON sa.doc_id = c.id_a
   JOIN shing sb ON sb.doc_id = c.id_b
+),
+cand_against AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandrows a JOIN bandrows b
+    ON a.band_idx = b.band_idx AND a.band = b.band
+   AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         ({est_sum}) / {num_hashes}.0 AS jaccard
+  FROM cand_against c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b
 )
-SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= {threshold}
+SELECT 'self' AS variant, id_a, id_b, jaccard FROM ver WHERE jaccard >= {threshold}
+UNION ALL
+SELECT 'against' AS variant, id_a, id_b, jaccard FROM est WHERE jaccard >= {threshold}
 """
 
 
 @_register("dedup_minhash_lsh", _minhash_oracle())
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (shingle → minhash → band → bucket-join
-    → exact-Jaccard verify)."""
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    """MinHash near-dup suite:
+    - 'self': within-corpus LSH pairs (shingle → minhash → band →
+      bucket-join → exact-Jaccard verify), minhash_lsh_pairs.
+    - 'against': the INCREMENTAL form (dedup.py:minhash_dedup_against) —
+      docs with doc_id % 5 == 0 play the new crawl batch, the rest the
+      historical corpus, screened via a text-free `minhash_index` whose
+      verification is the signature-estimated Jaccard (matching-
+      coordinate fraction, k/16 — exact in double, so hash-stable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    self_pairs = minhash_lsh_pairs(docs).select(
+        F.lit("self").alias("variant"), "id_a", "id_b", "jaccard"
+    )
+    new_batch = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    against = minhash_dedup_against(
+        new_batch, minhash_index(hist), est_threshold=0.5
+    ).select(
+        F.lit("against").alias("variant"),
+        F.col("id_new").alias("id_a"),
+        F.col("id_indexed").alias("id_b"),
+        F.col("est_jaccard").alias("jaccard"),
+    )
+    return self_pairs.unionByName(against)
 
 
 @_register(

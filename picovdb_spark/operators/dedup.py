@@ -839,3 +839,139 @@ def paragraph_dedup(
         F.size(karr).cast("long").alias("n_kept"),
         F.array_join(kept_arr, sep).alias("text_clean"),
     )
+
+
+def minhash_index(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Self-contained, text-free MinHash index over a corpus — the
+    persistable half of INCREMENTAL dedup: build it once over the
+    historical corpus, write it as parquet, and screen every new crawl
+    batch against it with `minhash_dedup_against` without ever touching
+    (or storing) the historical text again.
+
+    One row per document: (id_col, sig: array<long>[num_hashes],
+    bands: array<string>[bands]). The row is ~200 bytes regardless of
+    document size — a 100 TB corpus indexes to ~20 GB. Signatures use
+    the same seeded permutations as `minhash_lsh_pairs`, so an index
+    built today matches batches screened tomorrow (the coefficients are
+    a deterministic function of `num_hashes` only).
+
+    Growing the index after a screen is a union: append
+    `minhash_index(new_unique_docs)` rows and rewrite (or partition the
+    index by ingest date and just add a partition)."""
+    rows = num_hashes // bands
+    sh = _shingled(docs, id_col, text_col, shingle_n)
+    hashed = sh.withColumn("hs", F.transform(F.col("sh"), md5_hash32))
+    sigs = hashed.select(F.col(id_col), *minhash_signature(F.col("hs"), num_hashes))
+    return sigs.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
+        F.array(
+            *[
+                band_value([F.col(f"mh{b * rows + r}") for r in range(rows)])
+                for b in range(bands)
+            ]
+        ).alias("bands"),
+    )
+
+
+def minhash_dedup_against(
+    new_docs: DataFrame,
+    index: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    est_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Screen a new document batch against a historical corpus's
+    `minhash_index` WITHOUT the historical text: the daily-crawl dedup
+    step (is this new page a near-copy of anything we already have?).
+
+    Returns (id_new, id_indexed, est_jaccard) for every new document
+    whose estimated Jaccard similarity to an indexed document is
+    ≥ `est_threshold`. est_jaccard is the standard MinHash estimator —
+    the fraction of the `num_hashes` signature coordinates that agree —
+    an unbiased estimate of the true shingle Jaccard with stderr
+    ≈ sqrt(J(1−J)/num_hashes). Unlike `minhash_lsh_pairs`, verification
+    uses signatures only (the index stores no shingles), which is
+    exactly the trade a production incremental pipeline makes: ~200
+    bytes per historical doc vs re-reading 100 TB of history per batch.
+    Raise `num_hashes` (at index build time) to tighten the estimate.
+
+    `shingle_n`/`num_hashes`/`bands` MUST match the index build — the
+    signature permutations are seeded by position, so a mismatched
+    num_hashes silently compares different permutations (array lengths
+    don't carry in the schema, so this cannot be validated at plan
+    time — persist the build parameters next to the index).
+
+    Scale shape: the new batch's band rows join the exploded index
+    bands on (band_idx, band) — a shuffle of (id, band-hash) pairs
+    pruned to the NEW batch's buckets; signature arrays join in only
+    for surviving candidates. `max_bucket_size` drops band buckets
+    whose COMBINED (index + batch) population exceeds the cap before
+    the join — same boilerplate guard, same semantics, as
+    `minhash_lsh_pairs`."""
+    idx_bands = index.select(
+        F.col(id_col).alias("id_indexed"),
+        F.posexplode("bands").alias("band_idx", "band"),
+    )
+    new_index = minhash_index(
+        new_docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+    ).cache()
+    new_bands = new_index.select(
+        F.col(id_col).alias("id_new"),
+        F.posexplode("bands").alias("band_idx", "band"),
+    )
+    if max_bucket_size is not None:
+        both = idx_bands.select("band_idx", "band").unionByName(
+            new_bands.select("band_idx", "band")
+        )
+        sizes = both.groupBy("band_idx", "band").agg(F.count("*").alias("__n"))
+        small = sizes.filter(F.col("__n") <= max_bucket_size).select("band_idx", "band")
+        idx_bands = idx_bands.join(small, on=["band_idx", "band"], how="left_semi")
+        new_bands = new_bands.join(small, on=["band_idx", "band"], how="left_semi")
+    cand = (
+        new_bands.join(idx_bands, on=["band_idx", "band"])
+        .select("id_new", "id_indexed")
+        .distinct()
+    )
+    sig_new = new_index.select(F.col(id_col).alias("id_new"), F.col("sig").alias("sig_new"))
+    sig_idx = index.select(
+        F.col(id_col).alias("id_indexed"), F.col("sig").alias("sig_idx")
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_new", "sig_idx", lambda a, b: a == b), lambda v: v
+        )
+    )
+    out = (
+        cand.join(sig_new, "id_new")
+        .join(sig_idx, "id_indexed")
+        # k/num_hashes is exact in double for any k (num_hashes a small
+        # power-of-two-ish int), so the estimate is reproducible
+        # bit-for-bit across engines
+        .withColumn(
+            "est_jaccard", matches.cast("double") / F.lit(float(num_hashes))
+        )
+        .filter(F.col("est_jaccard") >= est_threshold)
+        .select("id_new", "id_indexed", "est_jaccard")
+    )
+    out = out.localCheckpoint(eager=True)
+    new_index.unpersist()
+    return out

@@ -1,0 +1,105 @@
+"""Incremental dedup: minhash_index + minhash_dedup_against.
+
+The index is text-free (one ~200-byte row per historical doc); new
+batches screen against it by signature-estimated Jaccard. Candidates
+come from the same banding as minhash_lsh_pairs, so the self-screen's
+candidate set must match the self-join's exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from picovdb_spark.operators.dedup import (
+    minhash_dedup_against,
+    minhash_index,
+    minhash_lsh_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200).cache()
+
+
+def test_index_is_text_free_and_one_row_per_doc(spark, docs):
+    idx = minhash_index(docs)
+    assert set(idx.columns) == {"doc_id", "sig", "bands"}
+    assert idx.count() == docs.count()
+    row = idx.filter(F.size("sig") > 0).first()
+    assert len(row["sig"]) == 16 and len(row["bands"]) == 4
+
+
+def test_self_screen_candidates_match_self_join(spark, docs):
+    """Screening the corpus against its own index with est_threshold=0
+    must surface exactly the band-collision pairs the self-join sees."""
+    idx = minhash_index(docs)
+    against = {
+        (min(r["id_new"], r["id_indexed"]), max(r["id_new"], r["id_indexed"]))
+        for r in minhash_dedup_against(docs, idx, est_threshold=0.0).collect()
+        if r["id_new"] != r["id_indexed"]
+    }
+    self_join = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.0).collect()
+    }
+    assert against == self_join
+
+
+def test_planted_batch_detection(spark, docs):
+    """Exact copy -> est 1.0; perturbed copy -> high est; novel doc ->
+    absent at the threshold."""
+    base = docs.limit(1).collect()[0]
+    words = base["text"].split(" ")
+    near = " ".join(words[:-3])  # drop last 3 words: high overlap
+    batch = spark.createDataFrame(
+        [
+            (900001, base["text"]),
+            (900002, near),
+            (900003, "completely novel never seen zz yy xx ww vv uu tt"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = minhash_index(docs)
+    hits = {
+        r["id_new"]: r
+        for r in minhash_dedup_against(batch, idx, est_threshold=0.5).collect()
+        if r["id_indexed"] == base["doc_id"]
+    }
+    assert hits[900001]["est_jaccard"] == 1.0
+    assert 900002 in hits and hits[900002]["est_jaccard"] >= 0.5
+    assert 900003 not in hits
+
+
+def test_index_roundtrips_through_parquet(spark, docs, tmp_path):
+    """The production shape: persist the index, reload, screen."""
+    path = str(tmp_path / "mh_index")
+    minhash_index(docs).write.parquet(path)
+    reloaded = spark.read.parquet(path)
+    batch = docs.limit(5).select(
+        (F.col("doc_id") + 800000).alias("doc_id"), "text"
+    )
+    out = minhash_dedup_against(batch, reloaded, est_threshold=0.99)
+    got = {(r["id_new"] - 800000, r["id_indexed"]) for r in out.collect()}
+    # every batch doc is an exact copy of its source -> est 1.0 self-hit
+    assert {(i, i) for i in got if False} == set()  # shape guard only
+    assert all(a == b for a, b in got) and len(got) >= 5
+
+
+def test_bucket_cap_drops_boilerplate(spark):
+    """60 identical docs form one giant bucket; the cap suppresses the
+    candidate explosion for a screened batch too."""
+    boiler = [(i, "the same boilerplate page text repeated here") for i in range(60)]
+    corpus = spark.createDataFrame(boiler, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(1000, "the same boilerplate page text repeated here")],
+        "doc_id long, text string",
+    )
+    idx = minhash_index(corpus)
+    uncapped = minhash_dedup_against(batch, idx, est_threshold=0.5).count()
+    capped = minhash_dedup_against(
+        batch, idx, est_threshold=0.5, max_bucket_size=10
+    ).count()
+    assert uncapped == 60
+    assert capped == 0
