@@ -601,3 +601,128 @@ def filter_domains(
         .distinct()
     )
     return docs.join(bad_ids, on=id_col, how="left_anti")
+
+
+def ngram_lm_fit(
+    lm_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> dict:
+    """Fit a bigram language model with add-k smoothing — the CCNet/
+    Wikipedia-LM style quality signal: documents whose token stream the
+    reference corpus finds 'surprising' (high bits per token) are
+    boilerplate, spam, or gibberish; very low surprise is template text.
+
+    Returns {"bigrams": DF(w1, w2, c2), "unigrams": DF(w1, c1),
+    "vocab_size": int, "min_count": int} — two small count tables (the
+    whole model state; persist them as parquet to reuse across batches)
+    plus the smoothing denominator. Training is two narrow groupBys over
+    gram keys (map-side partial aggregation; text never shuffles).
+    `min_count` prunes the bigram tail (count < min_count drops to the
+    smoothed floor), which bounds the table at corpus scale — the
+    standard LM-pruning trade.
+
+    Fit on a held-out reference slice (e.g. a known-clean subcorpus),
+    then score the full corpus: at 100 TB the model tables stay
+    megabytes while scoring is one join + one per-doc aggregate.
+
+    The unigram table comes back CACHED (vocab_size already forced one
+    pass; every score call re-reads both tables). Release it with
+    `lm["unigrams"].unpersist()` when done, or persist both tables to
+    parquet and reload — the durable form."""
+    t = tokens(F.col(text_col))
+    toks = lm_docs.select(t.alias("t")).filter(F.size("t") >= 1)
+    uni = (
+        toks.select(F.explode("t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(t, 1, size(t) - 1)"),
+                    F.expr("slice(t, 2, size(t) - 1)"),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    if min_count > 1:
+        bi = bi.filter(F.col("c2") >= min_count)
+    uni = uni.cache()
+    vocab_size = uni.count()
+    return {
+        "bigrams": bi,
+        "unigrams": uni,
+        "vocab_size": vocab_size,
+        "min_count": min_count,
+    }
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    lm: dict,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Score every document against an `ngram_lm_fit` model:
+    bits_per_token = mean over bigram positions of
+    −log₂ p(w2 | w1), with p = (c2 + k) / (c1 + k·V) (add-k smoothing —
+    unseen bigrams and unseen prefixes both fall to the smoothed floor
+    instead of −∞).
+
+    Output: (id_col, n_bigrams, oov_bigrams, bits_per_token); documents
+    with fewer than two tokens score NULL (no bigram evidence) with
+    n_bigrams = 0. High bits = unnatural text (gibberish, spam);
+    abnormally low bits = templated repetition — pipelines usually keep
+    a middle band, like the quality-score keep rule (quality_score).
+
+    Scale shape: one explode to (doc, position) bigram rows, one join
+    per count table (broadcast when the LM is small — the usual case, a
+    pruned LM is MBs; shuffle-join on gram keys otherwise — Catalyst/AQE
+    decides), one per-doc aggregate. The mean is a float64 sum whose
+    addend ORDER is partition-dependent at the last ulp, so this is a
+    tolerance-checked operator (pytest DuckDB twin at 1e-9), not a
+    bit-hash one — the honest contract for any floating reduction."""
+    v = float(lm["vocab_size"])
+    k = float(add_k)
+    t = tokens(F.col(text_col))
+    toks = docs.select(F.col(id_col), t.alias("t"))
+    bg = toks.filter(F.size("t") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 1)"),
+                F.expr("slice(t, 2, size(t) - 1)"),
+            )
+        ).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+    joined = (
+        bg.join(lm["bigrams"], on=["w1", "w2"], how="left")
+        .join(lm["unigrams"], on="w1", how="left")
+        .withColumn(
+            "__p",
+            (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + F.lit(k))
+            / (F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.lit(k * v)),
+        )
+    )
+    scored = joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("c2").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("oov_bigrams"),
+        F.avg(-F.log2("__p")).alias("bits_per_token"),
+    )
+    return docs.select(F.col(id_col)).join(scored, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias("n_bigrams"),
+        F.coalesce(F.col("oov_bigrams"), F.lit(0).cast("long")).alias("oov_bigrams"),
+        F.col("bits_per_token"),
+    )
