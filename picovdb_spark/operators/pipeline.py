@@ -5,8 +5,9 @@ The reference stops at vector search; the pipelines that FEED it (and
 any LLM pre-training corpus) run this exact chain before a single
 embedding is computed:
 
-    exact dedup → near-dup components → keep-best-by-quality →
-    quality floor → repetition screen → [benchmark decontamination] →
+    [paragraph/span removal] → exact dedup → near-dup components →
+    keep-best-by-quality → quality floor → repetition screen →
+    [bigram-LM unnaturalness band] → [benchmark decontamination] →
     train/val/test split
 
 `curate_corpus` composes the already-oracle-checked operators
@@ -36,10 +37,12 @@ from picovdb_spark.operators.dedup import (
     exact_dedup,
     keep_best_per_component,
     minhash_lsh_pairs,
+    paragraph_dedup,
 )
 from picovdb_spark.operators.textops import (
     dataset_split,
     decontaminate,
+    ngram_lm_score,
     quality_score,
     repetition_stats,
 )
@@ -47,10 +50,12 @@ from picovdb_spark.operators.textops import (
 # drop_reason precedence — first failing gate wins, so run-over-run
 # counts per reason are stable under unrelated gate changes
 REASONS = (
+    "span_empty",
     "exact_dup",
     "near_dup",
     "low_quality",
     "repetitive",
+    "unnatural",
     "contaminated",
 )
 
@@ -65,13 +70,29 @@ def curate_corpus(
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = None,
     weights: dict[str, float] | None = None,
+    paragraph_sep: str | None = None,
+    paragraph_min_chars: int = 1,
+    lm: dict | None = None,
+    lm_bits_max: float | None = None,
 ) -> DataFrame:
     """One row per input document:
 
     (id, n_tokens, quality, dup_word_frac, top_bigram_frac,
-     component_id, split, keep, drop_reason)
+     n_paras, n_kept, bits_per_token, component_id, split, keep,
+     drop_reason)
 
     - `keep` — survives every gate; `drop_reason` is NULL.
+    - `paragraph_sep` (optional, e.g. "\\n\\n") runs corpus-wide span
+      removal (dedup.paragraph_dedup) FIRST — the FineWeb order — and
+      every later gate sees the REWRITTEN text; documents whose every
+      span was seen earlier gate as span_empty. The cleaned corpus is
+      materialized once (localCheckpoint) so the six downstream stages
+      don't re-elect winners. Off (None) ⇒ n_paras/n_kept are NULL.
+    - `lm` + `lm_bits_max` (optional): an `ngram_lm_fit` model gates
+      documents whose bits-per-token EXCEEDS the cap as `unnatural`
+      (gibberish/spam); NULL-scored docs (<2 tokens) pass this gate —
+      the length/quality gates own short docs. Off ⇒ bits_per_token
+      NULL.
     - exact duplicates: only the canonical (min-id) copy can survive.
     - near-dup components (MinHash-LSH pairs at `jaccard_threshold`,
       transitively closed): only the best-QUALITY member survives
@@ -84,6 +105,19 @@ def curate_corpus(
       is assigned to every row — filter `keep` downstream; dropped
       rows keep their split for audit symmetry.
     """
+    if paragraph_sep is not None:
+        spans = paragraph_dedup(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            sep=paragraph_sep,
+            min_chars=paragraph_min_chars,
+        ).localCheckpoint(eager=True)
+        span_cols = spans.select(id_col, "n_paras", "n_kept")
+        docs = spans.select(F.col(id_col), F.col("text_clean").alias(text_col))
+    else:
+        span_cols = None
+
     ids = docs.select(id_col)
 
     ex = exact_dedup(docs, id_col=id_col, text_col=text_col).select(
@@ -116,6 +150,19 @@ def curate_corpus(
         .join(best, id_col, "left")
         .join(split, id_col, "left")
     )
+    if span_cols is not None:
+        out = out.join(span_cols, id_col, "left")
+    else:
+        out = out.withColumn("n_paras", F.lit(None).cast("long")).withColumn(
+            "n_kept", F.lit(None).cast("long")
+        )
+    if lm is not None:
+        lms = ngram_lm_score(docs, lm, id_col=id_col, text_col=text_col).select(
+            id_col, "bits_per_token"
+        )
+        out = out.join(lms, id_col, "left")
+    else:
+        out = out.withColumn("bits_per_token", F.lit(None).cast("double"))
     if eval_docs is not None:
         cont = decontaminate(
             docs, eval_docs, id_col=id_col, text_col=text_col
@@ -124,11 +171,18 @@ def curate_corpus(
     else:
         out = out.withColumn("__contaminated", F.lit(None).cast("boolean"))
 
+    unnatural = (
+        (F.col("bits_per_token") > F.lit(float(lm_bits_max)))
+        if (lm is not None and lm_bits_max is not None)
+        else F.lit(False)
+    )
     reason = (
-        F.when(F.col("__exact_dup"), F.lit("exact_dup"))
+        F.when(F.coalesce(F.col("n_kept"), F.lit(1)) == 0, F.lit("span_empty"))
+        .when(F.col("__exact_dup"), F.lit("exact_dup"))
         .when(~F.coalesce(F.col("__best_in_comp"), F.lit(True)), F.lit("near_dup"))
         .when(F.col("quality") < F.lit(float(quality_min)), F.lit("low_quality"))
         .when(~F.coalesce(F.col("__rep_keep"), F.lit(True)), F.lit("repetitive"))
+        .when(F.coalesce(unnatural, F.lit(False)), F.lit("unnatural"))
         .when(F.coalesce(F.col("__contaminated"), F.lit(False)), F.lit("contaminated"))
     )
     return out.select(
@@ -137,6 +191,9 @@ def curate_corpus(
         "quality",
         "dup_word_frac",
         "top_bigram_frac",
+        "n_paras",
+        "n_kept",
+        "bits_per_token",
         "component_id",
         "split",
         reason.alias("drop_reason"),

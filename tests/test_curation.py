@@ -129,3 +129,58 @@ def test_curate_corpus_survives_blank_docs(spark, corpus):
     by_id = {r["doc_id"]: r for r in out}
     assert not by_id[99]["keep"] and by_id[99]["drop_reason"] is not None
     assert not by_id[98]["keep"]
+
+
+def test_curate_with_span_removal_and_lm_band(spark):
+    """The two optional stages: paragraph_sep rewrites text before every
+    gate (FineWeb order), and an LM cap gates gibberish as 'unnatural'."""
+    from picovdb_spark.operators.textops import ngram_lm_fit
+
+    boiler = "standard cookie banner text here"
+    rows = [
+        (1, _natural("core") + "\n\n" + boiler),   # keeps its unique half
+        (2, boiler + "\n\n" + _natural("delta")),  # loses the banner, keeps delta
+        (3, boiler),                               # nothing left -> span_empty
+        (4, _natural("echo")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # LM trained on natural-ish text; score a shuffled-gibberish doc high
+    lm_train = spark.createDataFrame(
+        [(i, _natural(f"w{i}")) for i in range(20)], "doc_id long, text string"
+    )
+    lm = ngram_lm_fit(lm_train)
+    try:
+        out = {
+            r["doc_id"]: r
+            for r in curate_corpus(
+                docs, paragraph_sep="\n\n", lm=lm, lm_bits_max=1e9
+            ).collect()
+        }
+        assert out[3]["drop_reason"] == "span_empty" and not out[3]["keep"]
+        assert out[1]["n_paras"] == 2 and out[1]["n_kept"] == 2
+        assert out[2]["n_paras"] == 2 and out[2]["n_kept"] == 1
+        assert out[4]["keep"]
+        # bits column populated when lm given
+        assert out[4]["bits_per_token"] is not None
+
+        # a tight cap flips high-bits docs to 'unnatural' (precedence
+        # after repetitive, before contaminated)
+        med = sorted(
+            r["bits_per_token"] for r in out.values() if r["bits_per_token"]
+        )[1]
+        out2 = {
+            r["doc_id"]: r
+            for r in curate_corpus(
+                docs, paragraph_sep="\n\n", lm=lm, lm_bits_max=med - 1e-9
+            ).collect()
+        }
+        assert any(r["drop_reason"] == "unnatural" for r in out2.values())
+    finally:
+        lm["unigrams"].unpersist()
+
+
+def test_curate_optional_stages_off_yield_null_columns(spark, corpus):
+    docs, _ = corpus
+    r = curate_corpus(docs).limit(1).collect()[0]
+    assert r["n_paras"] is None and r["n_kept"] is None
+    assert r["bits_per_token"] is None
