@@ -650,6 +650,39 @@ def bench_queries(spark):
             q_scale1m_dedup_minhash()
         _force(connected_components(scale_state["pairs1m"], scale_state["docs1m"]))
 
+    def q_scale1m_dedup_paragraph():
+        # corpus-wide span removal at word granularity over the 1M-doc
+        # corpus: ~30M (digest, id, pos) triplets through the winner
+        # election, int keep-lists back, text moved once for reassembly
+        from picovdb_spark.operators.dedup import paragraph_dedup
+
+        _force(paragraph_dedup(scale_state["docs1m"], sep=" "))
+
+    def q_scale1m_dedup_incremental():
+        # the daily-crawl shape: index 900k historical docs (text-free,
+        # ~200 B/doc), screen a 100k batch by signature-estimated
+        # Jaccard. One entry = build + screen; compare against
+        # scale1m_dedup_minhash (the full self-join this replaces when
+        # only the new batch needs deduping).
+        from picovdb_spark.operators.dedup import (
+            minhash_dedup_against,
+            minhash_index,
+        )
+
+        docs = scale_state["docs1m"]
+        hist = docs.filter(F.col("doc_id") % 10 != 0)
+        batch = docs.filter(F.col("doc_id") % 10 == 0)
+        # materialize the index once (localCheckpoint stands in for the
+        # parquet write a real pipeline does): the screen consumes the
+        # index TWICE (band explode + signature verify), and an
+        # unmaterialized index recomputes 900k signatures per consumer —
+        # measured 90.6 s vs 19.6 s materialized
+        idx = minhash_index(hist).localCheckpoint(eager=True)
+        # the operator localCheckpoints eagerly, so construction IS the
+        # timed work; the count reads the materialized result
+        out = minhash_dedup_against(batch, idx, est_threshold=0.5)
+        EXTRA_STATS["scale1m_dedup_incremental"] = {"batch_hits": out.count()}
+
     # -- 1M-vector embedding near-dup: the auto router's LSH regime.
     # 1M x 128 slips UNDER the 1 GiB broadcast byte cap (1.02 GB) but
     # its all-pairs scan is 1.3e17 FLOPs — the quadratic-compute budget
@@ -936,6 +969,8 @@ def bench_queries(spark):
         "scale1m_dedup_minhash": q_scale1m_dedup_minhash,
         "scale1m_dedup_simhash": q_scale1m_dedup_simhash,
         "scale1m_dedup_components": q_scale1m_dedup_components,
+        "scale1m_dedup_paragraph": q_scale1m_dedup_paragraph,
+        "scale1m_dedup_incremental": q_scale1m_dedup_incremental,
         "_prepare_emb1m": _prepare_emb1m,
         "scale1m_embedding_near_dup": q_scale1m_embedding_near_dup,
         "_prepare_disk_tier": _prepare_disk_tier,

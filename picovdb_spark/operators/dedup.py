@@ -921,7 +921,13 @@ def minhash_dedup_against(
     for surviving candidates. `max_bucket_size` drops band buckets
     whose COMBINED (index + batch) population exceeds the cap before
     the join — same boilerplate guard, same semantics, as
-    `minhash_lsh_pairs`."""
+    `minhash_lsh_pairs`.
+
+    The index is consumed TWICE (band explode, then signature verify) —
+    pass it MATERIALIZED (a parquet read, the normal case, or
+    `.localCheckpoint(eager=True)`); screening against a lazily
+    recomputed index pays the signature pipeline once per consumer
+    (measured 4.6x slower at 900k docs: 90.6 s vs 19.6 s)."""
     idx_bands = index.select(
         F.col(id_col).alias("id_indexed"),
         F.posexplode("bands").alias("band_idx", "band"),

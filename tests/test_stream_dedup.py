@@ -162,3 +162,103 @@ def test_stream_mark_rejects_untiling_block_config(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="divisible"):
         stream_simhash_mark(docs, bits=60, max_hamming=7)
+
+
+# ---------------------------------------------------------------- screen
+
+
+def test_minhash_screen_batch_matches_against(spark, sf_dir):
+    """The batch form must agree pair-for-pair with minhash_dedup_against
+    (same signatures, same estimator) and mark every doc exactly once."""
+    from picovdb_spark.operators.dedup import minhash_dedup_against, minhash_index
+    from picovdb_spark.streaming.dedup import stream_minhash_screen
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(150)
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = minhash_index(hist).localCheckpoint(eager=True)
+
+    marked = stream_minhash_screen(batch, idx, est_threshold=0.3)
+    assert marked.count() == batch.count()  # one row per doc, none lost
+    hits = {
+        r["doc_id"]: (r["matched_id"], r["est_jaccard"])
+        for r in marked.filter("is_known_dup").collect()
+    }
+    pairs = minhash_dedup_against(batch, idx, est_threshold=0.3)
+    best = {}
+    for r in pairs.collect():
+        cur = best.get(r["id_new"])
+        cand = (r["est_jaccard"], -r["id_indexed"], r["id_indexed"])
+        if cur is None or cand > cur:
+            best[r["id_new"]] = cand
+    assert hits == {k: (v[2], v[0]) for k, v in best.items()}
+
+
+def test_minhash_screen_foreachbatch_e2e(spark, tmp_path):
+    """The production shape: file stream -> foreachBatch screen vs a
+    static index -> parquet sink with the dup mark landed per row."""
+    from datetime import datetime
+
+    from picovdb_spark.operators.dedup import minhash_index
+    from picovdb_spark.streaming.dedup import stream_minhash_screen
+
+    hist = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path / "idx")
+    minhash_index(hist).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    src_dir = str(tmp_path / "scr_src")
+    out_dir = str(tmp_path / "scr_out")
+    ckpt = str(tmp_path / "scr_ckpt")
+    t0 = datetime(2024, 3, 1, 9, 0, 0)
+    _write_doc_batch(
+        spark,
+        src_dir,
+        [(10, t0, "alpha beta gamma delta epsilon zeta eta theta")],
+    )
+    _write_doc_batch(
+        spark, src_dir, [(11, t0, "totally novel words appear here now ok yes")]
+    )
+
+    src = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def sink(bdf, _bid):
+        stream_minhash_screen(bdf, idx, est_threshold=0.5).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    landed = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert landed[10]["is_known_dup"] and landed[10]["matched_id"] == 1
+    assert landed[10]["est_jaccard"] == 1.0
+    assert not landed[11]["is_known_dup"] and landed[11]["matched_id"] is None
+
+
+def test_minhash_screen_rejects_direct_stream(spark, tmp_path):
+    from picovdb_spark.operators.dedup import minhash_index
+    from picovdb_spark.streaming.dedup import stream_minhash_screen
+
+    d = str(tmp_path / "rej_src")
+    _write_doc_batch(spark, d, [(1, None, "a b c")])
+    src = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(d)
+    idx = minhash_index(
+        spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    )
+    with pytest.raises(ValueError, match="foreachBatch"):
+        stream_minhash_screen(src, idx)
