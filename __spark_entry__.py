@@ -590,7 +590,20 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(para)
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_oracle(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    *,
+    include_against: bool = False,
+) -> str:
+    """DuckDB twin of the minhash machinery. Default shape is the plain
+    self-join pair list (id_a, id_b, jaccard) — the form the components
+    and keep-best oracles NEST inside `WITH RECURSIVE` (a top-level
+    UNION ALL there would be parsed as the recursive anchor/step split).
+    `include_against=True` emits the 2-variant driver-suite shape
+    (variant, id_a, id_b, jaccard): self pairs UNION ALL the incremental
+    batch-vs-index screen with signature-estimated Jaccard."""
     from picovdb_spark.functions.text import MINHASH_PRIME, _minhash_coeffs
 
     rows = num_hashes // bands
@@ -609,6 +622,29 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5
     est_sum = " + ".join(
         f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
     )
+    if include_against:
+        against_ctes = f""",
+cand_against AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandrows a JOIN bandrows b
+    ON a.band_idx = b.band_idx AND a.band = b.band
+   AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         ({est_sum}) / {num_hashes}.0 AS jaccard
+  FROM cand_against c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b
+)"""
+        final_select = f"""SELECT 'self' AS variant, id_a, id_b, jaccard FROM ver WHERE jaccard >= {threshold}
+UNION ALL
+SELECT 'against' AS variant, id_a, id_b, jaccard FROM est WHERE jaccard >= {threshold}"""
+    else:
+        against_ctes = ""
+        final_select = (
+            f"SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= {threshold}"
+        )
     return f"""
 WITH {_D_TOKSHING_CTE},
 hashed AS (SELECT doc_id, sh, list_transform(sh, s -> {_d_hash32('s')}) AS hs FROM shing),
@@ -626,27 +662,12 @@ ver AS (
   FROM cand c
   JOIN shing sa ON sa.doc_id = c.id_a
   JOIN shing sb ON sb.doc_id = c.id_b
-),
-cand_against AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bandrows a JOIN bandrows b
-    ON a.band_idx = b.band_idx AND a.band = b.band
-   AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-),
-est AS (
-  SELECT c.id_a, c.id_b,
-         ({est_sum}) / {num_hashes}.0 AS jaccard
-  FROM cand_against c
-  JOIN sigs sa ON sa.doc_id = c.id_a
-  JOIN sigs sb ON sb.doc_id = c.id_b
-)
-SELECT 'self' AS variant, id_a, id_b, jaccard FROM ver WHERE jaccard >= {threshold}
-UNION ALL
-SELECT 'against' AS variant, id_a, id_b, jaccard FROM est WHERE jaccard >= {threshold}
+){against_ctes}
+{final_select}
 """
 
 
-@_register("dedup_minhash_lsh", _minhash_oracle())
+@_register("dedup_minhash_lsh", _minhash_oracle(include_against=True))
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash near-dup suite:
     - 'self': within-corpus LSH pairs (shingle → minhash → band →
