@@ -1051,6 +1051,8 @@ def main() -> None:
         "ref100k_upsert",
         "scale1m_dedup_minhash",
         "scale1m_embedding_near_dup",
+        "scale1m_dedup_paragraph",
+        "scale1m_dedup_incremental",
     ]
     timings: dict[str, float] = {}
     all_queries = bench_queries(spark)
