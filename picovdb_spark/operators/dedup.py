@@ -94,29 +94,40 @@ def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     return docs.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
 
 
-def _band_rows_from_shingles(
+def _sig_bands_from_shingles(
     sh: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """(id, band_idx, band) LSH band rows from a shingle DataFrame — the
-    ONE banding construction, shared by the `minhash_lsh_pairs` self-join
-    and the `lsh_bucket_stats` diagnostic so the diagnostic can never
-    drift from the join it measures. One md5 per shingle, materialized
-    as a column so the `num_hashes` permutation mins share it; one
-    posexplode, not `bands` unioned selects (a union re-evaluates the
-    signature subtree per branch per consumer)."""
+    """(id, sig: array<long>, bands: array<string>) from a shingle
+    DataFrame — the ONE signature+banding construction. Every consumer
+    (`minhash_lsh_pairs` self-join, `lsh_bucket_stats` diagnostic,
+    `minhash_index` persistable index, and through it the streaming
+    screen) derives from this projection, so none can drift from the
+    others. One md5 per shingle, materialized as a column so the
+    `num_hashes` permutation mins share it."""
     rows = num_hashes // bands
     hashed = sh.withColumn("hs", F.transform(F.col("sh"), md5_hash32))
     sigs = hashed.select(F.col(id_col), *minhash_signature(F.col("hs"), num_hashes))
     return sigs.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    band_value([F.col(f"mh{b * rows + r}") for r in range(rows)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band"),
+        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
+        F.array(
+            *[
+                band_value([F.col(f"mh{b * rows + r}") for r in range(rows)])
+                for b in range(bands)
+            ]
+        ).alias("bands"),
+    )
+
+
+def _band_rows_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band) exploded band rows — one posexplode over the
+    shared `_sig_bands_from_shingles` projection, not `bands` unioned
+    selects (a union re-evaluates the signature subtree per branch per
+    consumer)."""
+    return _sig_bands_from_shingles(sh, id_col, num_hashes, bands).select(
+        F.col(id_col), F.posexplode("bands").alias("band_idx", "band")
     )
 
 
@@ -816,7 +827,10 @@ def paragraph_dedup(
     """
     import re as _re
 
-    arr = F.split(F.col(text_col), _re.escape(sep), -1)
+    # NULL text behaves as the empty document ("" → one empty, always-
+    # kept paragraph → text_clean "") instead of NULL-propagating into a
+    # phantom span_empty husk (n_kept 0 with no spans at all)
+    arr = F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep), -1)
     paras = docs.select(F.col(id_col), F.posexplode(arr).alias("pos", "para"))
     elig = paras.filter(F.length("para") >= min_chars).select(
         F.col(id_col), F.col("pos"), F.md5(F.col("para")).alias("__h")
@@ -866,19 +880,8 @@ def minhash_index(
     Growing the index after a screen is a union: append
     `minhash_index(new_unique_docs)` rows and rewrite (or partition the
     index by ingest date and just add a partition)."""
-    rows = num_hashes // bands
-    sh = _shingled(docs, id_col, text_col, shingle_n)
-    hashed = sh.withColumn("hs", F.transform(F.col("sh"), md5_hash32))
-    sigs = hashed.select(F.col(id_col), *minhash_signature(F.col("hs"), num_hashes))
-    return sigs.select(
-        F.col(id_col),
-        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
-        F.array(
-            *[
-                band_value([F.col(f"mh{b * rows + r}") for r in range(rows)])
-                for b in range(bands)
-            ]
-        ).alias("bands"),
+    return _sig_bands_from_shingles(
+        _shingled(docs, id_col, text_col, shingle_n), id_col, num_hashes, bands
     )
 
 
@@ -924,7 +927,8 @@ def minhash_dedup_against(
     `minhash_lsh_pairs`.
 
     The index is consumed TWICE (band explode, then signature verify) —
-    pass it MATERIALIZED (a parquet read, the normal case, or
+    three times with `max_bucket_size` set (the bucket census is its own
+    pass) — so pass it MATERIALIZED (a parquet read, the normal case, or
     `.localCheckpoint(eager=True)`); screening against a lazily
     recomputed index pays the signature pipeline once per consumer
     (measured 4.6x slower at 900k docs: 90.6 s vs 19.6 s)."""

@@ -105,6 +105,13 @@ def curate_corpus(
       is assigned to every row — filter `keep` downstream; dropped
       rows keep their split for audit symmetry.
     """
+    if lm is None and lm_bits_max is not None:
+        raise ValueError(
+            "lm_bits_max set without an lm model: pass lm=ngram_lm_fit(...) "
+            "or drop the cap — a silent no-op gate would keep every "
+            "gibberish doc the cap was meant to drop"
+        )
+    husks = None
     if paragraph_sep is not None:
         spans = paragraph_dedup(
             docs,
@@ -114,7 +121,15 @@ def curate_corpus(
             min_chars=paragraph_min_chars,
         ).localCheckpoint(eager=True)
         span_cols = spans.select(id_col, "n_paras", "n_kept")
-        docs = spans.select(F.col(id_col), F.col("text_clean").alias(text_col))
+        # husks (every span seen earlier) are already condemned — route
+        # them around the chain instead of through it: their identical
+        # "" texts would otherwise all collide on md5("") (one hot
+        # window partition in exact_dedup, an h²/2 candidate blow-up in
+        # the LSH self-join for h husks)
+        husks = spans.filter(F.col("n_kept") == 0)
+        docs = spans.filter(F.col("n_kept") > 0).select(
+            F.col(id_col), F.col("text_clean").alias(text_col)
+        )
     else:
         span_cols = None
 

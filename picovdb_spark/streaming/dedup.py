@@ -155,72 +155,6 @@ def stream_simhash_mark(
     )
 
 
-def _with_sig_bands(
-    docs: DataFrame,
-    *,
-    id_col: str,
-    text_col: str,
-    shingle_n: int,
-    num_hashes: int,
-    bands: int,
-) -> DataFrame:
-    """Append (sig, bands) minhash columns to EVERY existing column —
-    pure map-side (mapInPandas shingle pass + Catalyst projections), no
-    join, so it is legal on a streaming DataFrame. Same signatures as
-    `operators/dedup.minhash_index` (shared seeded permutations)."""
-    from collections.abc import Iterator
-
-    from pyspark.sql import types as T
-
-    from picovdb_spark.functions.text import (
-        band_value,
-        md5_hash32,
-        minhash_signature,
-    )
-
-    out_schema = T.StructType(
-        list(docs.schema.fields) + [T.StructField("__sh", T.ArrayType(T.StringType()))]
-    )
-
-    def kernel(batches: Iterator) -> Iterator:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            pdf = pdf.copy()
-            shingled = []
-            for text in pdf[text_col]:
-                toks = [t for t in str(text).lower().split(" ") if t]
-                if len(toks) >= shingle_n:
-                    shingled.append(
-                        list(
-                            {
-                                " ".join(toks[i : i + shingle_n])
-                                for i in range(len(toks) - shingle_n + 1)
-                            }
-                        )
-                    )
-                else:
-                    shingled.append([])
-            pdf["__sh"] = shingled
-            yield pdf
-
-    rows = num_hashes // bands
-    hashed = docs.mapInPandas(kernel, schema=out_schema).withColumn(
-        "__hs", F.transform(F.col("__sh"), md5_hash32)
-    )
-    sigged = hashed.select("*", *minhash_signature(F.col("__hs"), num_hashes))
-    return sigged.select(
-        *docs.columns,
-        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
-        F.array(
-            *[
-                band_value([F.col(f"mh{b * rows + r}") for r in range(rows)])
-                for b in range(bands)
-            ]
-        ).alias("bands"),
-    )
-
-
 def stream_minhash_screen(
     docs: DataFrame,
     index: DataFrame,
@@ -232,20 +166,18 @@ def stream_minhash_screen(
     bands: int = 4,
     est_threshold: float = 0.5,
 ) -> DataFrame:
-    """Screen ARRIVING documents against the historical corpus\'s
+    """Screen ARRIVING documents against the historical corpus's
     `operators/dedup.minhash_index` — the streaming form of
     `minhash_dedup_against`: every row comes back marked with whether it
     near-duplicates something the corpus already owns.
 
-    Pure stream-STATIC construction, Spark\'s native shape for exactly
-    this: the arriving side computes signature + band columns map-side
-    (one Arrow pass per document, zero state), candidates come from a
-    join with the static band table on (band_idx, band), and
-    verification is the same k/num_hashes signature-estimated Jaccard as
-    the batch screen — identical rows stream vs batch. The static side
-    is re-planned per micro-batch, so an index refresh (foreachBatch
-    atomic swap) is picked up on cadence; no stream state is ever kept —
-    the index IS the state and it lives in storage.
+    Per micro-batch this IS `minhash_dedup_against` (delegated
+    wholesale — one signature/banding construction in the codebase, so
+    stream and batch screens can never drift), reduced to the best match
+    per document and joined back onto the arriving rows. The index is
+    re-read per micro-batch, so an index refresh (foreachBatch atomic
+    swap) is picked up on cadence; no stream state is ever kept — the
+    index IS the state and it lives in storage.
 
     Run it INSIDE foreachBatch (the module's ingestion pattern —
     streaming/ingest.py): each micro-batch is a batch DataFrame there,
@@ -268,48 +200,34 @@ def stream_minhash_screen(
             "batch — collapsing band candidates to one row per document "
             "is stateful in every direct streaming form"
         )
-    arriving = _with_sig_bands(
-        docs,
+    from picovdb_spark.operators.dedup import minhash_dedup_against
+
+    # delegate to the batch screen wholesale — ONE signature/banding
+    # construction in the whole codebase (dedup._sig_bands_from_shingles),
+    # candidate pairs deduped before the estimator runs once per pair
+    pairs = minhash_dedup_against(
+        docs.select(F.col(id_col), F.col(text_col)),
+        index,
         id_col=id_col,
         text_col=text_col,
         shingle_n=shingle_n,
         num_hashes=num_hashes,
         bands=bands,
-    )
-    idx_bands = index.select(
-        F.col(id_col).alias("__m_id"),
-        F.col("sig").alias("__m_sig"),
-        F.posexplode("bands").alias("band_idx", "band"),
-    )
-    new_bands = arriving.select(
-        F.col(id_col).alias("__n_id"),
-        F.col("sig"),
-        F.posexplode("bands").alias("band_idx", "band"),
-    )
-    matches = F.size(
-        F.filter(F.zip_with("sig", "__m_sig", lambda a, b: a == b), lambda v: v)
-    )
-    pairs = (
-        new_bands.join(idx_bands, on=["band_idx", "band"], how="inner")
-        .withColumn(
-            "est_jaccard", matches.cast("double") / F.lit(float(num_hashes))
-        )
-        .filter(F.col("est_jaccard") >= est_threshold)
-        .select("__n_id", F.col("__m_id"), "est_jaccard")
+        est_threshold=est_threshold,
     )
     best = (
-        pairs.groupBy("__n_id")
+        pairs.groupBy("id_new")
         .agg(
             F.max(
                 F.struct(
                     F.col("est_jaccard").alias("est"),
-                    (-F.col("__m_id")).alias("__neg_id"),
-                    F.col("__m_id").alias("matched_id"),
+                    (-F.col("id_indexed")).alias("__neg_id"),
+                    F.col("id_indexed").alias("matched_id"),
                 )
             ).alias("__best")
         )
         .select(
-            F.col("__n_id").alias(id_col),
+            F.col("id_new").alias(id_col),
             F.col("__best.matched_id").alias("matched_id"),
             F.col("__best.est").alias("est_jaccard"),
         )
