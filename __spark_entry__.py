@@ -538,7 +538,8 @@ SELECT 'paragraph' AS variant, n.doc_id, n.doc_id AS canonical_id,
        n.n_paras, COALESCE(n.n_kept, 0) AS n_kept,
        COALESCE(n.clean_digest, md5('')) AS clean_digest
 FROM (
-  WITH pdp AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+  WITH pdp AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr
+               FROM documents),
   pdx AS (SELECT doc_id, unnest(arr) AS para, unnest(range(len(arr))) AS pos
           FROM pdp),
   pde AS (SELECT doc_id, pos, para, md5(para) AS h FROM pdx

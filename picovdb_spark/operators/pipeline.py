@@ -111,7 +111,6 @@ def curate_corpus(
             "or drop the cap — a silent no-op gate would keep every "
             "gibberish doc the cap was meant to drop"
         )
-    husks = None
     if paragraph_sep is not None:
         spans = paragraph_dedup(
             docs,
@@ -121,19 +120,21 @@ def curate_corpus(
             min_chars=paragraph_min_chars,
         ).localCheckpoint(eager=True)
         span_cols = spans.select(id_col, "n_paras", "n_kept")
-        # husks (every span seen earlier) are already condemned — route
-        # them around the chain instead of through it: their identical
-        # "" texts would otherwise all collide on md5("") (one hot
-        # window partition in exact_dedup, an h²/2 candidate blow-up in
-        # the LSH self-join for h husks)
-        husks = spans.filter(F.col("n_kept") == 0)
+        # The output spine keeps EVERY input id (one row per input
+        # document), but husks (every span seen earlier, n_kept==0) are
+        # routed around the gate chain instead of through it: their
+        # identical "" texts would otherwise all collide on md5("")
+        # (one hot window partition in exact_dedup, an h²/2 candidate
+        # blow-up in the LSH self-join for h husks). They rejoin via
+        # the left joins below with NULL gate columns; the span_empty
+        # branch of the reason expression condemns them.
+        ids = spans.select(id_col)
         docs = spans.filter(F.col("n_kept") > 0).select(
             F.col(id_col), F.col("text_clean").alias(text_col)
         )
     else:
         span_cols = None
-
-    ids = docs.select(id_col)
+        ids = docs.select(id_col)
 
     ex = exact_dedup(docs, id_col=id_col, text_col=text_col).select(
         id_col, F.col("is_dup").alias("__exact_dup")
@@ -156,7 +157,9 @@ def curate_corpus(
     best = keep_best_per_component(comps, q, id_col=id_col).select(
         id_col, "component_id", F.col("keep").alias("__best_in_comp")
     )
-    split = dataset_split(docs, id_col=id_col, weights=weights).select(id_col, "split")
+    # split over the FULL id spine (id-hash only, no text needed) so
+    # span-empty husks keep their split for audit symmetry
+    split = dataset_split(ids, id_col=id_col, weights=weights).select(id_col, "split")
 
     out = (
         ids.join(ex, id_col, "left")

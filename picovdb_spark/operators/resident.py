@@ -169,6 +169,7 @@ class ResidentGemmStore:
         shm_dir: str | None = None,
         block_dtype: str = "float32",
         on_missing: str = "fail",
+        probe_cache: bool = True,
     ):
         if block_dtype not in ("float32", "int8"):
             raise ValueError(f"block_dtype must be float32 or int8, got {block_dtype!r}")
@@ -203,7 +204,16 @@ class ResidentGemmStore:
         self.n_partitions: int | None = None
         # fallback-mode probe cache: a healthy probe sticks for the
         # store's lifetime (see _probe_missing_blocks on why per-batch
-        # probing is both wasteful and locality-unsafe off local mode)
+        # probing is both wasteful and locality-unsafe off local mode).
+        # The trade-off is explicit: with probe_cache=True (default) an
+        # executor/node loss AFTER the first healthy probe fails fast
+        # until invalidate_probe() re-arms; probe_cache=False re-probes
+        # every batch (one extra job each, and off local mode a
+        # mis-scheduled probe can report a false 'missing') but always
+        # auto-detects late losses. Long-lived serving stores on
+        # preemptible nodes should pick False or wire invalidate_probe()
+        # into their executor-loss listener.
+        self.probe_cache = bool(probe_cache)
         self._probe_ok = False
 
     # ------------------------------------------------------------ lifecycle
@@ -352,10 +362,11 @@ class ResidentGemmStore:
                 getattr(self, "block_pids", frozenset()),
                 artifacts,
             )
-            if not missing:
+            if not missing and self.probe_cache:
                 # healthy: remember it — per-batch probes cost one extra
                 # job each and can false-'missing' off local mode (no
-                # task-locality guarantee); invalidate_probe() re-arms
+                # task-locality guarantee); invalidate_probe() re-arms,
+                # probe_cache=False opts out entirely (see __init__)
                 self._probe_ok = True
             if missing:
                 import warnings
@@ -605,6 +616,7 @@ class ResidentIvfStore:
         shm_dir: str | None = None,
         local_cache_bytes: int = 1 << 30,
         on_missing: str = "fail",
+        probe_cache: bool = True,
     ):
         # "int8": blocks hold symmetric per-row int8 codes + a float32
         # scale column (same rule as ResidentGemmStore's int8 mode) —
@@ -643,7 +655,10 @@ class ResidentIvfStore:
         self.dir = shm_dir or os.path.join(_shm_root(), f"picovdb_rivf_{self.token}")
         self.n_rows: int | None = None
         self._blocks_df: DataFrame | None = None
-        # fallback-mode probe cache (see ResidentGemmStore._probe_ok)
+        # fallback-mode probe cache (see ResidentGemmStore.__init__ for
+        # the probe_cache trade-off: cached healthy probe vs per-batch
+        # auto-detection of late executor loss)
+        self.probe_cache = bool(probe_cache)
         self._probe_ok = False
 
     # ------------------------------------------------------------ lifecycle
@@ -820,7 +835,7 @@ class ResidentIvfStore:
                 self.block_pids,
                 artifacts,
             )
-            if not missing:
+            if not missing and self.probe_cache:
                 self._probe_ok = True
             if missing:
                 import warnings

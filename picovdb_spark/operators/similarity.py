@@ -162,8 +162,10 @@ def _normalized_queries(queries: DataFrame, query_id: str, vector_col: str) -> D
 # via PICOVDB_SPARK_GEMM_PREFETCH on the DRIVER (read at plan-build
 # time and shipped in the task closure, so the env var only needs to be
 # set where the plan is constructed), or by setting this module
-# attribute programmatically.
-GEMM_PREFETCH_DEPTH = 0
+# attribute programmatically. None = unset (env var supplies the
+# default); an explicit 0 disables prefetch even when the env var is
+# set — the sentinel keeps "module attribute wins" true for 0.
+GEMM_PREFETCH_DEPTH: int | None = None
 
 
 # Ceiling on the driver-resident float64 query matrix (bytes). Query
@@ -654,11 +656,12 @@ def _gemm_topk(
     )
     pad = 1.5 * 10.0 ** (-round_to)
     dtype = np.float32 if use32 else np.float64
-    # precedence: a programmatic module-attribute override (non-zero)
-    # wins; the env var supplies the default otherwise. Parse loudly —
-    # a malformed value should name the setting, not surface as a bare
-    # ValueError three calls deep.
-    if GEMM_PREFETCH_DEPTH:
+    # precedence: a programmatic module-attribute override wins when
+    # SET (including an explicit 0, which disables prefetch); the env
+    # var supplies the default otherwise. Parse loudly — a malformed
+    # value should name the setting, not surface as a bare ValueError
+    # three calls deep.
+    if GEMM_PREFETCH_DEPTH is not None:
         prefetch_depth = int(GEMM_PREFETCH_DEPTH)
     else:
         raw = os.environ.get("PICOVDB_SPARK_GEMM_PREFETCH", "0")

@@ -215,21 +215,25 @@ def stream_minhash_screen(
         bands=bands,
         est_threshold=est_threshold,
     )
+    # best match per new doc: highest estimated Jaccard, ties -> smallest
+    # indexed id. A row_number window (not max-of-struct with a negated
+    # id) so the tie-break works for ANY orderable id type — string ids
+    # would fail or silently NULL under arithmetic negation. Same
+    # hash-partition-by-id_new shuffle shape as a groupBy; candidate
+    # pairs per micro-batch are band-join survivors, far smaller than
+    # the batch itself.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id_new").orderBy(
+        F.col("est_jaccard").desc(), F.col("id_indexed").asc()
+    )
     best = (
-        pairs.groupBy("id_new")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("est_jaccard").alias("est"),
-                    (-F.col("id_indexed")).alias("__neg_id"),
-                    F.col("id_indexed").alias("matched_id"),
-                )
-            ).alias("__best")
-        )
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
         .select(
             F.col("id_new").alias(id_col),
-            F.col("__best.matched_id").alias("matched_id"),
-            F.col("__best.est").alias("est_jaccard"),
+            F.col("id_indexed").alias("matched_id"),
+            F.col("est_jaccard"),
         )
     )
     return docs.join(best, on=id_col, how="left").withColumn(
