@@ -523,21 +523,10 @@ def _d_jaccard(a: str, b: str) -> str:
     )
 
 
-@_register(
-    "dedup_exact",
-    """
-SELECT 'exact' AS variant, doc_id,
-       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
-       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup,
-       CAST(NULL AS BIGINT) AS n_paras, CAST(NULL AS BIGINT) AS n_kept,
-       CAST(NULL AS VARCHAR) AS clean_digest
-FROM documents
-UNION ALL
-SELECT 'paragraph' AS variant, n.doc_id, n.doc_id AS canonical_id,
-       COALESCE(n.n_kept, 0) < n.n_paras AS is_dup,
-       n.n_paras, COALESCE(n.n_kept, 0) AS n_kept,
-       COALESCE(n.clean_digest, md5('')) AS clean_digest
-FROM (
+# Per-doc span-removal outcome (n_paras, n_kept, reassembled-text
+# digest) at word granularity — the DuckDB twin of paragraph_dedup,
+# shared by the 'paragraph' and 'curate_span' variants below.
+_PARA_NKEPT_ORACLE = """
   WITH pdp AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr
                FROM documents),
   pdx AS (SELECT doc_id, unnest(arr) AS para, unnest(range(len(arr))) AS pos
@@ -555,7 +544,43 @@ FROM (
     SELECT doc_id, count(*) AS n_kept,
            md5(string_agg(para, ' ' ORDER BY pos)) AS clean_digest
     FROM pdk GROUP BY doc_id) c2 USING (doc_id)
-) n
+"""
+
+_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       round({_d_hash32("'v1:' || CAST(doc_id AS VARCHAR)")} / 4294967296.0, 6) AS bucket,
+       CASE WHEN {_d_hash32("'v1:' || CAST(doc_id AS VARCHAR)")} / 4294967296.0 < 0.98 THEN 'train'
+            WHEN {_d_hash32("'v1:' || CAST(doc_id AS VARCHAR)")} / 4294967296.0 < 0.99 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@_register(
+    "dedup_exact",
+    f"""
+SELECT 'exact' AS variant, doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup,
+       CAST(NULL AS BIGINT) AS n_paras, CAST(NULL AS BIGINT) AS n_kept,
+       CAST(NULL AS VARCHAR) AS clean_digest
+FROM documents
+UNION ALL
+SELECT 'paragraph' AS variant, n.doc_id, n.doc_id AS canonical_id,
+       COALESCE(n.n_kept, 0) < n.n_paras AS is_dup,
+       n.n_paras, COALESCE(n.n_kept, 0) AS n_kept,
+       COALESCE(n.clean_digest, md5('')) AS clean_digest
+FROM ({_PARA_NKEPT_ORACLE}) n
+UNION ALL
+-- curate_corpus(paragraph_sep=' ') span accounting: the output spine
+-- must keep EVERY input doc (husks included), flag span-empty docs
+-- (is_dup column carries drop_reason='span_empty'), and assign every
+-- row its deterministic split (clean_digest column carries it)
+SELECT 'curate_span' AS variant, n.doc_id, n.doc_id AS canonical_id,
+       COALESCE(n.n_kept, 0) = 0 AS is_dup,
+       n.n_paras, COALESCE(n.n_kept, 0) AS n_kept,
+       s.split AS clean_digest
+FROM ({_PARA_NKEPT_ORACLE}) n JOIN ({_SPLIT_ORACLE}) s USING (doc_id)
 """,
 )
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -568,7 +593,12 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       corpus is single-line word streams, so the suite exercises the
       identical plan at word granularity (sep=' '); real corpora use the
       default '\\n\\n'. The reassembled text is hash-checked end-to-end
-      via md5(text_clean)."""
+      via md5(text_clean).
+    - 'curate_span': curate_corpus(paragraph_sep=' ') span accounting —
+      the composed chain must emit one row per INPUT doc (husks whose
+      every span was seen earlier included), gate husks as
+      drop_reason='span_empty' (carried in is_dup), and assign every
+      row its deterministic split (carried in clean_digest)."""
     docs = load_table(spark, sf_dir, "documents")
     exact = exact_dedup(docs).select(
         F.lit("exact").alias("variant"),
@@ -588,7 +618,22 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         F.md5("text_clean").alias("clean_digest"),
     )
-    return exact.unionByName(para)
+    # curate_corpus with span removal engaged: hash-checks the composed
+    # chain's one-row-per-input-doc contract — husks (n_kept=0) must
+    # come back with drop_reason='span_empty' (is_dup column) and a
+    # deterministic split assigned (clean_digest column)
+    from picovdb_spark.operators.pipeline import curate_corpus
+
+    cur = curate_corpus(docs, paragraph_sep=" ").select(
+        F.lit("curate_span").alias("variant"),
+        "doc_id",
+        F.col("doc_id").alias("canonical_id"),
+        F.col("drop_reason").eqNullSafe(F.lit("span_empty")).alias("is_dup"),
+        "n_paras",
+        "n_kept",
+        F.col("split").alias("clean_digest"),
+    )
+    return exact.unionByName(para).unionByName(cur)
 
 
 def _minhash_oracle(
@@ -814,13 +859,48 @@ WITH pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+-- semantic variant's cluster assignment: with axis centroids e_0..e_7,
+-- argmax cosine(v, e_i) = argmax of the first 8 raw components (the
+-- positive 1/||v|| scale preserves argmax and ties; first-max wins on
+-- both engines)
+asg AS (
+  SELECT vec_id, list_position(sub, list_max(sub)) AS cl
+  FROM (SELECT vec_id, embedding[1:8] AS sub FROM embeddings)
 )
-SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
+SELECT 'all' AS variant, id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
+UNION ALL
+SELECT 'semantic' AS variant, p.id_a, p.id_b, p.cosine
+FROM pairs p
+JOIN asg ca ON p.id_a = ca.vec_id
+JOIN asg cb ON p.id_b = cb.vec_id AND ca.cl = cb.cl
+WHERE p.cosine >= 0.4
 """,
 )
 def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold self-join)."""
-    return embedding_near_dup(load_table(spark, sf_dir, "embeddings"))
+    """Embedding-space near-dup suite:
+    - 'all': exact cosine-threshold self-join (embedding_near_dup).
+    - 'semantic': SemDeDup (operators/dedup.semantic_dedup_pairs) —
+      cluster the space, pair-scan WITHIN clusters only. Run here with
+      deterministic axis centroids (np.eye(8, dim)) so the cluster
+      assignment is oracle-statable (argmax of the first 8 raw
+      components); production fits spherical k-means
+      (ann.fit_centroids) instead. The semantic pair list is a strict
+      subset of 'all' — the hash check pins both the blocking and the
+      per-pair cosine."""
+    import numpy as np
+
+    from picovdb_spark.operators.dedup import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    allp = embedding_near_dup(emb).select(
+        F.lit("all").alias("variant"), "id_a", "id_b", "cosine"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    sem = semantic_dedup_pairs(
+        emb, centroids=np.eye(8, dim), threshold=0.4, max_cluster_size=1_000_000
+    ).select(F.lit("semantic").alias("variant"), "id_a", "id_b", "cosine")
+    return allp.unionByName(sem)
 
 
 # ----------------------------------------------------------------- text analysis
@@ -1360,16 +1440,6 @@ def _knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------- pipeline utility ops
-
-_SPLIT_ORACLE = f"""
-SELECT doc_id,
-       round({_d_hash32("'v1:' || CAST(doc_id AS VARCHAR)")} / 4294967296.0, 6) AS bucket,
-       CASE WHEN {_d_hash32("'v1:' || CAST(doc_id AS VARCHAR)")} / 4294967296.0 < 0.98 THEN 'train'
-            WHEN {_d_hash32("'v1:' || CAST(doc_id AS VARCHAR)")} / 4294967296.0 < 0.99 THEN 'val'
-            ELSE 'test' END AS split
-FROM documents
-"""
-
 
 def _dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/val/test split (98/1/1): stable
@@ -2602,6 +2672,24 @@ SELECT g.doc_id,
 FROM rg_g g JOIN rg_df d USING (gh)
 GROUP BY g.doc_id
 """
+    # hashed-logreg scoring twin (operators/classifier.logreg_score with
+    # the deterministic audit-weight rule w(idx) = (idx % 97)/97 - 0.5,
+    # bias 0.1): token -> md5-hash32 mod 2^18, counts collision-merged,
+    # L2-normalized per doc, z = bias + sum(w*x). Featureless docs score
+    # at the bias alone (sigmoid(0.1) = 0.524979 at round-6).
+    clf_oracle = f"""
+  WITH ctf AS (SELECT doc_id, tk, count(*)::DOUBLE AS cnt
+        FROM (SELECT doc_id, unnest({_D_TOK}) AS tk FROM documents)
+        GROUP BY doc_id, tk),
+  cfx AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 8))::BIGINT % 262144 AS fidx,
+                 sum(cnt) AS cnt
+          FROM ctf GROUP BY doc_id, fidx),
+  cnm AS (SELECT doc_id, sqrt(sum(cnt*cnt)) AS nrm FROM cfx GROUP BY doc_id)
+  SELECT f.doc_id,
+         round(0.1 + sum(((f.fidx % 97)/97.0 - 0.5) * f.cnt / n.nrm), 6) AS clf_z,
+         round(1.0/(1.0 + exp(-(0.1 + sum(((f.fidx % 97)/97.0 - 0.5) * f.cnt / n.nrm)))), 6) AS clf_score
+  FROM cfx f JOIN cnm n USING (doc_id) GROUP BY f.doc_id
+"""
     oracle = f"""
 SELECT ts.doc_id, ts.n_tokens, ts.n_distinct, ts.n_bpe_tokens, ts.n_chars, ts.chars_per_token,
        li.pred_lang, li.score AS lang_score,
@@ -2610,13 +2698,16 @@ SELECT ts.doc_id, ts.n_tokens, ts.n_distinct, ts.n_bpe_tokens, ts.n_chars, ts.ch
        rp.n_words, rp.dup_word_frac, rp.top_bigram_frac, rp.keep,
        COALESCE(rg.n_grams5, 0) AS n_grams5,
        COALESCE(rg.n_repeated5, 0) AS n_repeated5,
-       COALESCE(rg.repeated_frac5, 0.0) AS repeated_frac5
+       COALESCE(rg.repeated_frac5, 0.0) AS repeated_frac5,
+       COALESCE(clf.clf_z, 0.1) AS clf_z,
+       COALESCE(clf.clf_score, 0.524979) AS clf_score
 FROM ({_TOKEN_STATS_ORACLE}) ts
 JOIN ({_langid_oracle()}) li USING (doc_id)
 JOIN ({_quality_oracle()}) q USING (doc_id)
 JOIN ({_FINGERPRINT_ORACLE}) fp USING (doc_id)
 JOIN ({_REPETITION_ORACLE}) rp USING (doc_id)
 LEFT JOIN ({rg_oracle}) rg USING (doc_id)
+LEFT JOIN ({clf_oracle}) clf USING (doc_id)
 """
 
     @_register("text_profile", oracle)
@@ -2654,6 +2745,30 @@ LEFT JOIN ({rg_oracle}) rg USING (doc_id)
             F.col("n_repeated").alias("n_repeated5"),
             F.col("repeated_frac").alias("repeated_frac5"),
         )
+        # hashed-logreg quality-score columns (operators/classifier):
+        # scored with the deterministic audit-weight rule so the plumbing
+        # (hashing, collision merge, L2 norm, bias, sigmoid) is
+        # hash-checked; the TRAINED path (logreg_fit) is pytest-covered
+        # (tests/test_classifier.py — GD can't be restated in SQL)
+        from picovdb_spark.operators.classifier import (
+            hashed_features,
+            logreg_score,
+        )
+
+        nf, bias = 1 << 18, 0.1
+        feats = hashed_features(docs, n_features=nf)
+        weights = (
+            feats.select("feature_idx")
+            .distinct()
+            .withColumn(
+                "w", (F.col("feature_idx") % 97).cast("double") / 97.0 - 0.5
+            )
+        )
+        clf = logreg_score(feats, weights, bias=bias).select(
+            "doc_id",
+            F.col("z").alias("clf_z"),
+            F.col("score").alias("clf_score"),
+        )
         return (
             ts.join(li, "doc_id")
             .join(q, "doc_id")
@@ -2666,6 +2781,11 @@ LEFT JOIN ({rg_oracle}) rg USING (doc_id)
             )
             .withColumn(
                 "repeated_frac5", F.coalesce(F.col("repeated_frac5"), F.lit(0.0))
+            )
+            .join(clf, "doc_id", "left")
+            .withColumn("clf_z", F.coalesce(F.col("clf_z"), F.lit(0.1)))
+            .withColumn(
+                "clf_score", F.coalesce(F.col("clf_score"), F.lit(0.524979))
             )
         )
 

@@ -194,12 +194,15 @@ def bench_queries(spark):
         _force(pii_scan(docs))
 
     def q_pipeline_curate():
-        # the composed curation chain (dedup → components → keep-best →
+        # the composed curation chain in FineWeb order (corpus-wide
+        # span removal → dedup → components → keep-best →
         # quality/repetition → split) as one plan — the end-to-end cost
-        # a corpus job pays per snapshot
+        # a corpus job pays per snapshot. paragraph_sep engages the
+        # span-removal stage so the chain timed here includes the
+        # husk-accounting spine (one output row per input doc).
         from picovdb_spark.operators.pipeline import curate_corpus
 
-        _force(curate_corpus(docs))
+        _force(curate_corpus(docs, paragraph_sep=" "))
 
     # -- reference-scale workloads (BASELINE.md config: 100k vectors,
     # dim=1024) so the q/s figure is comparable at EQUIVALENT scale, not
@@ -875,21 +878,6 @@ def bench_queries(spark):
             )
         )
 
-    def _settled_rewarm():
-        # later tiers call spark.catalog.clearCache(), which drops BOTH
-        # the cached data AND the persistence marker of earlier tiers'
-        # frames — without re-marking, every post-suite settled action
-        # regenerates its corpus from scratch (measured: settled upsert
-        # 3.6 s vs 0.9 s in-suite, pure regeneration). Re-mark here; the
-        # settled loop's untimed warm pass fills the cache.
-        for frame in (
-            ref_state.get("store"),
-            scale_state.get("docs1m"),
-            scale_state.get("emb1m"),
-        ):
-            if frame is not None:
-                frame.cache()
-
     def q_scale4m_disk_ivfpq_1():
         # single query probes 8/256 clusters — 3% of the code files, 3%
         # of the raw files: the regime partition pruning exists for
@@ -978,7 +966,6 @@ def bench_queries(spark):
         "scale4m_disk_ivfpq_8": q_scale4m_disk_ivfpq_8,
         "scale4m_disk_exact_1": q_scale4m_disk_exact_1,
         "scale4m_disk_ivfpq_1": q_scale4m_disk_ivfpq_1,
-        "_settled_rewarm": _settled_rewarm,
         "_cleanup_disk_tier": _cleanup_disk_tier,
         "_cleanup_resident": _cleanup_resident,
     }
@@ -1044,9 +1031,9 @@ def main() -> None:
     }
     # README-quoted one-shot rows whose in-suite numbers kept landing
     # outside the quoted ranges (round-3/4 finding): after the whole
-    # suite finishes (contention from other entries gone), re-run each
-    # once and publish the result as `settled_times`. README ranges
-    # quote BOTH the in-suite value and this settled value.
+    # suite finishes, re-run each in a FRESH SUBPROCESS (see the settled
+    # phase below) and publish the result as `settled_times`. README
+    # ranges quote BOTH the in-suite value and this settled value.
     settled_rerun = [
         "ref100k_upsert",
         "scale1m_dedup_minhash",
@@ -1054,6 +1041,25 @@ def main() -> None:
         "scale1m_dedup_paragraph",
         "scale1m_dedup_incremental",
     ]
+    # Self-audit: the isolated-range claims README quotes per row, in
+    # seconds (lo, hi). After the suite, every row is checked against
+    # its claim and the verdict published as `range_check`; a row whose
+    # in-suite value exceeds its claimed hi by >1.5x is auto-added to
+    # the isolated re-run list, so the artifact itself carries either a
+    # sane isolated number or an explicit flag — no silent range
+    # violations for the README to paper over. Keep in sync with the
+    # README table when ranges are re-earned.
+    readme_ranges = {
+        "ref100k_batch_1000": (0.9, 2.0),
+        "ref100k_upsert": (0.4, 1.6),
+        "ref100k_pq_query_1000": (2.4, 3.8),
+        "scale1m_dedup_minhash": (22.0, 33.0),
+        "scale1m_dedup_simhash": (5.0, 18.0),
+        "scale1m_dedup_components": (3.0, 4.5),
+        "scale1m_embedding_near_dup": (6.0, 41.0),
+        "scale1m_dedup_paragraph": (8.0, 27.0),
+        "scale1m_dedup_incremental": (8.0, 11.0),
+    }
     timings: dict[str, float] = {}
     all_queries = bench_queries(spark)
     deferred_cleanups: list = []
@@ -1090,19 +1096,6 @@ def main() -> None:
             EXTRA_STATS.setdefault("pass_times", {})[name] = [
                 round(p, 3) for p in passes
             ]
-    for name in settled_rerun:
-        if name in query_fns:
-            # untimed re-warm first: by the end of the suite the 1M/4M
-            # tiers have evicted parts of this tier's executor cache, and
-            # a cold settled pass would time the cache refill, not the
-            # operator (observed: settled upsert 3.9 s vs 1.1 s in-suite
-            # purely from eviction)
-            query_fns[name]()
-            t0 = time.perf_counter()
-            query_fns[name]()
-            EXTRA_STATS.setdefault("settled_times", {})[name] = round(
-                time.perf_counter() - t0, 3
-            )
     for fn in deferred_cleanups:
         fn()
 
@@ -1114,6 +1107,88 @@ def main() -> None:
     n_queries = min(
         N_BATCH_QUERIES, load_table(spark, SF_DIR, "embeddings").count()
     )
+
+    # Settled re-runs: one FRESH SUBPROCESS per entry through the
+    # SPARK_GRAFT_BENCH_ONLY subset path (setup for that entry's tier
+    # runs untimed in the child; everything else is skipped). Three
+    # rounds of history behind this: in-process "settled" passes at the
+    # END of the full suite — even with an untimed re-warm — measured
+    # 5-9x WORSE than a truly isolated run of the same operator (r5:
+    # scale1m_dedup_minhash 139.6 s in-process-settled vs 22.8-33.0 s
+    # isolated, identical answers), because every earlier tier's cached
+    # frames, JVM heap, and shuffle state are still resident. A child
+    # process with its own JVM — launched after the parent's session is
+    # STOPPED so the machine is quiet — is the same methodology as a
+    # hand-run `SPARK_GRAFT_BENCH_ONLY=<name> python bench.py`, which is
+    # exactly what the isolated figures quoted in README come from.
+    # Children never recurse (a non-empty subset skips this phase).
+    if not only:
+        for name, (lo, hi) in readme_ranges.items():
+            if name not in timings:
+                continue
+            v = timings[name]
+            if v > hi * 1.5:
+                status = "exceeded_1.5x"
+                if name not in settled_rerun:
+                    settled_rerun.append(name)
+            elif v > hi or v < lo:
+                status = "outside"
+            else:
+                status = "in_range"
+            EXTRA_STATS.setdefault("range_check", {})[name] = {
+                "value": v,
+                "claimed": [lo, hi],
+                "status": status,
+            }
+    settled_targets = [n for n in settled_rerun if n in query_fns] if not only else []
+    if settled_targets:
+        import subprocess
+        import sys as _sys
+
+        spark.stop()
+
+        def _json_lines(text: str) -> list[dict]:
+            out = []
+            for ln in text.splitlines():
+                ln = ln.strip()
+                if ln.startswith("{"):
+                    try:
+                        out.append(json.loads(ln))
+                    except ValueError:
+                        pass
+            return out
+
+        for name in settled_targets:
+            env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY=name)
+            err_tail = None
+            val = None
+            try:
+                proc = subprocess.run(
+                    [_sys.executable, os.path.abspath(__file__)],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    timeout=2400,
+                )
+                docs = _json_lines(proc.stdout)
+                for d in docs:
+                    if name in d.get("queries", {}):
+                        val = d["queries"][name]
+                    # the child's detail line carries per-pass spread for
+                    # median3 entries — keep it next to the settled value
+                    pt = d.get("pass_times", {}).get(name)
+                    if pt:
+                        EXTRA_STATS.setdefault("settled_pass_times", {})[name] = pt
+                if val is None:
+                    err_tail = (proc.stderr or "")[-400:]
+            except subprocess.TimeoutExpired:
+                err_tail = "timeout"
+            except OSError as exc:
+                err_tail = str(exc)
+            if val is not None:
+                EXTRA_STATS.setdefault("settled_times", {})[name] = val
+            else:
+                EXTRA_STATS.setdefault("settled_errors", {})[name] = err_tail
     headline = {
         "metric": "headline_suite_total_wall",
         "value": round(sum(timings.values()), 3),

@@ -985,3 +985,193 @@ def minhash_dedup_against(
     out = out.localCheckpoint(eager=True)
     new_index.unpersist()
     return out
+
+
+def centroid_affinity(
+    emb: DataFrame,
+    centroids,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, cluster, centroid_cos, centroid_dist) — each row's nearest
+    centroid (argmax cosine, ties to the lowest index) and its rounded
+    affinity. Map-side only: the (k, dim) centroid matrix broadcasts
+    once per executor, no shuffle.
+
+    This is the scoring half of the SemDeDup keep rule (Abbas et al.
+    2023, "SemDeDup"): within a semantic-dup component, KEEP the member
+    farthest from its cluster centroid (it carries the most marginal
+    information) — i.e. feed `centroid_dist` to
+    keep_best_per_component(score_col="centroid_dist")."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cent = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+    src = emb.select(F.col(id_col).alias(id_col), F.col(vec_col).alias("v"))
+    schema = T.StructType(
+        [
+            T.StructField(id_col, src.schema[id_col].dataType),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("centroid_cos", T.DoubleType()),
+            T.StructField("centroid_dist", T.DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator) -> Iterator:
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0.0] = 1.0  # zero vectors: cosine 0 everywhere
+            s = (m / norms[:, None]) @ c.T
+            cl = np.argmax(s, axis=1)
+            best = np.round(s[np.arange(len(cl)), cl], round_to)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": cl.astype("int32"),
+                    "centroid_cos": best,
+                    "centroid_dist": np.round(1.0 - best, round_to),
+                }
+            )
+
+    return src.mapInPandas(score, schema=schema)
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    n_clusters: int = 256,
+    threshold: float = 0.8,
+    round_to: int = 6,
+    max_cluster_size: int = 200_000,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    find near-duplicate pairs ONLY within each cluster — the standard
+    semantic-dedup shape for web-scale corpora, where the O(n²) cosine
+    self-join is spent per-cluster (Σ sᵢ²·d FLOPs) instead of globally
+    (n²·d). Returns (id_a, id_b, cosine, cluster) for pairs with
+    round(cosine, round_to) ≥ threshold and id_a < id_b; feed the pairs
+    to connected_components + keep_best_per_component (classically with
+    centroid_affinity's `centroid_dist` as the score — SemDeDup keeps
+    the member farthest from its centroid).
+
+    Approximate BY DESIGN: a cross-cluster near-dup pair is never
+    examined (the paper's trade; raise n_clusters to shrink clusters,
+    lower it to shrink the blind spot). `centroids=None` fits spherical
+    k-means on a bounded sample (ann.fit_centroids); pass an explicit
+    (k, dim) matrix for deterministic/oracle-checkable assignment.
+
+    Scale shape: assignment is one map-side Arrow pass (centroids
+    broadcast once; vectors normalized in the same pass, float64). The
+    only shuffle is the groupBy(cluster) hash exchange of (id, v) rows.
+    Each cluster's pairwise GEMM is chunked to ~256 MB score blocks
+    (GEMM_CHUNK_ELEMS) so memory is bounded regardless of cluster size;
+    `max_cluster_size` fail-fasts on a cluster whose s² scan would be a
+    runtime blow-up — the fix is more clusters, and the error says so.
+    At 100 TB: pick n_clusters ≈ N / 50k so clusters stay ~10-100k
+    rows; the shuffle moves each vector exactly once."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if centroids is None:
+        from picovdb_spark.operators.ann import fit_centroids
+
+        centroids = fit_centroids(emb, n_clusters, vector_col=vec_col, seed=seed)
+    cent = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+    src = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    id_type = src.schema["id"].dataType
+    assigned_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+
+    def assign(batches: Iterator) -> Iterator:
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0.0] = 1.0
+            m = m / norms[:, None]
+            cl = np.argmax(m @ c.T, axis=1).astype("int32")
+            yield pd.DataFrame({"id": pdf["id"], "v": list(m), "cluster": cl})
+
+    assigned = src.mapInPandas(assign, schema=assigned_schema)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+    cap = int(max_cluster_size)
+    chunk_elems = GEMM_CHUNK_ELEMS
+
+    def cluster_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        s = len(pdf)
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], "cosine": [], "cluster": []}
+        )
+        if s < 2:
+            return empty
+        if s > cap:
+            raise ValueError(
+                f"semantic_dedup_pairs: cluster {int(pdf['cluster'].iloc[0])} "
+                f"has {s} rows (> max_cluster_size={cap}); its pairwise scan "
+                f"is s²·d — raise n_clusters (SemDeDup's own knob) so "
+                "clusters shrink, or raise max_cluster_size deliberately"
+            )
+        m = np.asarray(list(pdf["v"]), dtype=np.float64)
+        ids = pdf["id"].to_numpy()
+        cl = int(pdf["cluster"].iloc[0])
+        chunk_rows = max(1, chunk_elems // s)
+        outs = []
+        for lo in range(0, s, chunk_rows):
+            scores = np.round(m[lo : lo + chunk_rows] @ m.T, round_to)
+            bi, bj = np.nonzero(scores >= threshold)
+            if len(bi) == 0:
+                continue
+            left, right = ids[bi + lo], ids[bj]
+            keep = left < right
+            if not keep.any():
+                continue
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "id_a": left[keep],
+                        "id_b": right[keep],
+                        "cosine": scores[bi, bj][keep],
+                        "cluster": cl,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return assigned.groupBy("cluster").applyInPandas(cluster_pairs, schema=out_schema)

@@ -1,0 +1,133 @@
+"""Hashed-feature logistic regression (operators/classifier.py): the
+CCNet/FineWeb-style learned quality gate, trained and scored as Spark
+plans (weights live in a DataFrame; no dense vector on the driver)."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from picovdb_spark.operators.classifier import (
+    hashed_features,
+    logreg_fit,
+    logreg_score,
+)
+
+POS = [
+    "good clean prose with varied vocabulary and structure",
+    "another well formed sentence about interesting topics",
+    "clear writing with information and substance here",
+    "thoughtful paragraph describing a concrete process",
+]
+NEG = [
+    "spam spam spam buy now spam click spam",
+    "click buy spam now now now buy buy",
+    "spam click spam buy spam now click",
+    "buy buy buy spam now click now spam",
+]
+
+
+@pytest.fixture(scope="module")
+def train(spark):
+    rows = [(i, t, 1) for i, t in enumerate(POS)] + [
+        (100 + i, t, 0) for i, t in enumerate(NEG)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def test_hashed_features_unit_norm_and_merge(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    rows = hashed_features(docs, n_features=64).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["value"])
+    # per-doc feature vector is L2-normalized
+    assert np.isclose(sum(v * v for v in by_doc[1]), 1.0)
+    # "a" count 2 and "b" count 1 -> values 2/sqrt(5), 1/sqrt(5)
+    assert sorted(round(v, 6) for v in by_doc[1]) == [
+        round(1 / np.sqrt(5), 6),
+        round(2 / np.sqrt(5), 6),
+    ]
+    # token-free docs emit no feature rows
+    assert 2 not in by_doc and 3 not in by_doc
+
+
+def test_fit_separates_and_loss_decreases(spark, train):
+    model = logreg_fit(
+        train, label_col="label", n_features=1 << 12, n_iter=25, lr=4.0,
+        track_loss=True,
+    )
+    losses = model["losses"]
+    assert losses[-1] < losses[0] * 0.7, losses
+    feats = hashed_features(train, n_features=model["n_features"])
+    scored = {
+        r["doc_id"]: r["score"]
+        for r in logreg_score(
+            feats, model["weights"], bias=model["bias"]
+        ).collect()
+    }
+    pos = [scored[i] for i in range(len(POS))]
+    neg = [scored[100 + i] for i in range(len(NEG))]
+    assert min(pos) > max(neg), (pos, neg)
+    assert np.mean(pos) > 0.6 and np.mean(neg) < 0.4
+
+
+def test_score_matches_duckdb_oracle(spark):
+    """Scoring with a FIXED weight rule w(idx) = (idx % 97)/97 - 0.5 must
+    match the DuckDB restatement exactly at round-6 — the parity the
+    driver-suite clf columns rely on."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta gamma"), (2, "delta delta"), (3, "alpha")],
+        "doc_id long, text string",
+    )
+    nf, bias = 1 << 18, 0.1
+    feats = hashed_features(docs, n_features=nf)
+    weights = (
+        feats.select("feature_idx")
+        .distinct()
+        .withColumn(
+            "w", (F.col("feature_idx") % 97).cast("double") / 97.0 - 0.5
+        )
+    )
+    got = {
+        r["doc_id"]: (r["z"], r["score"])
+        for r in logreg_score(feats, weights, bias=bias).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, 'alpha beta beta gamma'), (2, 'delta delta'), (3, 'alpha')"
+        ") AS t(doc_id, text)"
+    )
+    sql = f"""
+WITH tok AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS t FROM documents),
+tf AS (SELECT doc_id, tk, count(*)::DOUBLE AS cnt
+       FROM (SELECT doc_id, unnest(t) AS tk FROM tok) GROUP BY doc_id, tk),
+fx AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 8))::BIGINT % {nf} AS fidx, sum(cnt) AS cnt
+       FROM tf GROUP BY doc_id, fidx),
+nm AS (SELECT doc_id, sqrt(sum(cnt*cnt)) AS nrm FROM fx GROUP BY doc_id)
+SELECT f.doc_id,
+       round({bias} + sum(((f.fidx % 97)/97.0 - 0.5) * f.cnt / n.nrm), 6) AS z,
+       round(1.0/(1.0 + exp(-({bias} + sum(((f.fidx % 97)/97.0 - 0.5) * f.cnt / n.nrm)))), 6) AS score
+FROM fx f JOIN nm n USING (doc_id) GROUP BY f.doc_id
+"""
+    want = {int(d): (z, s) for d, z, s in con.execute(sql).fetchall()}
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d][0] == pytest.approx(want[d][0], abs=2e-6)
+        assert got[d][1] == pytest.approx(want[d][1], abs=2e-6)
+
+
+def test_bias_only_for_featureless_docs(spark):
+    """A doc with no tokens still gets a score (sigmoid of bias) from the
+    training loop's right-join; scoring joins simply omit it — callers
+    coalesce at the gate. Here: fit must not crash on such docs and the
+    bias must move toward the majority label."""
+    docs = spark.createDataFrame(
+        [(1, "", 1), (2, "   ", 1), (3, "x", 1), (4, "", 1)],
+        "doc_id long, text string, label int",
+    )
+    model = logreg_fit(docs, label_col="label", n_features=64, n_iter=10, lr=1.0)
+    assert model["bias"] > 0.0  # all labels 1 -> bias climbs
