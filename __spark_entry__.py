@@ -2158,6 +2158,62 @@ def _stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUDGET_ORACLE = f"""
+WITH tokc AS (
+  SELECT doc_id, lang, CAST(len({_D_TOK}) AS BIGINT) AS n_tokens FROM documents
+),
+bwalk AS (
+  -- naive one-window form of operators/textops.py:sample_to_budget —
+  -- the operator's two-pass bucket plan is bit-identical by design
+  SELECT doc_id, lang, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY lang
+           ORDER BY md5('budget-v1:' || CAST(doc_id AS VARCHAR)), doc_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM tokc WHERE lang IN ('en', 'de', 'zh')
+)
+SELECT doc_id, cum FROM bwalk
+WHERE cum - n_tokens < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 1500
+                                 ELSE 1000000 END
+"""
+
+
+_LM_BUCKET_ORACLE = f"""
+WITH ltok AS (
+  SELECT doc_id, {_D_TOK} AS t FROM documents WHERE doc_id % 7 = 0
+),
+lbg AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM ltok WHERE len(t) >= 2)
+),
+luni AS (
+  SELECT w1, count(*) AS c1
+  FROM (SELECT unnest(t) AS w1 FROM ltok WHERE len(t) >= 1) GROUP BY w1
+),
+lbi AS (SELECT w1, w2, count(*) AS c2 FROM lbg GROUP BY w1, w2),
+tok AS (SELECT doc_id, {_D_TOK} AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tok WHERE len(t) >= 2)
+),
+sc AS (
+  SELECT b.doc_id,
+         avg(-log2((coalesce(lbi.c2, 0) + 1.0)
+             / (coalesce(u.c1, 0) + (SELECT count(*) FROM luni) * 1.0))) AS bits
+  FROM bg b
+  LEFT JOIN lbi ON b.w1 = lbi.w1 AND b.w2 = lbi.w2
+  LEFT JOIN luni u ON b.w1 = u.w1
+  GROUP BY b.doc_id
+)
+SELECT t.doc_id,
+       CASE WHEN s.bits IS NULL THEN CAST(NULL AS VARCHAR)
+            WHEN s.bits < 4.99 THEN 'head'
+            WHEN s.bits < 5.08 THEN 'middle'
+            ELSE 'tail' END AS lm_bucket
+FROM tok t LEFT JOIN sc s USING (doc_id)
+"""
+
+
 @_register(
     "text_split_sample",
     f"""
@@ -2166,9 +2222,14 @@ SELECT sp.doc_id, sp.bucket, sp.split,
        sa.doc_id IS NOT NULL AS sampled,
        qr.quality_rank,
        ws.doc_id IS NOT NULL AS wsampled,
-       ws.wkey
+       ws.wkey,
+       bs.doc_id IS NOT NULL AS bsampled,
+       bs.cum AS cum_tokens,
+       lb.lm_bucket
 FROM ({_SPLIT_ORACLE}) sp
 LEFT JOIN ({_STRATIFIED_ORACLE}) sa USING (doc_id)
+LEFT JOIN ({_BUDGET_ORACLE}) bs USING (doc_id)
+JOIN ({_LM_BUCKET_ORACLE}) lb USING (doc_id)
 JOIN (SELECT doc_id,
              row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS quality_rank
       FROM ({_quality_oracle()})) qr USING (doc_id)
@@ -2229,15 +2290,53 @@ def _text_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chosen weight-proportionally by quality with no RNG — wkey audits
     # the decision, wsampled marks the winners (NULL-safe LEFT join)
     ws = weighted_sample(scored, 100).withColumn("wsampled", F.lit(True))
+
+    # token-budget mixture sampling (operators/textops.sample_to_budget):
+    # per-lang token TARGETS (en partial, de partial, zh budget > corpus
+    # so fully kept; es/fr unbudgeted -> dropped) via the two-pass
+    # bucket plan — the oracle restates the naive one-window walk, which
+    # the two-pass form matches bit-for-bit (tests/test_mixing.py)
+    from picovdb_spark.operators.textops import (
+        lm_buckets,
+        ngram_lm_fit,
+        ngram_lm_score,
+        sample_to_budget,
+        token_stats,
+    )
+
+    corpus = docs.join(
+        token_stats(docs).select("doc_id", "n_tokens"), "doc_id"
+    ).select("doc_id", "lang", "n_tokens")
+    bs = sample_to_budget(
+        corpus, {"en": 5_000, "de": 1_500, "zh": 1_000_000}
+    ).select("doc_id", F.lit(True).alias("bsampled"), "cum_tokens")
+
+    # CCNet perplexity tertiles (lm_buckets): bigram LM fit on the
+    # doc_id%7 reference slice, scores bucketed against FROZEN cutoffs
+    # (4.99 / 5.08 bits — nearest doc score sits >= 6e-6 away at both
+    # test SFs, far above the ~1e-9 cross-engine float tolerance, so
+    # the label compare is hash-stable). Cutoff FITTING is
+    # lm_bucket_cutoffs (percentile_approx sketch), pytest-covered —
+    # frozen literals here keep the oracle statable.
+    lm = ngram_lm_fit(docs.filter(F.col("doc_id") % 7 == 0))
+    lmb = lm_buckets(ngram_lm_score(docs, lm), [4.99, 5.08]).select(
+        "doc_id", "lm_bucket"
+    )
+    lm["unigrams"].unpersist()  # vocab_size is frozen; scoring re-derives lazily
+
     return (
         sp.join(sa, "doc_id", "left")
         .withColumn("sampled", F.coalesce(F.col("sampled"), F.lit(False)))
         .join(qr, "doc_id")
         .join(ws, "doc_id", "left")
         .withColumn("wsampled", F.coalesce(F.col("wsampled"), F.lit(False)))
+        .join(bs, "doc_id", "left")
+        .withColumn("bsampled", F.coalesce(F.col("bsampled"), F.lit(False)))
+        .join(lmb, "doc_id")
         .select(
             "doc_id", "bucket", "split", "lang", "sample_bucket", "sampled",
-            "quality_rank", "wsampled", "wkey",
+            "quality_rank", "wsampled", "wkey", "bsampled", "cum_tokens",
+            "lm_bucket",
         )
     )
 
@@ -2254,7 +2353,7 @@ def _hybrid_oracle() -> str:
         f"dd -> CAST(len(list_filter(hs, h -> h % {_HYBRID_DIM} = dd)) AS DOUBLE))"
     )
     return f"""
-WITH tok AS (SELECT doc_id, {_D_TOK} AS t FROM documents),
+WITH RECURSIVE tok AS (SELECT doc_id, {_D_TOK} AS t FROM documents),
 toks AS (SELECT doc_id, unnest(t) AS term FROM tok),
 post AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
@@ -2304,7 +2403,45 @@ ms_tok AS (
   SELECT q.tok, e.label, max(list_cosine_similarity(q.qv, e.embedding)) AS m
   FROM embeddings e CROSS JOIN ms_q q GROUP BY 1, 2
 ),
-ms_doc AS (SELECT label, round(sum(m), 6) AS maxsim FROM ms_tok GROUP BY 1)
+ms_doc AS (SELECT label, round(sum(m), 6) AS maxsim FROM ms_tok GROUP BY 1),
+-- MMR branch (Carbonell & Goldstein 1998): diversify the dense top-20
+-- with lam=0.7, k=8 — the greedy trajectory restated as a recursive
+-- CTE (argmax per step over lam*rel - (1-lam)*max-cos-to-picked, all
+-- terms rounded to 6 before comparison, ties -> smallest doc_id as
+-- VARCHAR). Same algebra as operators/retrieval.py:mmr_rerank.
+mmr_cand AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS d, ds.score AS r,
+         list_transform(e.v, x -> x / sqrt(list_sum(list_transform(e.v, y -> y*y)))) AS nv
+  FROM dense d JOIN dense_scored ds USING (doc_id) JOIN hemb e USING (doc_id)
+),
+mmr_sim AS (
+  SELECT a.d AS da, b.d AS db,
+         round(list_sum(list_transform(range(1, len(a.nv)+1), i -> a.nv[i] * b.nv[i])), 6) AS s
+  FROM mmr_cand a JOIN mmr_cand b ON a.d <> b.d
+),
+mmr_pick(step, sel, d, obj) AS (
+  SELECT 1, [d], d, round(0.7 * r, 6)
+  FROM (SELECT *, row_number() OVER (ORDER BY round(0.7 * r, 6) DESC, d) AS rn
+        FROM mmr_cand)
+  WHERE rn = 1
+  UNION ALL
+  SELECT p.step + 1, list_append(p.sel, c.d), c.d, c.obj
+  FROM mmr_pick p, LATERAL (
+    SELECT n.d, round(0.7 * n.r - 0.3 * n.red, 6) AS obj
+    FROM (
+      SELECT n0.d, n0.r,
+             round(coalesce((SELECT max(s.s) FROM mmr_sim s
+                             WHERE s.da = n0.d AND list_contains(p.sel, s.db)), 0.0),
+                   6) AS red
+      FROM mmr_cand n0 WHERE NOT list_contains(p.sel, n0.d)
+    ) n
+    ORDER BY obj DESC, n.d LIMIT 1
+  ) c
+  WHERE p.step < 8
+)
+SELECT 'mmr' AS variant, d AS doc_id, obj AS score, CAST(step AS INTEGER) AS rank
+FROM mmr_pick
+UNION ALL
 SELECT 'rrf' AS variant, CAST(doc_id AS VARCHAR) AS doc_id, rrf AS score, rank FROM (
   SELECT doc_id, rrf,
          CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rank
@@ -2377,7 +2514,30 @@ def _hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("maxsim").alias("score"),
         "rank",
     )
-    return rrf.unionByName(ms)
+
+    # (c) MMR diversification (operators/retrieval.py:mmr_rerank) of the
+    # dense top-20: the RAG second-stage rerank — greedy argmax of
+    # lam*relevance - (1-lam)*max-cos-to-picked, every compare on
+    # 6-rounded values so the TRAJECTORY (not just scores) hash-matches
+    # the oracle's recursive-CTE restatement
+    from picovdb_spark.operators.retrieval import mmr_rerank
+
+    cand = dense.join(demb.select("doc_id", "embedding"), "doc_id")
+    mmr = mmr_rerank(
+        cand,
+        k=8,
+        lam=0.7,
+        query_id="__q",
+        id_col="doc_id",
+        vector_col="embedding",
+        rel_col="score",
+    ).select(
+        F.lit("mmr").alias("variant"),
+        "doc_id",
+        F.col("mmr_score").alias("score"),
+        "rank",
+    )
+    return rrf.unionByName(ms).unionByName(mmr)
 
 
 @_register("ann_pq_topk", _topk_oracle(10))

@@ -584,6 +584,28 @@ def bench_queries(spark):
     def _prepare_docs1m():
         if "docs1m" in scale_state:
             return
+        # The dedup tier reads NOTHING from earlier tiers — shed their
+        # state at this stage boundary, the way a real pipeline stage
+        # does (the prior job's caches don't ride along). Running the
+        # tier with the ref100k corpus, four resident shm stores and
+        # the 1M×256 serving cache still resident measured 4-9× slower
+        # than a fresh process on identical outputs (r5 verdict; r6
+        # validation: minhash 142 s in-suite vs 29 s isolated) —
+        # storage-eviction churn, GC pressure and /dev/shm vs page-cache
+        # contention, not the operator's plan.
+        import gc
+
+        _cleanup_resident()  # ~1 GB of /dev/shm across the four stores
+        ref_state.clear()
+        scale_state.pop("store", None)
+        scale_state.pop("queries", None)
+        scale_state.pop("ivfpq", None)
+        spark.catalog.clearCache()
+        gc.collect()  # release localCheckpoint blocks via ContextCleaner
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         from pyspark.sql import types as T
 
         n_docs, vocab_n, parts = 1_000_000, 2_000, 32
@@ -702,6 +724,16 @@ def bench_queries(spark):
         import numpy as np
         from pyspark.sql import types as T
 
+        # same stage-boundary shed as _prepare_docs1m: the embedding
+        # near-dup tier never rereads the 1M text corpus or its pair list
+        for key in ("docs1m", "pairs1m"):
+            frame = scale_state.pop(key, None)
+            if frame is not None:
+                try:
+                    frame.unpersist()
+                except Exception:
+                    pass
+
         n, dim, parts = 1_000_000, 128, 32
         schema = T.StructType(
             [
@@ -749,6 +781,33 @@ def bench_queries(spark):
         # planted: 25k exact-copy pairs (cosine 1) + 25k noisy ~0.99
         exact_found = pairs.filter(F.col("cosine") >= 0.999999).count()
         EXTRA_STATS["scale1m_embedding_near_dup"] = {
+            "pairs_found": found,
+            "exact_pairs_found": exact_found,
+            "exact_pairs_planted": 25_000,
+        }
+
+    def q_scale1m_semantic_dedup():
+        # SemDeDup at 1M×128: k-means the space into 256 clusters (fit
+        # on a 25k sample, assignment is one map-side GEMM pass), then
+        # pairwise-scan WITHIN clusters only — Σsᵢ²·d ≈ 5·10¹¹ FLOPs vs
+        # the 1.3·10¹⁷ all-pairs scan the same corpus needs exactly.
+        # Planted copies are near-identical vectors, so every planted
+        # pair lands in one cluster by construction — recall of the
+        # exact-copy class is recorded alongside the wall time.
+        from picovdb_spark.operators.dedup import semantic_dedup_pairs
+
+        pairs = semantic_dedup_pairs(
+            scale_state["emb1m"],
+            id_col="vec_id",
+            vec_col="embedding",
+            n_clusters=256,
+            threshold=0.95,
+            seed=42,
+        )
+        pairs = pairs.localCheckpoint(eager=True)
+        found = pairs.count()
+        exact_found = pairs.filter(F.col("cosine") >= 0.999999).count()
+        EXTRA_STATS["scale1m_semantic_dedup"] = {
             "pairs_found": found,
             "exact_pairs_found": exact_found,
             "exact_pairs_planted": 25_000,
@@ -961,6 +1020,7 @@ def bench_queries(spark):
         "scale1m_dedup_incremental": q_scale1m_dedup_incremental,
         "_prepare_emb1m": _prepare_emb1m,
         "scale1m_embedding_near_dup": q_scale1m_embedding_near_dup,
+        "scale1m_semantic_dedup": q_scale1m_semantic_dedup,
         "_prepare_disk_tier": _prepare_disk_tier,
         "scale4m_disk_exact_8": q_scale4m_disk_exact_8,
         "scale4m_disk_ivfpq_8": q_scale4m_disk_ivfpq_8,
@@ -1026,7 +1086,7 @@ def main() -> None:
         "_prepare_resident_ivf_int8": ("ref100k_ivf_resident_int8",),
         "_prepare_scale1m": ("scale1m_batch", "scale1m_ivfpq"),
         "_prepare_docs1m": ("scale1m_dedup",),
-        "_prepare_emb1m": ("scale1m_embedding",),
+        "_prepare_emb1m": ("scale1m_embedding", "scale1m_semantic"),
         "_prepare_disk_tier": ("scale4m_",),
     }
     # README-quoted one-shot rows whose in-suite numbers kept landing

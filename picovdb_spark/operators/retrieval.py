@@ -303,3 +303,118 @@ def maxsim_topk(
     return topk_per_query(
         per_doc, top_k, id_col=doc_id, score_col="maxsim", query_col=query_id
     )
+
+
+def mmr_rerank(
+    results: DataFrame,
+    *,
+    k: int = 10,
+    lam: float = 0.5,
+    query_id: str = "query_id",
+    id_col: str = "doc_id",
+    vector_col: str = "embedding",
+    rel_col: str = "score",
+    normalized: bool = False,
+    round_to: int = 6,
+    max_candidates: int = 10_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein,
+    SIGIR 1998) — the standard RAG rerank that trades raw relevance
+    against redundancy: greedily pick, per query,
+
+        argmax over remaining candidates of
+            lam * relevance  -  (1 - lam) * max cosine to already-picked
+
+    `results` is a per-query CANDIDATE set — (query_id, doc_id,
+    relevance, embedding) rows from a first-stage retriever (exact/ANN
+    top-N, BM25, or hybrid_rrf output joined back to vectors). MMR is
+    inherently sequential in k, so this is a second-stage operator over
+    SMALL per-query groups (N in the tens-to-hundreds; `max_candidates`
+    guards against misuse on a full corpus — at that size you want a
+    first-stage retriever, not a rerank).
+
+    Output: (query_id, rank 1..k, doc_id, relevance, redundancy,
+    mmr_score) where redundancy is the max cosine to previously picked
+    docs (0.0 for rank 1) and mmr_score the objective value at pick
+    time. Both are ROUNDED to `round_to` BEFORE the argmax compare
+    (ties then break on smallest doc_id), so the greedy trajectory —
+    not just the scores — is reproducible across engines: a last-ulp
+    BLAS difference can otherwise flip a pick and cascade through every
+    later rank.
+
+    Scale shape: one `applyInPandas` over query groups — queries
+    partition the work (shuffle key: query_id), each group is an
+    O(k * N * dim) NumPy loop on its executor; no driver collection,
+    no cross-query state. lam=1 degenerates to plain top-k by
+    relevance; lam=0 to pure diversity.
+
+    Reference contrast: the reference returns raw top-k only
+    (pico_vdb.py query); diversification is out of its model.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from picovdb_spark.functions.vector import l2_normalize
+
+    vec = F.col(vector_col) if normalized else l2_normalize(F.col(vector_col))
+    src = results.select(
+        F.col(query_id).cast("string").alias("q"),
+        F.col(id_col).cast("string").alias("d"),
+        F.col(rel_col).cast("double").alias("r"),
+        vec.cast("array<double>").alias("v"),
+    )
+    lam_f, cap, rt = float(lam), int(max_candidates), int(round_to)
+    kk = int(k)
+    schema = (
+        f"{query_id} string, rank int, {id_col} string, "
+        "relevance double, redundancy double, mmr_score double"
+    )
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > cap:
+            raise ValueError(
+                f"mmr_rerank: query {pdf['q'].iloc[0]!r} has {n} candidates "
+                f"(> max_candidates={cap}); MMR is a second-stage rerank — "
+                "run a first-stage retriever (ANN / BM25) and rerank its "
+                "top-N, or raise max_candidates deliberately"
+            )
+        # deterministic candidate order: rows sorted by id so every
+        # argmax tie-break below is engine- and partitioning-independent
+        pdf = pdf.sort_values("d", kind="mergesort").reset_index(drop=True)
+        m = np.asarray(list(pdf["v"]), dtype=np.float64)
+        rel = np.round(pdf["r"].to_numpy(np.float64), rt)
+        picked: list[int] = []
+        red = np.zeros(n, dtype=np.float64)  # max cos to picked, rounded
+        alive = np.ones(n, dtype=bool)
+        out = []
+        for rank in range(1, min(kk, n) + 1):
+            obj = lam_f * rel - (1.0 - lam_f) * red
+            obj = np.round(obj, rt)
+            obj_alive = np.where(alive, obj, -np.inf)
+            best = int(np.argmax(obj_alive))  # ties -> lowest index = smallest id
+            out.append(
+                (
+                    pdf["q"].iloc[0],
+                    rank,
+                    pdf["d"].iloc[best],
+                    float(rel[best]),
+                    float(red[best]),
+                    float(obj[best]),
+                )
+            )
+            alive[best] = False
+            picked.append(best)
+            if alive.any():
+                sims = np.round(m[alive] @ m[best], rt)
+                red[alive] = np.maximum(red[alive], sims)
+        return pd.DataFrame(
+            out,
+            columns=["q", "rank", "d", "relevance", "redundancy", "mmr_score"],
+        ).rename(columns={"q": query_id, "d": id_col})
+
+    return src.groupBy("q").applyInPandas(_one, schema=schema)

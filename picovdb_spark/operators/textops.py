@@ -726,3 +726,217 @@ def ngram_lm_score(
         F.coalesce(F.col("oov_bigrams"), F.lit(0).cast("long")).alias("oov_bigrams"),
         F.col("bits_per_token"),
     )
+
+
+def lm_bucket_cutoffs(
+    scored: DataFrame,
+    fracs: tuple[float, ...] = (1 / 3, 2 / 3),
+    *,
+    score_col: str = "bits_per_token",
+    accuracy: int = 10_000,
+) -> list[float]:
+    """Estimate per-corpus perplexity cutoffs — the CCNet step that
+    turns raw LM scores into head/middle/tail tertiles: compute the
+    score distribution's quantiles at `fracs` over the scored corpus
+    (NULL scores — <2-token docs — are excluded, as CCNet excludes
+    unscorable lines).
+
+    Scale shape: `percentile_approx` (Greenwald–Khanna sketch) — one
+    map-side sketch per partition merged at the driver, NO global sort,
+    error bounded by 1/`accuracy` in RANK space. At 100 TB this is the
+    only viable form; an exact percentile would sort the corpus. The
+    returned floats are meant to be FROZEN into pipeline config (like
+    CCNet ships its cutoffs with the model) so bucket assignment stays
+    a pure map — see `lm_buckets`.
+
+    Reference contrast: the reference has no corpus-statistics step at
+    all (pico_vdb.py stores vectors only); this is pipeline-side.
+    """
+    if not fracs or any(not (0.0 < f < 1.0) for f in fracs):
+        raise ValueError(f"fracs must be in (0, 1), got {fracs!r}")
+    if sorted(fracs) != list(fracs):
+        raise ValueError(f"fracs must be ascending, got {fracs!r}")
+    row = (
+        scored.filter(F.col(score_col).isNotNull())
+        .agg(
+            F.percentile_approx(
+                F.col(score_col), F.lit(list(float(f) for f in fracs)), accuracy
+            ).alias("q")
+        )
+        .first()
+    )
+    return [float(x) for x in (row["q"] or [])]
+
+
+def lm_buckets(
+    scored: DataFrame,
+    cutoffs: list[float],
+    *,
+    score_col: str = "bits_per_token",
+    bucket_col: str = "lm_bucket",
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: label every scored document by
+    which side of the frozen `cutoffs` its LM score falls on —
+    `head` (score < cutoffs[0]: most reference-like, the slice CCNet
+    trains on first), `middle`, `tail` (most surprising — boilerplate
+    and gibberish live here). len(labels) must be len(cutoffs) + 1.
+    NULL scores (unscorable <2-token docs) get a NULL bucket — the
+    length gates own those, not the LM.
+
+    Pure map-side projection (one chained CASE) — no shuffle, pipelines
+    with any downstream filter, and the frozen cutoffs make the
+    assignment reproducible across batches/engines the way `dataset_
+    split`'s md5 bucket is. Pair with `lm_bucket_cutoffs` to fit the
+    cutoffs once on a reference slice, then apply them corpus-wide.
+    """
+    if len(labels) != len(cutoffs) + 1:
+        raise ValueError(
+            f"need len(cutoffs)+1 labels: {len(cutoffs)} cutoffs, "
+            f"{len(labels)} labels"
+        )
+    if sorted(cutoffs) != list(cutoffs):
+        raise ValueError(f"cutoffs must be ascending, got {cutoffs!r}")
+    s = F.col(score_col)
+    expr = None
+    for c, lab in zip(cutoffs, labels):
+        branch = F.when(s < F.lit(float(c)), F.lit(lab))
+        expr = branch if expr is None else expr.when(s < F.lit(float(c)), F.lit(lab))
+    expr = expr.otherwise(F.lit(labels[-1]))
+    return scored.withColumn(bucket_col, F.when(s.isNotNull(), expr))
+
+
+def sample_to_budget(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    *,
+    id_col: str = "doc_id",
+    domain_col: str = "lang",
+    tokens_col: str = "n_tokens",
+    salt: str = "budget-v1",
+    buckets: int = 4096,
+) -> DataFrame:
+    """Deterministic per-domain sampling to a TOKEN budget — the data-
+    mixing primitive (Pile/Dolma-style): for each domain, keep documents
+    in md5-hash order until the domain's token budget is reached; the
+    document that crosses the budget line is the last one kept (prefix-
+    until-reached — budgets are floors, overshoot is < one document).
+    Domains absent from `budgets` are dropped. Unlike `stratified_
+    sample` (a RATE per stratum), this hits an absolute token TARGET —
+    what a training-mixture spec actually states.
+
+    Output: the kept rows with all input columns plus `cum_tokens`
+    (tokens up to and including this doc within its domain's hash
+    order) — the audit trail that re-derives every keep decision.
+
+    Scale shape — the naive form is one window per domain
+    (`SUM(tokens) OVER (PARTITION BY domain ORDER BY md5(id))`), which
+    puts each ENTIRE domain in a single partition: a skew cliff at
+    100 TB where one domain can be 30 TB. This implementation is the
+    two-pass equivalent with identical output:
+      1. Aggregate token sums per (domain, hash-bucket) — `buckets`
+         buckets from the md5 prefix; a narrow partial-aggregating
+         shuffle of (domain, int, long) triplets. The per-domain
+         cumulative walk over ≤`buckets` rows happens on the driver
+         (|domains| x `buckets` small rows) and yields each domain's
+         BOUNDARY bucket + tokens remaining on entry.
+      2. Map-side verdicts: buckets before the boundary keep
+         everything, after it drop everything; ONLY boundary-bucket
+         rows (≈ 1/`buckets` of the domain) run the exact cumulative
+         window — per-domain partitions of corpus_size/`buckets` rows,
+         no skew cliff. Ordering is (md5 hex, id): the bucket is a
+         PREFIX of the same hex, so bucket-then-hash order equals
+         global hash order and the two-pass output is bit-identical to
+         the naive window (pinned in tests).
+    The driver table is |domains| x `buckets` rows — fine for mixing
+    specs (domains in the thousands); for millions of micro-domains
+    lower `buckets` or fall back to the one-window form.
+    """
+    if not budgets:
+        raise ValueError("budgets is empty — every domain would be dropped")
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    hx = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    # ORDER-PRESERVING bucket: floor(prefix16 * buckets / 65536). Monotone
+    # in the hex prefix, so every bucket is a CONTIGUOUS hash range and
+    # bucket-then-hash order equals global hash order — a modulo here
+    # would interleave ranges and silently break the naive-window
+    # equivalence the two-pass design promises
+    pv = F.conv(F.substring(hx, 1, 4), 16, 10).cast("long")
+    bkt = F.floor(pv * F.lit(int(buckets)) / F.lit(65536)).cast("int")
+    bdf = spark.createDataFrame(
+        [(str(d), int(b)) for d, b in budgets.items()], f"{domain_col} string, __budget long"
+    )
+    base = (
+        docs.join(F.broadcast(bdf), on=domain_col, how="inner")
+        .withColumn("__hx", hx)
+        .withColumn("__bkt", bkt)
+    )
+    # pass 1: (domain, bucket) token sums -> driver cumulative walk
+    sums = (
+        base.groupBy(domain_col, "__bkt")
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("__t"))
+        .collect()
+    )
+    per_dom: dict[str, dict[int, int]] = {}
+    for r in sums:
+        per_dom.setdefault(r[domain_col], {})[r["__bkt"]] = r["__t"]
+    plan_rows = []  # (domain, boundary_bucket, tokens_entering_boundary)
+    for dom, bsums in per_dom.items():
+        budget = int(budgets[dom])
+        cum = 0
+        boundary, entering = None, None
+        for b in sorted(bsums):
+            if cum >= budget:
+                break
+            if cum + bsums[b] >= budget:
+                boundary, entering = b, cum
+                break
+            cum += bsums[b]
+        if boundary is None and cum < budget:
+            boundary, entering = int(buckets), cum  # budget never reached: keep all
+        if boundary is None:
+            boundary, entering = -1, 0  # budget <= 0: keep nothing
+        plan_rows.append((dom, int(boundary), int(entering)))
+    plan = spark.createDataFrame(
+        plan_rows, f"{domain_col} string, __boundary int, __entering long"
+    )
+    j = base.join(F.broadcast(plan), on=domain_col, how="inner")
+    pre = j.filter(F.col("__bkt") < F.col("__boundary")).withColumn(
+        "__cum_in", F.lit(None).cast("long")
+    )
+    # pass 2: exact window over ONLY the boundary bucket's rows
+    wb = Window.partitionBy(domain_col).orderBy(F.col("__hx").asc(), F.col(id_col).asc())
+    bnd = (
+        j.filter(F.col("__bkt") == F.col("__boundary"))
+        .withColumn("__cum_in", F.sum(F.col(tokens_col).cast("long")).over(wb))
+        .filter(
+            F.col("__entering") + F.col("__cum_in") - F.col(tokens_col).cast("long")
+            < F.col("__budget")
+        )
+    )
+    out = pre.unionByName(bnd)
+    # cum_tokens audit: exact within the boundary bucket; for pre-boundary
+    # rows recompute the in-bucket window + per-domain bucket offsets so
+    # the audit column matches the naive one-window form bit-for-bit
+    offs = []
+    for dom, bsums in per_dom.items():
+        cum = 0
+        for b in sorted(bsums):
+            offs.append((dom, int(b), int(cum)))
+            cum += bsums[b]
+    odf = spark.createDataFrame(offs, f"{domain_col} string, __bkt int, __off long")
+    w2 = Window.partitionBy(domain_col, "__bkt").orderBy(
+        F.col("__hx").asc(), F.col(id_col).asc()
+    )
+    return (
+        out.join(F.broadcast(odf), on=[domain_col, "__bkt"], how="left")
+        .withColumn(
+            "cum_tokens",
+            F.col("__off") + F.sum(F.col(tokens_col).cast("long")).over(w2),
+        )
+        .drop("__hx", "__bkt", "__budget", "__boundary", "__entering", "__cum_in", "__off")
+    )
