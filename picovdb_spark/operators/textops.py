@@ -940,3 +940,53 @@ def sample_to_budget(
         )
         .drop("__hx", "__bkt", "__budget", "__boundary", "__entering", "__cum_in", "__off")
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_lm: dict,
+    raw_lm: dict,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR — Xie et al.,
+    NeurIPS 2023), bigram-LM instantiation: weight every raw-corpus
+    document by how much more likely the TARGET distribution finds its
+    token stream than the RAW distribution,
+
+        log_ratio = bits_raw - bits_target      (per token, log2)
+        importance weight w = 2^log_ratio
+
+    Fit `target_lm` on the domain you want more of (`ngram_lm_fit` on
+    e.g. curated encyclopedic text) and `raw_lm` on a sample of the
+    crawl itself; documents whose ratio is high look like the target.
+    Output: (id_col, n_bigrams, bits_target, bits_raw, log_ratio,
+    dsir_w). Docs with <2 tokens score NULL throughout (no evidence —
+    exclude them, as DSIR's own preprocessing drops degenerate docs).
+
+    Pair with `weighted_sample(..., weight_col="dsir_w")` to draw the
+    training subset: A-ES top-k with these weights IS importance
+    resampling without replacement. Bigram ratios are a few bits either
+    way, so w = 2^ratio stays well inside float range — no log-space
+    sampler needed.
+
+    Scale shape: two `ngram_lm_score` passes (each: one explode, two
+    broadcast joins against MB-scale count tables, one per-doc agg) and
+    an id join — everything narrow; both models' tables are broadcast
+    at 100 TB. Reuses the oracle-checked scorer rather than fusing the
+    passes: the fused form would save one corpus read but lose the
+    per-model audit columns pipelines log."""
+    t = ngram_lm_score(docs, target_lm, id_col=id_col, text_col=text_col, add_k=add_k).select(
+        id_col, "n_bigrams", F.col("bits_per_token").alias("bits_target")
+    )
+    r = ngram_lm_score(docs, raw_lm, id_col=id_col, text_col=text_col, add_k=add_k).select(
+        id_col, F.col("bits_per_token").alias("bits_raw")
+    )
+    ratio = F.col("bits_raw") - F.col("bits_target")
+    return (
+        t.join(r, id_col)
+        .withColumn("log_ratio", ratio)
+        .withColumn("dsir_w", F.pow(F.lit(2.0), ratio))
+    )

@@ -306,3 +306,67 @@ SELECT step, d, obj FROM pick ORDER BY step
     assert got == [
         (s, d, pytest.approx(o)) for s, d, o in want
     ]
+
+
+@pytest.fixture(scope="module")
+def two_lms(spark):
+    """Target LM: clean prose; raw LM: mixed prose + spam."""
+    target = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the rug")],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "buy now buy now buy now"),
+            (3, "zz xx qq vv zz xx"),
+        ],
+        "doc_id long, text string",
+    )
+    t, r = ngram_lm_fit(target), ngram_lm_fit(raw)
+    yield t, r
+    t["unigrams"].unpersist()
+    r["unigrams"].unpersist()
+
+
+def test_dsir_prefers_target_like_docs(spark, two_lms):
+    from picovdb_spark.operators.textops import dsir_weights
+
+    t, r = two_lms
+    docs = spark.createDataFrame(
+        [
+            (10, "the cat sat on the rug"),   # target-like
+            (11, "buy now buy now"),          # raw-spam-like
+            (12, "x"),                        # unscorable
+        ],
+        "doc_id long, text string",
+    )
+    rows = {x["doc_id"]: x for x in dsir_weights(docs, t, r).collect()}
+    # target-like doc: target LM finds it cheaper than the raw mixture
+    assert rows[10]["log_ratio"] > 0
+    # spam: raw LM models it well, target LM doesn't
+    assert rows[11]["log_ratio"] < 0
+    assert rows[10]["dsir_w"] > 1 > rows[11]["dsir_w"]
+    # consistency: log_ratio = bits_raw - bits_target, w = 2^ratio
+    assert rows[10]["log_ratio"] == pytest.approx(
+        rows[10]["bits_raw"] - rows[10]["bits_target"]
+    )
+    assert rows[10]["dsir_w"] == pytest.approx(2 ** rows[10]["log_ratio"])
+    # unscorable doc: NULL all the way through
+    assert rows[12]["bits_target"] is None and rows[12]["dsir_w"] is None
+
+
+def test_dsir_feeds_weighted_sample(spark, two_lms):
+    from picovdb_spark.operators.textops import dsir_weights, weighted_sample
+
+    t, r = two_lms
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(20)]
+        + [(i, "buy now buy now buy now") for i in range(20, 40)],
+        "doc_id long, text string",
+    )
+    w = dsir_weights(docs, t, r)
+    picked = {r2["doc_id"] for r2 in weighted_sample(w, 10, weight_col="dsir_w").collect()}
+    assert len(picked) == 10
+    # importance weights dominate: the target-like half wins most slots
+    assert sum(1 for i in picked if i < 20) >= 8
