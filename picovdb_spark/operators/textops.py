@@ -990,3 +990,77 @@ def dsir_weights(
         .withColumn("log_ratio", ratio)
         .withColumn("dsir_w", F.pow(F.lit(2.0), ratio))
     )
+
+
+def mixture_budgets(
+    docs: DataFrame,
+    weights: dict[str, float],
+    total_tokens: int,
+    *,
+    domain_col: str = "lang",
+    tokens_col: str = "n_tokens",
+    respect_available: bool = True,
+) -> dict[str, int]:
+    """Turn a mixture SPEC ({domain: weight}, total token budget) into
+    the per-domain token budgets `sample_to_budget` consumes — with
+    water-filling: a domain that cannot supply its proportional share
+    (weight/Σweights x total exceeds what the corpus HAS) is capped at
+    its available tokens and the shortfall is redistributed across the
+    uncapped domains in weight proportion, iterating until stable. This
+    is the allocation step every mixture spec needs and most pipelines
+    hand-roll: without it, a scarce high-weight domain silently deflates
+    the total while abundant domains stay underweighted.
+
+    One distributed aggregation (per-domain token totals over the listed
+    domains — narrow (domain, long) shuffle) + a driver loop over
+    |domains| entries. `respect_available=False` skips the corpus scan
+    and returns the plain proportional split (useful when budgets will
+    screen a FUTURE stream whose supply is unknown).
+
+    Returns {domain: budget_tokens} (ints; floors, like
+    `sample_to_budget` treats them). Total allocated ≤ `total_tokens`,
+    with equality whenever the corpus has enough supply."""
+    if total_tokens <= 0:
+        raise ValueError(f"total_tokens must be positive, got {total_tokens}")
+    if not weights:
+        raise ValueError("weights is empty")
+    bad = {d: w for d, w in weights.items() if w <= 0}
+    if bad:
+        raise ValueError(f"weights must be positive, got {bad}")
+    if not respect_available:
+        wsum = float(sum(weights.values()))
+        return {d: int(total_tokens * w / wsum) for d, w in weights.items()}
+    doms = list(weights)
+    avail_rows = (
+        docs.filter(F.col(domain_col).isin(doms))
+        .groupBy(domain_col)
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("__t"))
+        .collect()
+    )
+    avail = {r[domain_col]: int(r["__t"]) for r in avail_rows}
+    capped: dict[str, int] = {}
+    remaining = int(total_tokens)
+    free = {d: float(weights[d]) for d in doms}
+    # each pass caps every domain whose proportional share exceeds its
+    # supply; terminates in <= |domains| passes (every pass caps >= 1
+    # domain or fixes the allocation)
+    while free:
+        wsum = sum(free.values())
+        over = {
+            d: avail.get(d, 0)
+            for d in free
+            if remaining * free[d] / wsum >= avail.get(d, 0)
+        }
+        if not over:
+            alloc = {d: int(remaining * free[d] / wsum) for d in free}
+            capped.update(alloc)
+            break
+        for d, a in over.items():
+            capped[d] = a
+            remaining -= a
+            del free[d]
+        if remaining <= 0:
+            for d in free:
+                capped[d] = 0
+            break
+    return {d: capped.get(d, 0) for d in doms}

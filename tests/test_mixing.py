@@ -370,3 +370,47 @@ def test_dsir_feeds_weighted_sample(spark, two_lms):
     assert len(picked) == 10
     # importance weights dominate: the target-like half wins most slots
     assert sum(1 for i in picked if i < 20) >= 8
+
+
+def test_mixture_budgets_waterfills(spark, corpus):
+    from picovdb_spark.operators.textops import mixture_budgets
+
+    # corpus (sf0.001): en~10343, de~4070, zh~4084 tokens available.
+    # de's proportional share of 12000 at weights 1:1:1 = 4000 < 4070 —
+    # no cap; at total 18000, de (6000 > 4070) and zh cap, surplus
+    # flows to en.
+    b = mixture_budgets(corpus, {"en": 1, "de": 1, "zh": 1}, 18_000)
+    avail = {
+        r["lang"]: r["t"]
+        for r in corpus.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert b["de"] == avail["de"] and b["zh"] == avail["zh"]
+    assert b["en"] == 18_000 - avail["de"] - avail["zh"]
+    assert sum(b.values()) == 18_000
+    # plenty of supply: plain proportional split
+    b2 = mixture_budgets(corpus, {"en": 3, "de": 1}, 8_000)
+    assert b2 == {"en": 6_000, "de": 2_000}
+    # spec-only mode never scans the corpus
+    b3 = mixture_budgets(corpus, {"a": 1, "b": 3}, 1_000, respect_available=False)
+    assert b3 == {"a": 250, "b": 750}
+
+
+def test_mixture_budgets_degenerate(spark, corpus):
+    from picovdb_spark.operators.textops import mixture_budgets
+
+    # demand far beyond supply: every domain capped at availability
+    b = mixture_budgets(corpus, {"en": 1, "de": 1}, 10**9)
+    avail = {
+        r["lang"]: r["t"]
+        for r in corpus.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert b == {"en": avail["en"], "de": avail["de"]}
+    # domain absent from the corpus: budget 0, others get the mass
+    b2 = mixture_budgets(corpus, {"xx": 1, "en": 1}, 2_000)
+    assert b2["xx"] == 0 and b2["en"] == 2_000
+    with pytest.raises(ValueError, match="total_tokens"):
+        mixture_budgets(corpus, {"en": 1}, 0)
+    with pytest.raises(ValueError, match="weights"):
+        mixture_budgets(corpus, {}, 10)
+    with pytest.raises(ValueError, match="positive"):
+        mixture_budgets(corpus, {"en": -1}, 10)
