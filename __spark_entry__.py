@@ -581,6 +581,40 @@ SELECT 'curate_span' AS variant, n.doc_id, n.doc_id AS canonical_id,
        n.n_paras, COALESCE(n.n_kept, 0) AS n_kept,
        s.split AS clean_digest
 FROM ({_PARA_NKEPT_ORACLE}) n JOIN ({_SPLIT_ORACLE}) s USING (doc_id)
+UNION ALL
+-- window_dedup (Lee et al. 2022 exact-substring dedup, window=8 word
+-- tokens): every repeated length-8 token span keeps only its global
+-- first occurrence ordered by (doc_id, start); losers' covered token
+-- positions are removed and the doc reassembled. Column mapping:
+-- n_paras=n_tokens, n_kept=surviving tokens, clean_digest=md5(clean).
+SELECT 'window' AS variant, wd.doc_id, wd.doc_id AS canonical_id,
+       wd.n_removed > 0 AS is_dup,
+       wd.n_tokens AS n_paras,
+       wd.n_tokens - wd.n_removed AS n_kept,
+       md5(wd.text_clean) AS clean_digest
+FROM (
+  WITH wt AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr
+              FROM documents),
+  ww AS (SELECT doc_id, unnest(range(len(arr) - 8 + 1)) AS s,
+                unnest(list_transform(range(len(arr) - 8 + 1),
+                       ss -> md5(array_to_string(arr[ss+1:ss+8], ' ')))) AS h
+         FROM wt WHERE len(arr) >= 8),
+  wl AS (SELECT doc_id, s FROM (
+           SELECT doc_id, s,
+                  row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn,
+                  count(*) OVER (PARTITION BY h) AS c
+           FROM ww) WHERE c > 1 AND rn > 1),
+  wrm AS (SELECT DISTINCT doc_id, unnest(range(s, s + 8)) AS pos FROM wl),
+  wk AS (SELECT wt.doc_id, u.pos, arr[u.pos + 1] AS tok
+         FROM wt, LATERAL (SELECT unnest(range(len(arr))) AS pos) u
+         WHERE NOT EXISTS (SELECT 1 FROM wrm
+                           WHERE wrm.doc_id = wt.doc_id AND wrm.pos = u.pos))
+  SELECT wt.doc_id, len(wt.arr) AS n_tokens,
+         len(wt.arr) - count(wk.pos) AS n_removed,
+         coalesce(string_agg(wk.tok, ' ' ORDER BY wk.pos), '') AS text_clean
+  FROM wt LEFT JOIN wk ON wt.doc_id = wk.doc_id
+  GROUP BY wt.doc_id, wt.arr
+) wd
 """,
 )
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -598,7 +632,11 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       the composed chain must emit one row per INPUT doc (husks whose
       every span was seen earlier included), gate husks as
       drop_reason='span_empty' (carried in is_dup), and assign every
-      row its deterministic split (carried in clean_digest)."""
+      row its deterministic split (carried in clean_digest).
+    - 'window': window_dedup (operators/dedup.py — Lee et al. 2022
+      exact-substring dedup at word granularity, window=8): repeated
+      length-8 token spans keep only the global first occurrence;
+      reassembled text hash-checked via md5(text_clean)."""
     docs = load_table(spark, sf_dir, "documents")
     exact = exact_dedup(docs).select(
         F.lit("exact").alias("variant"),
@@ -633,7 +671,24 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         F.col("split").alias("clean_digest"),
     )
-    return exact.unionByName(para).unionByName(cur)
+    # cross-document repeated token-WINDOW removal (operators/dedup.py:
+    # window_dedup — Lee et al. 2022 exact-substring dedup): length-8
+    # token spans occurring >1x corpus-wide keep only the global first
+    # occurrence; the reassembled text is hash-checked end-to-end.
+    # Column mapping into the suite schema: n_paras=n_tokens,
+    # n_kept=n_tokens-n_removed, is_dup = any window removed.
+    from picovdb_spark.operators.dedup import window_dedup
+
+    win = window_dedup(docs, window=8).select(
+        F.lit("window").alias("variant"),
+        "doc_id",
+        F.col("doc_id").alias("canonical_id"),
+        (F.col("n_removed") > 0).alias("is_dup"),
+        F.col("n_tokens").alias("n_paras"),
+        (F.col("n_tokens") - F.col("n_removed")).alias("n_kept"),
+        F.md5("text_clean").alias("clean_digest"),
+    )
+    return exact.unionByName(para).unionByName(cur).unionByName(win)
 
 
 def _minhash_oracle(
@@ -2225,8 +2280,28 @@ SELECT sp.doc_id, sp.bucket, sp.split,
        ws.wkey,
        bs.doc_id IS NOT NULL AS bsampled,
        bs.cum AS cum_tokens,
-       lb.lm_bucket
+       lb.lm_bucket,
+       sh.shard, sh.shard_pos,
+       il.interleave_rank
 FROM ({_SPLIT_ORACLE}) sp
+JOIN (SELECT doc_id,
+             CAST((rn - 1) % 7 AS INT) AS shard,
+             CAST((rn - 1) // 7 AS BIGINT) AS shard_pos
+      FROM (SELECT doc_id, row_number() OVER (
+              ORDER BY md5('shard-v1:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents)) sh USING (doc_id)
+LEFT JOIN (
+  WITH il1 AS (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY md5('mix-v1:' || CAST(doc_id AS VARCHAR)), doc_id) AS i
+    FROM documents WHERE lang IN ('en', 'de', 'zh'))
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY i / CASE lang WHEN 'en' THEN 3.0 ELSE 1.0 END,
+                    lang, doc_id) AS interleave_rank
+  FROM il1
+) il USING (doc_id)
 LEFT JOIN ({_STRATIFIED_ORACLE}) sa USING (doc_id)
 LEFT JOIN ({_BUDGET_ORACLE}) bs USING (doc_id)
 JOIN ({_LM_BUCKET_ORACLE}) lb USING (doc_id)
@@ -2324,6 +2399,28 @@ def _text_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lm["unigrams"].unpersist()  # vocab_size is frozen; scoring re-derives lazily
 
+    # deterministic training-shard deal (operators/sharding.shard_plan):
+    # md5(seed:id) pseudo-shuffle + round-robin assignment over the
+    # global_rank order — the oracle restates it as one window
+    # row_number, the plan stays range-partitioned. Same eager-project
+    # + release discipline as qr above.
+    from picovdb_spark.operators.sharding import shard_plan
+
+    plan = shard_plan(docs.select("doc_id"), 7)
+    sh = plan.select("doc_id", "shard", "shard_pos").localCheckpoint(eager=True)
+    release_global_rank(plan)
+
+    # weighted stride interleave (textops.interleave_by_weight): the
+    # ORDER half of the mixture spec — en:de:zh = 3:1:1 at every stream
+    # prefix; unlisted langs (es, fr) get NULL rank via the LEFT join.
+    # Oracle = the two-window restatement; the plan is two global_rank
+    # range shuffles, never a single-partition window.
+    from picovdb_spark.operators.textops import interleave_by_weight
+
+    il = interleave_by_weight(docs, {"en": 3.0, "de": 1.0, "zh": 1.0})
+    ilr = il.select("doc_id", "interleave_rank").localCheckpoint(eager=True)
+    release_global_rank(il)
+
     return (
         sp.join(sa, "doc_id", "left")
         .withColumn("sampled", F.coalesce(F.col("sampled"), F.lit(False)))
@@ -2333,10 +2430,12 @@ def _text_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bs, "doc_id", "left")
         .withColumn("bsampled", F.coalesce(F.col("bsampled"), F.lit(False)))
         .join(lmb, "doc_id")
+        .join(sh, "doc_id")
+        .join(ilr, "doc_id", "left")
         .select(
             "doc_id", "bucket", "split", "lang", "sample_bucket", "sampled",
             "quality_rank", "wsampled", "wkey", "bsampled", "cum_tokens",
-            "lm_bucket",
+            "lm_bucket", "shard", "shard_pos", "interleave_rank",
         )
     )
 

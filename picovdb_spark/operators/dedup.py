@@ -855,6 +855,99 @@ def paragraph_dedup(
     )
 
 
+def window_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+) -> DataFrame:
+    """Cross-document repeated token-WINDOW removal — the exact-substring
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), at word-token granularity: every length-
+    `window` token span that occurs more than once in the corpus keeps
+    only its GLOBAL first occurrence (ordered by (id, start) —
+    deterministic); every other occurrence's tokens are removed and the
+    document reassembled from the survivors. This catches boilerplate
+    that does NOT align to paragraph separators (navigation chrome,
+    license blocks mid-paragraph, templated sentences), which
+    `paragraph_dedup` above cannot see.
+
+    Output: (id_col, n_tokens, n_removed, text_clean) — one row per
+    input document; docs shorter than `window` tokens pass through
+    untouched (no window, no edit), matching the reference algorithm's
+    behavior on short sequences.
+
+    Scale shape — the same text-moves-once discipline as
+    `paragraph_dedup`:
+      1. Window hashes are built MAP-SIDE from the token array
+         (`transform(sequence(...))` + md5-of-slice): O(n_tokens x
+         window) local work, no shuffle. (A rolling hash would make it
+         O(n_tokens); md5-of-slice is kept because DuckDB computes the
+         identical digest for the oracle twin.)
+      2. Winner election shuffles (digest, id, start) triplets only —
+         window TEXT never leaves the mapper.
+      3. Loser windows explode to covered token positions: O(dup_bytes
+         x window) rows, proportional to the duplicated portion of the
+         corpus only, then collapse to one sorted int array per doc
+         (narrow (id, pos) shuffle).
+      4. Reassembly joins the removal list back on id — the single
+         full-width text shuffle (zero if the corpus is bucketed by id;
+         AQE broadcasts the removal list when it fits).
+
+    The per-token `array_contains` in the reassembly filter is O(r) per
+    token (r = removed count) — fine for web documents; for pathological
+    docs pre-chunk first (operators/chunking.py).
+
+    Reference contrast: the reference dedups only whole payloads via
+    content-hash auto-ids (pico_vdb.py:54-55); sub-document substrings
+    are outside its model.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2 tokens, got {window}")
+    arr = F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1)
+    toks = docs.select(F.col(id_col), arr.alias("__arr"))
+    n = F.size("__arr")
+    # one (start, digest) row per window, built inside the mapper
+    hashes = F.transform(
+        F.sequence(F.lit(0), n - F.lit(window)),
+        lambda s: F.md5(F.array_join(F.slice(F.col("__arr"), s + 1, window), " ")),
+    )
+    wins = (
+        toks.filter(n >= window)
+        .select(F.col(id_col), F.posexplode(hashes).alias("s", "__h"))
+    )
+    agg = wins.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col), F.col("s"))).alias("w"),
+        F.count("*").alias("__c"),
+    )
+    losers = (
+        wins.join(agg.filter(F.col("__c") > 1), on="__h")
+        .filter(
+            ~((F.col(id_col) == F.col(f"w.{id_col}")) & (F.col("s") == F.col("w.s")))
+        )
+        .select(F.col(id_col), F.col("s"))
+    )
+    removal = (
+        losers.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(window - 1))).alias(
+                "pos"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("pos")).alias("__rm"))
+    )
+    rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    kept = F.filter(arr, lambda x, i: ~F.array_contains(rm, i))
+    return docs.join(removal, on=id_col, how="left").select(
+        F.col(id_col),
+        F.size(arr).cast("long").alias("n_tokens"),
+        F.size(rm).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )
+
+
 def minhash_index(
     docs: DataFrame,
     *,

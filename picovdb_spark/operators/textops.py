@@ -1064,3 +1064,85 @@ def mixture_budgets(
                 capped[d] = 0
             break
     return {d: capped.get(d, 0) for d in doms}
+
+
+def interleave_by_weight(
+    docs: DataFrame,
+    weights: dict[str, float],
+    *,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "mix-v1",
+    rank_col: str = "interleave_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic weighted interleaving — the ORDER half of a mixture
+    spec that `mixture_budgets` (how much) and `sample_to_budget` (which
+    docs) don't cover: deal the listed domains into one global training
+    order where a domain with weight w contributes ~w-proportionally to
+    every prefix of the stream (stride scheduling: domain d's i-th doc,
+    in md5(seed:id) pseudo-shuffle order, sorts by key i/w_d; ties break
+    (domain, id)). A trainer reading the stream in `rank_col` order sees
+    the spec'd mixture at every step — no epoch-boundary domain clumping,
+    no RNG state, reproducible from (seed, weights) alone.
+
+    Rows whose domain is not in `weights` are dropped (the spec defines
+    the stream). Output: all input columns + `rank_col` (1-based, dense).
+
+    Plan shape: two `global_rank` passes (range shuffle + offsets each —
+    never a single-partition window). The per-domain position comes from
+    the FIRST global order (domain, shuffle-key, id): because domains are
+    contiguous in that order, position-within-domain = global_rank −
+    (docs in earlier domains), a |domains|-entry driver map. The stride
+    key i/w is IEEE-754 double division — bit-identical across engines,
+    so the order is oracle-statable.
+    """
+    if not weights:
+        raise ValueError("weights is empty")
+    bad = {d: w for d, w in weights.items() if w <= 0}
+    if bad:
+        raise ValueError(f"weights must be positive, got {bad}")
+    from picovdb_spark.operators.ordering import global_rank, release_global_rank
+
+    doms = sorted(weights)
+    keyed = docs.filter(F.col(domain_col).isin(list(doms))).withColumn(
+        "__ikey",
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+    )
+    first = global_rank(
+        keyed,
+        [(domain_col, "asc"), ("__ikey", "asc"), (id_col, "asc")],
+        rank_col="__g1",
+        num_partitions=num_partitions,
+    )
+    counts = {
+        r[domain_col]: r["c"]
+        for r in first.groupBy(domain_col).agg(F.count("*").alias("c")).collect()
+    }
+    offset, acc = {}, 0
+    for d in doms:  # same asc order as the rank
+        offset[d] = acc
+        acc += counts.get(d, 0)
+    off_expr = F.create_map(
+        *[x for d in doms for x in (F.lit(d), F.lit(offset[d]))]
+    )
+    w_expr = F.create_map(
+        *[x for d in doms for x in (F.lit(d), F.lit(float(weights[d])))]
+    )
+    strided = first.withColumn(
+        "__stride",
+        (F.col("__g1") - off_expr[F.col(domain_col)]).cast("double")
+        / w_expr[F.col(domain_col)],
+    )
+    second = global_rank(
+        strided,
+        [("__stride", "asc"), (domain_col, "asc"), (id_col, "asc")],
+        rank_col=rank_col,
+        num_partitions=num_partitions,
+    )
+    out = second.select(*docs.columns, rank_col)
+    # free the first pass's pinned source now; the caller releases the
+    # second via release_global_rank(result) once consumed
+    release_global_rank(first)
+    out._global_rank_source = second._global_rank_source  # type: ignore[attr-defined]
+    return out

@@ -414,3 +414,87 @@ def test_mixture_budgets_degenerate(spark, corpus):
         mixture_budgets(corpus, {}, 10)
     with pytest.raises(ValueError, match="positive"):
         mixture_budgets(corpus, {"en": -1}, 10)
+
+
+def test_interleave_by_weight_stride_schedule(spark, corpus):
+    from picovdb_spark.operators.ordering import release_global_rank
+    from picovdb_spark.operators.textops import interleave_by_weight
+
+    out = interleave_by_weight(corpus, {"en": 2.0, "de": 1.0})
+    rows = sorted(
+        ((r["interleave_rank"], r["lang"], r["doc_id"]) for r in out.collect())
+    )
+    release_global_rank(out)
+    # only spec'd domains, dense 1..n ranks
+    assert {lang for _, lang, _ in rows} == {"en", "de"}
+    assert [rk for rk, _, _ in rows] == list(range(1, len(rows) + 1))
+    # stride property: while BOTH domains have supply, every prefix holds
+    # the 2:1 mix to within one doc per domain
+    n_de_total = sum(1 for _, lang, _ in rows if lang == "de")
+    seen_en = seen_de = 0
+    for _, lang, _ in rows:
+        if lang == "en":
+            seen_en += 1
+        else:
+            seen_de += 1
+        if seen_de < n_de_total:  # de not yet exhausted
+            assert abs(seen_en - 2 * seen_de) <= 2
+
+
+def test_interleave_deterministic_and_seeded(spark, corpus):
+    from picovdb_spark.operators.ordering import release_global_rank
+    from picovdb_spark.operators.textops import interleave_by_weight
+
+    a = interleave_by_weight(corpus, {"en": 1.0, "zh": 1.0})
+    ra = {r["doc_id"]: r["interleave_rank"] for r in a.collect()}
+    release_global_rank(a)
+    b = interleave_by_weight(corpus, {"en": 1.0, "zh": 1.0})
+    rb = {r["doc_id"]: r["interleave_rank"] for r in b.collect()}
+    release_global_rank(b)
+    assert ra == rb
+    c = interleave_by_weight(corpus, {"en": 1.0, "zh": 1.0}, seed="mix-v2")
+    rc = {r["doc_id"]: r["interleave_rank"] for r in c.collect()}
+    release_global_rank(c)
+    assert rc != ra
+
+
+def test_interleave_duckdb_twin(spark, corpus, sf_dir):
+    import duckdb
+
+    from picovdb_spark.operators.ordering import release_global_rank
+    from picovdb_spark.operators.textops import interleave_by_weight
+
+    out = interleave_by_weight(corpus, {"en": 3.0, "de": 1.0, "zh": 1.0})
+    got = {r["doc_id"]: r["interleave_rank"] for r in out.collect()}
+    release_global_rank(out)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            """
+            WITH r1 AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY md5('mix-v1:' || CAST(doc_id AS VARCHAR)), doc_id) AS i
+              FROM documents WHERE lang IN ('en', 'de', 'zh'))
+            SELECT doc_id,
+                   row_number() OVER (
+                     ORDER BY i / CASE lang WHEN 'en' THEN 3.0 ELSE 1.0 END,
+                              lang, doc_id) AS interleave_rank
+            FROM r1
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_interleave_validation(spark, corpus):
+    from picovdb_spark.operators.textops import interleave_by_weight
+
+    with pytest.raises(ValueError, match="empty"):
+        interleave_by_weight(corpus, {})
+    with pytest.raises(ValueError, match="positive"):
+        interleave_by_weight(corpus, {"en": 0})
