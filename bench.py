@@ -664,15 +664,20 @@ def bench_queries(spark):
         # random collisions — measured 59 s here vs 8 s for minhash
         _force(simhash_pairs(scale_state["docs1m"], bits=60, max_hamming=3))
 
+    def _prepare_pairs1m():
+        # components consumes the minhash candidate-pair list. The
+        # minhash row is STAGE-ISOLATED (runs in a child subprocess), so
+        # the parent suite never builds pairs1m in-process — without
+        # this setup step the components row would time the whole pair
+        # build too (r6 artifact: 94.7 s in-suite / 25.4 s settled vs
+        # the 2-4.5 s the operator itself costs). Same rule for a
+        # BENCH_ONLY=components child: pairs are input state, untimed.
+        if "pairs1m" not in scale_state:
+            q_scale1m_dedup_minhash()
+
     def q_scale1m_dedup_components():
         from picovdb_spark.operators.dedup import connected_components
 
-        if "pairs1m" not in scale_state:
-            # only reachable under a SPARK_GRAFT_BENCH_ONLY subset that
-            # skips the minhash entry — build the pair list untimed-ish
-            # (included in this entry's timing; the full suite always
-            # times minhash first, so driver numbers are unaffected)
-            q_scale1m_dedup_minhash()
         _force(connected_components(scale_state["pairs1m"], scale_state["docs1m"]))
 
     def q_scale1m_dedup_paragraph():
@@ -1024,6 +1029,7 @@ def bench_queries(spark):
         "_prepare_docs1m": _prepare_docs1m,
         "scale1m_dedup_minhash": q_scale1m_dedup_minhash,
         "scale1m_dedup_simhash": q_scale1m_dedup_simhash,
+        "_prepare_pairs1m": _prepare_pairs1m,
         "scale1m_dedup_components": q_scale1m_dedup_components,
         "scale1m_dedup_paragraph": q_scale1m_dedup_paragraph,
         "scale1m_dedup_window": q_scale1m_dedup_window,
@@ -1096,6 +1102,7 @@ def main() -> None:
         "_prepare_resident_ivf_int8": ("ref100k_ivf_resident_int8",),
         "_prepare_scale1m": ("scale1m_batch", "scale1m_ivfpq"),
         "_prepare_docs1m": ("scale1m_dedup",),
+        "_prepare_pairs1m": ("scale1m_dedup_components",),
         "_prepare_emb1m": ("scale1m_embedding", "scale1m_semantic"),
         "_prepare_disk_tier": ("scale4m_",),
     }
