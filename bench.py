@@ -204,6 +204,18 @@ def bench_queries(spark):
 
         _force(curate_corpus(docs, paragraph_sep=" "))
 
+    def q_pipeline_prepare():
+        # raw corpus → packed training sequences: the full composed
+        # chain (curate gates → window chunking → greedy split-pure
+        # packing). No span removal here — with this corpus's short
+        # docs, word-granular span dedup hollows out the whole kept
+        # set (the curate row above times that stage); this row must
+        # push real volume through chunk+pack.
+        from picovdb_spark.operators.pipeline import prepare_training_data
+
+        seqs, _ = prepare_training_data(docs, chunk_tokens=256, max_tokens=1024)
+        _force(seqs)
+
     # -- reference-scale workloads (BASELINE.md config: 100k vectors,
     # dim=1024) so the q/s figure is comparable at EQUIVALENT scale, not
     # at the (much smaller) sf0.1 embeddings table. The corpus is
@@ -998,6 +1010,7 @@ def bench_queries(spark):
         "chunk_pack": q_chunk_pack,
         "pipeline_screen": q_pipeline_screen,
         "pipeline_curate": q_pipeline_curate,
+        "pipeline_prepare": q_pipeline_prepare,
         # "_"-prefixed keys are SETUP steps: executed in order, excluded
         # from timings (corpus generation is not a workload; it also
         # clears the sf-scale caches, so it runs after the sf workloads)

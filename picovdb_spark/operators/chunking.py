@@ -22,6 +22,8 @@ def chunk_documents(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
+    carry_cols: tuple[str, ...] = (),
     chunk_tokens: int = 64,
     overlap: int = 16,
 ) -> DataFrame:
@@ -29,8 +31,14 @@ def chunk_documents(
     `overlap` tokens of context carried between consecutive chunks
     (stride = chunk_tokens - overlap). The final partial window is kept.
 
-    Output: (doc_id, chunk_idx, chunk_text, n_tokens) — chunk_idx is
-    0-based; every token of the source appears in at least one chunk.
+    Output: (doc_id, *carry_cols, chunk_idx, chunk_text, n_tokens) —
+    chunk_idx is 0-based; every token of the source appears in at least
+    one chunk. `tokens_col` (optional) chunks a pre-tokenized
+    array<string> column instead of whitespace-splitting `text_col` —
+    the BPE path, where the window budget is model tokens, not words.
+    `carry_cols` ride along per chunk (e.g. the dataset split) so
+    downstream stages don't need an extra join back to the document
+    table.
 
     Pure Catalyst: tokens → sequence of window starts → transform+slice →
     posexplode. Stays inside whole-stage codegen; no Python, no shuffle.
@@ -38,7 +46,7 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError(f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
     stride = chunk_tokens - overlap
-    t = tokens(F.col(text_col))
+    t = F.col(tokens_col) if tokens_col is not None else tokens(F.col(text_col))
     # window starts: 1, 1+stride, 1+2*stride, … while start <= len
     # (1-based; a doc shorter than one chunk yields exactly one window)
     n_windows = F.greatest(
@@ -51,6 +59,7 @@ def chunk_documents(
     )
     out = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
     )
     return out.withColumn(

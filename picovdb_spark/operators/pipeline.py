@@ -74,12 +74,19 @@ def curate_corpus(
     paragraph_min_chars: int = 1,
     lm: dict | None = None,
     lm_bits_max: float | None = None,
+    return_text: bool = False,
 ) -> DataFrame:
     """One row per input document:
 
     (id, n_tokens, quality, dup_word_frac, top_bigram_frac,
      n_paras, n_kept, bits_per_token, component_id, split, keep,
-     drop_reason)
+     drop_reason[, text_clean])
+
+    - `return_text` appends `text_clean` — the text every gate actually
+      saw (span-rewritten when `paragraph_sep` is set, the input text
+      otherwise; "" for span-empty husks). The payload joins the narrow
+      audit spine by id, so text still moves once; leave it off when
+      only the audit verdicts are consumed.
 
     - `keep` — survives every gate; `drop_reason` is NULL.
     - `paragraph_sep` (optional, e.g. "\\n\\n") runs corpus-wide span
@@ -203,6 +210,12 @@ def curate_corpus(
         .when(F.coalesce(unnatural, F.lit(False)), F.lit("unnatural"))
         .when(F.coalesce(F.col("__contaminated"), F.lit(False)), F.lit("contaminated"))
     )
+    if return_text:
+        out = out.join(
+            docs.select(id_col, F.col(text_col).alias("__text_clean")),
+            id_col,
+            "left",
+        )
     return out.select(
         id_col,
         "n_tokens",
@@ -216,6 +229,11 @@ def curate_corpus(
         "split",
         reason.alias("drop_reason"),
         reason.isNull().alias("keep"),
+        *(
+            [F.coalesce(F.col("__text_clean"), F.lit("")).alias("text_clean")]
+            if return_text
+            else []
+        ),
     )
 
 
@@ -232,3 +250,167 @@ def curation_report(curated: DataFrame) -> dict:
         "kept": kept,
         "dropped": {r: by_reason.get(r, 0) for r in REASONS if r in by_reason},
     }
+
+
+def prepare_training_data(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    # curation knobs (forwarded to curate_corpus)
+    eval_docs: DataFrame | None = None,
+    quality_min: float = 0.3,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    weights: dict[str, float] | None = None,
+    paragraph_sep: str | None = None,
+    paragraph_min_chars: int = 1,
+    lm: dict | None = None,
+    lm_bits_max: float | None = None,
+    # mixture (optional): absolute per-domain token budgets
+    token_budgets: dict[str, int] | None = None,
+    domain_col: str = "lang",
+    # tokenize / window / pack
+    merges: list[tuple[str, str]] | None = None,
+    chunk_tokens: int = 256,
+    overlap: int = 0,
+    max_tokens: int = 1024,
+    # shard dealing over packed bins (optional)
+    n_shards: int | None = None,
+    seed: str = "prep-v1",
+) -> tuple[DataFrame, DataFrame]:
+    """Raw corpus → trainer-ready packed sequences, in one composed
+    plan — the full pre-training data path:
+
+        curate_corpus (span removal → dedup ladder → quality/LM/decontam
+        gates → split) → [per-domain token-budget sampling] →
+        [BPE tokenize] → context-window chunking → greedy sequence
+        packing (split-pure bins) → [deterministic shard dealing]
+
+    Returns ``(sequences, curated)``:
+
+    - ``sequences`` — one row per chunk: (split, doc_id, chunk_idx,
+      n_tokens, chunk_text, pack_group, bin_idx[, shard, shard_pos]).
+      A (split, pack_group, bin_idx) triple is one training sequence:
+      its chunks' token total never exceeds `max_tokens` (greedy
+      packing; a single over-long chunk gets a bin to itself), and a
+      bin never mixes dataset splits. With `n_shards`, whole BINS are
+      dealt round-robin over an md5 shuffle order (shard sizes differ
+      by at most one bin; sequences are never torn across shards) —
+      call :func:`~picovdb_spark.operators.ordering.release_global_rank`
+      on ``sequences`` once written, as with `shard_plan` itself.
+    - ``curated`` — the per-document audit spine (curate_corpus output
+      with `text_clean`): every drop accounted by reason, `keep` the
+      exact predicate the sequence side used.
+
+    Token accounting: with `merges`, chunk windows and the pack budget
+    are in BPE tokens (`bpe_encode`, pure map); otherwise whitespace
+    tokens. `token_budgets` sampling runs BEFORE tokenization on
+    whitespace counts (the budget spec's own unit).
+
+    Scale shape: curation's joins carry ids + scalars (text moves once,
+    into `text_clean`); sampling is the two-pass bucketed form;
+    tokenize/chunk are pure maps; packing is ONE shuffle on
+    (split, pack_group) with chunk text riding that same exchange; the
+    shard deal ranks the (much smaller) distinct-bin spine and joins
+    back on the bin key. Nothing here re-reads the raw corpus a second
+    time — `curated` and `sequences` share the curate stage, so
+    materialize `curated` (or localCheckpoint it) if both outputs are
+    consumed; at corpus scale you'd write `curated` to a table first.
+
+    Not in the reference (it ingests ready-made vectors); this is the
+    SURVEY §7.4 pipeline front-end composed end-to-end.
+    """
+    from picovdb_spark.operators.chunking import chunk_documents
+    from picovdb_spark.operators.sharding import shard_plan
+    from picovdb_spark.operators.textops import pack_sequences, sample_to_budget
+    from picovdb_spark.operators.tokenizer import bpe_encode
+
+    curated = curate_corpus(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        eval_docs=eval_docs,
+        quality_min=quality_min,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket_size=max_bucket_size,
+        weights=weights,
+        paragraph_sep=paragraph_sep,
+        paragraph_min_chars=paragraph_min_chars,
+        lm=lm,
+        lm_bits_max=lm_bits_max,
+        return_text=True,
+    )
+    kept = curated.filter(F.col("keep")).select(
+        F.col(id_col),
+        F.col("split"),
+        F.col("n_tokens"),
+        F.col("text_clean").alias(text_col),
+    )
+
+    if token_budgets is not None:
+        kept = kept.join(docs.select(id_col, domain_col), id_col, "left")
+        kept = sample_to_budget(
+            kept,
+            token_budgets,
+            id_col=id_col,
+            domain_col=domain_col,
+            tokens_col="n_tokens",
+            salt=f"{seed}:budget",
+        ).drop("cum_tokens", domain_col)
+
+    if merges is not None:
+        toks = bpe_encode(kept, merges, id_col=id_col, text_col=text_col)
+        # bpe_encode returns only (id, bpe_tokens, n_bpe_tokens) — a
+        # pure map; re-attach the split by id (narrow columns both
+        # sides; AQE turns this into a local join when kept is small)
+        tokenized = toks.join(kept.select(id_col, "split"), id_col)
+        chunks = chunk_documents(
+            tokenized,
+            id_col=id_col,
+            tokens_col="bpe_tokens",
+            carry_cols=("split",),
+            chunk_tokens=chunk_tokens,
+            overlap=overlap,
+        )
+    else:
+        chunks = chunk_documents(
+            kept,
+            id_col=id_col,
+            text_col=text_col,
+            carry_cols=("split",),
+            chunk_tokens=chunk_tokens,
+            overlap=overlap,
+        )
+
+    packed = pack_sequences(
+        chunks,
+        id_cols=(id_col, "chunk_idx"),
+        token_col="n_tokens",
+        max_tokens=max_tokens,
+        partition_salt=f"{seed}:pack",
+        strategy="greedy",
+        group_cols=("split",),
+        payload_cols=("chunk_text",),
+    )
+
+    if n_shards is not None:
+        bin_key = F.concat_ws(
+            ":",
+            F.col("split"),
+            F.col("pack_group").cast("string"),
+            F.col("bin_idx").cast("string"),
+        )
+        bins = packed.select(bin_key.alias("__bin_id")).distinct()
+        plan = shard_plan(
+            bins, n_shards, id_col="__bin_id", seed=f"{seed}:shard"
+        )
+        out = packed.withColumn("__bin_id", bin_key).join(
+            plan, "__bin_id"
+        ).drop("__bin_id")
+        # shard_plan ranks via a cached source — surface the handle so
+        # the caller can release_global_rank(sequences) once written
+        out._global_rank_source = plan._global_rank_source  # type: ignore[attr-defined]
+        packed = out
+
+    return packed, curated

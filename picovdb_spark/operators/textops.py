@@ -167,6 +167,8 @@ def pack_sequences(
     max_tokens: int = 256,
     partition_salt: str = "v1",
     strategy: str = "greedy",
+    group_cols: tuple[str, ...] = (),
+    payload_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sequence packing: assign chunks to fixed-budget token bins (the
     pre-training batch-construction step).
@@ -187,7 +189,15 @@ def pack_sequences(
       a chunk straddling a bin boundary lands in the earlier bin, so a
       bin may exceed the budget by up to one chunk.
 
-    Output: (doc_id, chunk_idx, n_tokens, pack_group, bin_idx).
+    ``group_cols`` prepend extra pack-key columns (e.g. the dataset
+    split) — a bin never mixes values of a group column, so packing a
+    split corpus in one pass can't leak val/test chunks into train
+    bins. ``payload_cols`` ride along unexamined (e.g. chunk_text), so
+    the packed output is trainer-ready without a join back; payload
+    moves in the same single shuffle the packing already pays.
+
+    Output: (*group_cols, doc_id, chunk_idx, n_tokens, *payload_cols,
+    pack_group, bin_idx). bin_idx is dense per (group_cols, pack_group).
     """
     from pyspark.sql import Window as W
     from pyspark.sql import types as T
@@ -197,11 +207,14 @@ def pack_sequences(
         md5_hash32(F.concat(F.lit(f"{partition_salt}:"), F.col(doc_col).cast("string")))
         % F.lit(64)
     ).alias("pack_group")
-    base = chunks.select(doc_col, idx_col, token_col, g)
+    base = chunks.select(
+        *group_cols, doc_col, idx_col, token_col, *payload_cols, g
+    )
+    keys = [*group_cols, "pack_group"]
 
     if strategy == "prefix":
         w = (
-            W.partitionBy("pack_group")
+            W.partitionBy(*keys)
             .orderBy(F.col(doc_col).asc(), F.col(idx_col).asc())
             .rowsBetween(W.unboundedPreceding, -1)
         )
@@ -227,7 +240,7 @@ def pack_sequences(
         pdf["bin_idx"] = bins
         return pdf
 
-    return base.groupBy("pack_group").applyInPandas(pack, schema=schema)
+    return base.groupBy(*keys).applyInPandas(pack, schema=schema)
 
 
 # PII patterns: deliberately simple, deterministic, and identically
