@@ -88,11 +88,18 @@ def logreg_score(
     bias: float = 0.0,
     id_col: str = "doc_id",
     round_to: int = 6,
+    spine: DataFrame | None = None,
 ) -> DataFrame:
     """(id, z, score): z = bias + Σ w·value, score = sigmoid(z), both
     rounded. `weights` is a (feature_idx, w) frame — broadcast when it
     fits (≤ a few hundred MB even at 2^22 features), so the join is
-    map-side and the only shuffle is the per-doc sum."""
+    map-side and the only shuffle is the per-doc sum.
+
+    `feats` has no rows for zero-token documents (hashed_features emits
+    none), so by default such docs get NO score row. Pass `spine` (any
+    frame with `id_col`, typically the docs table) to get one row per
+    spine id instead — missing docs score at the bias alone, the
+    documented semantics a gate over the whole corpus needs."""
     w = weights.select("feature_idx", "w")
     z = (
         feats.join(F.broadcast(w), "feature_idx", "left")
@@ -101,6 +108,12 @@ def logreg_score(
             (F.lit(float(bias)) + F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("value"))).alias("__z")
         )
     )
+    if spine is not None:
+        z = (
+            spine.select(id_col)
+            .join(z, id_col, "left")
+            .withColumn("__z", F.coalesce(F.col("__z"), F.lit(float(bias))))
+        )
     return z.select(
         F.col(id_col),
         F.round("__z", round_to).alias("z"),

@@ -110,3 +110,11 @@ def release_global_rank(ranked: DataFrame) -> None:
             "that one"
         )
     src.unpersist()
+    # composed operators (e.g. interleave_by_weight) chain MULTIPLE rank
+    # passes: the earlier passes' sources must stay pinned until the
+    # final result is consumed (releasing them early would let a lost
+    # partition of the later pass recompute through a re-sampled range
+    # partitioning — silently wrong ranks), so they ride here and are
+    # freed together
+    for extra in getattr(ranked, "_global_rank_extra", ()):
+        extra.unpersist()

@@ -313,10 +313,13 @@ def prepare_training_data(
     tokenize/chunk are pure maps; packing is ONE shuffle on
     (split, pack_group) with chunk text riding that same exchange; the
     shard deal ranks the (much smaller) distinct-bin spine and joins
-    back on the bin key. Nothing here re-reads the raw corpus a second
-    time — `curated` and `sequences` share the curate stage, so
-    materialize `curated` (or localCheckpoint it) if both outputs are
-    consumed; at corpus scale you'd write `curated` to a table first.
+    back on the bin key. Multi-consumer stages are lazily
+    checkpointed (`kept` when sampling/BPE/sharding re-read it,
+    `packed` before the shard join) so the curate ladder and chunk+pack
+    each run ONCE regardless of options. `curated` and `sequences`
+    still share the curate stage — materialize `curated` if both
+    outputs are consumed; at corpus scale you'd write `curated` to a
+    table first.
 
     Not in the reference (it ingests ready-made vectors); this is the
     SURVEY §7.4 pipeline front-end composed end-to-end.
@@ -347,6 +350,12 @@ def prepare_training_data(
         F.col("n_tokens"),
         F.col("text_clean").alias(text_col),
     )
+    if token_budgets is not None or merges is not None or n_shards is not None:
+        # these stages evaluate `kept` more than once (budget sampling's
+        # two driver passes, the BPE re-attach join, the shard deal's
+        # eager rank-count job) — a lazy checkpoint truncates the curate
+        # lineage so the dedup ladder runs ONCE, not once per pass
+        kept = kept.localCheckpoint(eager=False)
 
     if token_budgets is not None:
         kept = kept.join(docs.select(id_col, domain_col), id_col, "left")
@@ -395,6 +404,10 @@ def prepare_training_data(
     )
 
     if n_shards is not None:
+        # the shard deal reads `packed` twice (the distinct-bin spine
+        # feeding shard_plan's eager rank job, then the join back) —
+        # checkpoint so chunk+pack run once
+        packed = packed.localCheckpoint(eager=False)
         bin_key = F.concat_ws(
             ":",
             F.col("split"),

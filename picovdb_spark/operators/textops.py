@@ -1115,7 +1115,7 @@ def interleave_by_weight(
     bad = {d: w for d, w in weights.items() if w <= 0}
     if bad:
         raise ValueError(f"weights must be positive, got {bad}")
-    from picovdb_spark.operators.ordering import global_rank, release_global_rank
+    from picovdb_spark.operators.ordering import global_rank
 
     doms = sorted(weights)
     keyed = docs.filter(F.col(domain_col).isin(list(doms))).withColumn(
@@ -1154,8 +1154,11 @@ def interleave_by_weight(
         num_partitions=num_partitions,
     )
     out = second.select(*docs.columns, rank_col)
-    # free the first pass's pinned source now; the caller releases the
-    # second via release_global_rank(result) once consumed
-    release_global_rank(first)
+    # BOTH passes' pinned sources must survive until the caller consumes
+    # the result: the second pass reads through the first's cached
+    # partitioning, and an evicted/lost partition recomputed through an
+    # unpersisted first source would re-sample range boundaries and
+    # silently shift ranks. release_global_rank(result) frees both.
     out._global_rank_source = second._global_rank_source  # type: ignore[attr-defined]
+    out._global_rank_extra = (first._global_rank_source,)  # type: ignore[attr-defined]
     return out

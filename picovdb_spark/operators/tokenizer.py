@@ -155,13 +155,21 @@ def bpe_encode(
 
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     cap = int(cache_size)
+    # one cache per deserialized UDF closure — lives across Arrow
+    # batches for as long as the python worker keeps the task's
+    # function object (worker reuse is on by default), not rebuilt
+    # per ~10k-row batch
+    cache: dict[str, list[str]] = {}
 
     def _encode_series(s):
-        cache: dict[str, list[str]] = {}
-
         def enc(text: str) -> list[str]:
             out: list[str] = []
-            for w in (text or "").lower().split():
+            # split on single spaces, exactly like functions.text.tokens
+            # (the split bpe_train's word table was built with) — any-
+            # whitespace split would encode words the model never saw
+            for w in (text or "").lower().split(" "):
+                if not w:
+                    continue
                 hit = cache.get(w)
                 if hit is None:
                     hit = encode_word(w, ranks)

@@ -131,3 +131,23 @@ def test_bias_only_for_featureless_docs(spark):
     )
     model = logreg_fit(docs, label_col="label", n_features=64, n_iter=10, lr=1.0)
     assert model["bias"] > 0.0  # all labels 1 -> bias climbs
+
+
+def test_score_spine_resurrects_zero_token_docs(spark, train):
+    model = logreg_fit(train, label_col="label", n_features=256, n_iter=15, lr=2.0)
+    docs = spark.createDataFrame(
+        [(1, "good clean prose"), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    feats = hashed_features(docs, n_features=256)
+    bare = logreg_score(feats, model["weights"], bias=model["bias"])
+    assert {r["doc_id"] for r in bare.collect()} == {1}, "no spine -> featureless docs absent"
+    full = logreg_score(feats, model["weights"], bias=model["bias"], spine=docs)
+    rows = {r["doc_id"]: r for r in full.collect()}
+    assert set(rows) == {1, 2, 3, 4}, "spine -> one row per doc"
+    import math
+
+    sig_bias = round(1.0 / (1.0 + math.exp(-model["bias"])), 6)
+    for did in (2, 3, 4):
+        assert rows[did]["z"] == round(model["bias"], 6)
+        assert rows[did]["score"] == sig_bias

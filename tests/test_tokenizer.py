@@ -102,3 +102,24 @@ def test_train_corpus_scale_plan_and_compression(spark, sf_dir):
 def test_train_validates(tiny):
     with pytest.raises(ValueError, match="num_merges"):
         bpe_train(tiny, 0)
+
+
+def test_encode_split_matches_train_tokenization(spark):
+    """bpe_encode must split words exactly like bpe_train's word table
+    (functions.text.tokens: single spaces, lowercase, drop empties) —
+    an any-whitespace split would encode words the model never saw."""
+    docs = spark.createDataFrame(
+        [(1, "a\tb a\tb a\tb"), (2, "x  y"), (3, "UP up")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, 30, min_count=1)
+    rows = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    # the tab-joined unit is ONE word for both train and encode: with
+    # enough merges it collapses to a single token (train saw it 3x)
+    assert rows[1]["bpe_tokens"] == ["a\tb" + END] * 3
+    # consecutive spaces yield no empty-string tokens
+    assert all(t.strip("\x00") != END or t == END for t in rows[2]["bpe_tokens"])
+    detok2 = "".join(rows[2]["bpe_tokens"]).replace(END, " ").strip()
+    assert detok2 == "x y"
+    # lowercase parity with tokens()
+    assert rows[3]["bpe_tokens"] == ["up" + END] * 2
