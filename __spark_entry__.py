@@ -1469,6 +1469,9 @@ ranked AS (
 SELECT v.variant, query_id, _id_, _metrics_, rank
 FROM (VALUES ('blocked'), ('broadcast')) v(variant)
 CROSS JOIN (SELECT query_id, _id_, _metrics_, rank FROM ranked WHERE rank <= 5)
+UNION ALL
+SELECT 'hard_neg', query_id, _id_, _metrics_, CAST(rank - 1 AS INTEGER) AS rank
+FROM ranked WHERE rank BETWEEN 2 AND 6
 """,
 )
 def _knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1478,8 +1481,16 @@ def _knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and `blocked` (cogrouped block-nested-loop GEMM — neither side
     broadcast or collected, the large×large form; 2×3 block grid here
     so the merge really crosses cell boundaries). Self-matches
-    excluded in both."""
-    from picovdb_spark.operators.similarity import knn_join, knn_join_blocked
+    excluded in both. The `hard_neg` branch mines hard negatives
+    (similarity.hard_negatives: over-fetched kNN → anti-join labeled
+    positives → re-rank) with each query's top-1 neighbor as its
+    positive — the result must be EXACTLY ranks 2..6 of the same
+    oracle ranking, re-numbered 1..5."""
+    from picovdb_spark.operators.similarity import (
+        hard_negatives,
+        knn_join,
+        knn_join_blocked,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
@@ -1489,8 +1500,15 @@ def _knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bc = knn_join(q, emb, k=5, **kw)
     bl = knn_join_blocked(q, emb, k=5, left_blocks=2, right_blocks=3, **kw)
-    return bc.select(F.lit("broadcast").alias("variant"), "*").unionByName(
-        bl.select(F.lit("blocked").alias("variant"), "*")
+    pos = bc.filter(F.col("rank") == 1).select("query_id", "_id_")
+    hn = hard_negatives(
+        q, emb, pos, k=5,
+        pos_query_col="query_id", pos_doc_col="_id_", **kw,
+    )
+    return (
+        bc.select(F.lit("broadcast").alias("variant"), "*")
+        .unionByName(bl.select(F.lit("blocked").alias("variant"), "*"))
+        .unionByName(hn.select(F.lit("hard_neg").alias("variant"), "*"))
     )
 
 
@@ -2282,8 +2300,14 @@ SELECT sp.doc_id, sp.bucket, sp.split,
        bs.cum AS cum_tokens,
        lb.lm_bucket,
        sh.shard, sh.shard_pos,
-       il.interleave_rank
+       il.interleave_rank,
+       gs.group_split
 FROM ({_SPLIT_ORACLE}) sp
+JOIN (SELECT doc_id,
+       CASE WHEN {_d_hash32("'gsplit:' || coalesce(CAST(lang AS VARCHAR), CAST(doc_id AS VARCHAR))")} / 4294967296.0 < 0.98 THEN 'train'
+            WHEN {_d_hash32("'gsplit:' || coalesce(CAST(lang AS VARCHAR), CAST(doc_id AS VARCHAR))")} / 4294967296.0 < 0.99 THEN 'val'
+            ELSE 'test' END AS group_split
+      FROM documents) gs USING (doc_id)
 JOIN (SELECT doc_id,
              CAST((rn - 1) % 7 AS INT) AS shard,
              CAST((rn - 1) // 7 AS BIGINT) AS shard_pos
@@ -2338,7 +2362,11 @@ def _text_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections/filters; the joins here only pack the verdicts into one
     driver row."""
     from picovdb_spark.operators.ordering import global_rank
-    from picovdb_spark.operators.textops import quality_score, weighted_sample
+    from picovdb_spark.operators.textops import (
+        dataset_split,
+        quality_score,
+        weighted_sample,
+    )
 
     sp = _dataset_split(spark, sf_dir)
     sa = _stratified(spark, sf_dir).select(
@@ -2421,6 +2449,13 @@ def _text_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ilr = il.select("doc_id", "interleave_rank").localCheckpoint(eager=True)
     release_global_rank(il)
 
+    # leakage-safe grouped split (textops.dataset_split group_col): every
+    # doc of a lang lands in ONE split — the guard against near-dups of
+    # one source straddling train/test. Pure map-side, like the id form.
+    gs = dataset_split(docs, salt="gsplit", group_col="lang").select(
+        "doc_id", F.col("split").alias("group_split")
+    )
+
     return (
         sp.join(sa, "doc_id", "left")
         .withColumn("sampled", F.coalesce(F.col("sampled"), F.lit(False)))
@@ -2432,10 +2467,12 @@ def _text_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lmb, "doc_id")
         .join(sh, "doc_id")
         .join(ilr, "doc_id", "left")
+        .join(gs, "doc_id")
         .select(
             "doc_id", "bucket", "split", "lang", "sample_bucket", "sampled",
             "quality_rank", "wsampled", "wkey", "bsampled", "cum_tokens",
             "lm_bucket", "shard", "shard_pos", "interleave_rank",
+            "group_split",
         )
     )
 
@@ -2866,23 +2903,33 @@ sh AS (SELECT doc_id, {_D_SHING5} AS s FROM tok),
 tr AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS gh
        FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 17 <> 0)),
 ev AS (SELECT DISTINCT ('0x' || substr(md5(g), 1, 8))::BIGINT AS gh
-       FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 17 = 0))
-SELECT tr.doc_id, CAST(count(DISTINCT tr.gh) AS BIGINT) AS n_hits
-FROM tr JOIN ev USING (gh)
-GROUP BY tr.doc_id
+       FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 17 = 0)),
+hits AS (
+  SELECT tr.doc_id, CAST(count(DISTINCT tr.gh) AS BIGINT) AS n_hits
+  FROM tr JOIN ev USING (gh)
+  GROUP BY tr.doc_id
+)
+SELECT h.doc_id, h.n_hits,
+       CAST(len(sh.s) AS BIGINT) AS n_grams,
+       round(h.n_hits / greatest(CAST(len(sh.s) AS BIGINT), 1), 6) AS hit_frac
+FROM hits h JOIN sh USING (doc_id)
 """,
 )
 def _docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: train docs (doc_id % 17 != 0) sharing
     any word 5-gram with the held-out eval slice (doc_id % 17 == 0).
     Map-side broadcast semi-join on the md5-32 gram hash — the train
-    side never shuffles (operators/textops.py:decontaminate)."""
+    side never shuffles (operators/textops.py:decontaminate). min_frac
+    engages the materiality-threshold path: n_grams (the doc's distinct
+    5-gram count) and hit_frac come back for every contaminated doc
+    (0.0 keeps the row set = any-overlap, so the fraction arithmetic is
+    hash-checked without flaky boundary filtering)."""
     from picovdb_spark.operators.textops import decontaminate
 
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 17 != 0)
     eval_docs = docs.filter(F.col("doc_id") % 17 == 0)
-    return decontaminate(train, eval_docs, n=5)
+    return decontaminate(train, eval_docs, n=5, min_frac=0.0)
 
 
 _REPETITION_ORACLE = f"""

@@ -588,6 +588,80 @@ def knn_join_blocked(
     return topk_per_query(cand, kk).select("query_id", K_ID, K_METRICS, "rank")
 
 
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    positives: DataFrame,
+    *,
+    k: int = 10,
+    left_id: str = "query_id",
+    right_id: str = "doc_id",
+    left_vec: str = "embedding",
+    right_vec: str = "embedding",
+    pos_query_col: str | None = None,
+    pos_doc_col: str | None = None,
+    method: str = "broadcast",
+    round_to: int = 6,
+    exclude_self: bool = True,
+    max_score: float | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the `k` most cosine-similar corpus documents that are NOT among its
+    labeled positives — the standard retrieval-training data step (DPR /
+    sentence-transformers style).
+
+    `positives` is a (query_id, doc_id) pair frame (column names default
+    to `left_id`/`right_id`, override via `pos_query_col`/`pos_doc_col`).
+    `max_score` (optional) additionally drops negatives scoring AT OR
+    ABOVE it — the usual guard against unlabeled positives / near-dups
+    masquerading as negatives; with it set, a query may return fewer
+    than `k` rows (there may not be k valid negatives, and that is the
+    honest answer).
+
+    Output: (query_id, _id_, _metrics_, rank) — same shape as
+    `knn_join`, rank re-numbered 1..k after exclusion.
+
+    Distributed shape: one exact kNN join over-fetched by the largest
+    per-query positive count (a single one-row driver aggregate — the
+    positives table is labels, tiny next to the corpus), then a
+    broadcast left-anti join against the positive pairs and a window
+    re-rank over the ≤ (k + max_pos) surviving rows per query. The
+    corpus-side cost is exactly one kNN join; `method="blocked"` routes
+    it through the cogrouped block-GEMM when the query side is too big
+    to broadcast."""
+    pq = pos_query_col or left_id
+    pd_ = pos_doc_col or right_id
+    p = positives.select(
+        F.col(pq).cast("string").alias("query_id"),
+        F.col(pd_).cast("string").alias(K_ID),
+    ).distinct()
+    row = p.groupBy("query_id").count().agg(F.max("count")).collect()
+    max_pos = int(row[0][0] or 0) if row else 0
+    kw = dict(
+        k=k + max_pos,
+        left_id=left_id,
+        right_id=right_id,
+        left_vec=left_vec,
+        right_vec=right_vec,
+        round_to=round_to,
+        exclude_self=exclude_self,
+    )
+    if method == "broadcast":
+        knn = knn_join(queries, corpus, **kw)
+    elif method == "blocked":
+        knn = knn_join_blocked(queries, corpus, **kw)
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    neg = knn.drop("rank").join(
+        F.broadcast(p), ["query_id", K_ID], "left_anti"
+    )
+    if max_score is not None:
+        neg = neg.filter(F.col(K_METRICS) < F.lit(float(max_score)))
+    from picovdb_spark.operators.topk import topk_per_query
+
+    return topk_per_query(neg, k).select("query_id", K_ID, K_METRICS, "rank")
+
+
 def _gemm_topk(
     cand: DataFrame,
     queries: DataFrame,

@@ -133,6 +133,7 @@ def dataset_split(
     id_col: str = "doc_id",
     weights: dict[str, float] | None = None,
     salt: str = "v1",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Deterministic hash-based train/val/test assignment.
 
@@ -141,9 +142,24 @@ def dataset_split(
     so re-running the pipeline never migrates a document between splits;
     changing `salt` produces an independent re-split. Pure projection,
     no shuffle.
+
+    `group_col` (optional) hashes the GROUP instead of the id, so every
+    document of a group lands in the same split — the leakage-safe form
+    when near-duplicates cluster by source (same URL/domain/repository):
+    id-hash splitting puts one crawl snapshot of a page in train and the
+    next in test, and the eval measures memorization, not generalization.
+    NULL groups fall back to the id hash (each such doc is its own
+    group). Split FRACTIONS then hold over groups, not documents — a
+    heavy group skews realized document counts, which is inherent to
+    group splitting, not a defect.
     """
     weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
-    u = md5_hash32(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))) / F.lit(
+    key = (
+        F.coalesce(F.col(group_col).cast("string"), F.col(id_col).cast("string"))
+        if group_col is not None
+        else F.col(id_col).cast("string")
+    )
+    u = md5_hash32(F.concat(F.lit(f"{salt}:"), key)) / F.lit(
         4294967296.0
     )
     expr = None
@@ -284,10 +300,22 @@ def decontaminate(
     text_col: str = "text",
     n: int = 5,
     broadcast_eval: bool = True,
+    min_hits: int = 1,
+    min_frac: float | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     word ``n``-gram with an evaluation set (the overlap screen run before
     pre-training so eval answers don't leak into the corpus).
+
+    `min_hits` / `min_frac` tighten the screen from "any overlap" to a
+    materiality threshold (the PaLM/GPT-3-style rule): keep a doc in the
+    contaminated set only when it shares at least `min_hits` distinct
+    grams AND (when `min_frac` is set) at least that fraction of its OWN
+    distinct grams — one idiomatic phrase shared with a benchmark
+    shouldn't condemn a long document. With `min_frac` set the output
+    gains `n_grams` (the doc's distinct n-gram count) and `hit_frac`
+    columns; `hit_frac` counts distinct gram HASHES over distinct gram
+    strings, so a (2^-32-rare) collision can only nudge it up.
 
     Distributed shape: both sides explode to distinct per-doc n-grams;
     the (small) eval n-gram set is broadcast — the train side is never
@@ -315,10 +343,29 @@ def decontaminate(
     )
     if broadcast_eval:
         e = F.broadcast(e)
-    return (
+    hits = (
         t.join(e, "__gh")
         .groupBy(id_col)
         .agg(F.count_distinct("__gh").cast("long").alias("n_hits"))
+    )
+    if min_hits > 1:
+        hits = hits.filter(F.col("n_hits") >= int(min_hits))
+    if min_frac is None:
+        return hits
+    totals = train.select(
+        F.col(id_col),
+        F.size(word_shingles(F.col(text_col), n)).cast("long").alias("n_grams"),
+    )
+    # hits is at most the contaminated set — broadcast it against the
+    # map-side totals projection so the train corpus still never shuffles
+    return (
+        totals.join(F.broadcast(hits), id_col)
+        .withColumn(
+            "hit_frac",
+            F.round(F.col("n_hits") / F.greatest(F.col("n_grams"), F.lit(1)), 6),
+        )
+        .filter(F.col("hit_frac") >= float(min_frac))
+        .select(id_col, "n_hits", "n_grams", "hit_frac")
     )
 
 

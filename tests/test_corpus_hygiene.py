@@ -275,3 +275,27 @@ def test_weighted_sample_prefix_nested(spark, weighted):
     s25 = {r["doc_id"] for r in weighted_sample(weighted, 25).collect()}
     s50 = {r["doc_id"] for r in weighted_sample(weighted, 50).collect()}
     assert s10 < s25 < s50
+
+
+def test_decontaminate_min_hits_and_frac(spark):
+    # doc 1: 3 distinct 5-grams, 2 shared (frac 2/3); doc 2: many grams, 1 shared
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g"),
+         (2, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 a b c d e")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(9, "a b c d e f")], "doc_id long, text string")
+    base = {r["doc_id"]: r["n_hits"] for r in decontaminate(train, ev, n=5).collect()}
+    assert base == {1: 2, 2: 1}
+    # min_hits=2 drops doc 2
+    got = {r["doc_id"] for r in decontaminate(train, ev, n=5, min_hits=2).collect()}
+    assert got == {1}
+    # min_frac: doc 1 has 3 grams (2/3 = 0.666667), doc 2 has 11 (1/11 ~ 0.09)
+    rows = {r["doc_id"]: r for r in decontaminate(train, ev, n=5, min_frac=0.5).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_grams"] == 3 and rows[1]["n_hits"] == 2
+    assert abs(rows[1]["hit_frac"] - round(2 / 3, 6)) < 1e-9
+    # min_frac=0.0 keeps the any-overlap row set but adds the audit columns
+    all_rows = {r["doc_id"]: r for r in decontaminate(train, ev, n=5, min_frac=0.0).collect()}
+    assert set(all_rows) == {1, 2}
+    assert all_rows[2]["n_grams"] == 11

@@ -101,3 +101,20 @@ def test_salted_agg_count_null_semantics(spark):
     got = {r["k"]: r["n"] for r in salted_agg(df, ["k"], {"n": ("v", "count")}).collect()}
     want = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count("v").alias("n")).collect()}
     assert got == want == {"k1": 1, "k2": 1}
+
+
+def test_grouped_split_is_leakage_safe(spark):
+    rows = [(i, f"dom{i % 5}") for i in range(200)] + [(900, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, url_domain string")
+    out = dataset_split(docs, group_col="url_domain", salt="g1")
+    rows_out = docs.join(out, "doc_id").collect()
+    by_dom = {}
+    for r in rows_out:
+        if r["url_domain"] is not None:
+            by_dom.setdefault(r["url_domain"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_dom.values()), "a group never straddles splits"
+    # NULL group falls back to the id hash (doesn't crash, gets a split)
+    assert any(r["doc_id"] == 900 and r["split"] in ("train", "val", "test") for r in rows_out)
+    # deterministic
+    again = {r["doc_id"]: r["split"] for r in dataset_split(docs, group_col="url_domain", salt="g1").collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in rows_out)

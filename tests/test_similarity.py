@@ -421,3 +421,79 @@ def test_normalize_does_not_mutate_caller_matrix(store):
     keep = mat.copy()
     batch_query(store, (["z", "a"], mat), top_k=2, method="gemm").collect()
     assert np.array_equal(mat, keep)
+
+
+def test_hard_negatives_excludes_positives(spark, sf_dir):
+    from picovdb_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    kw = dict(
+        left_id="vec_id", right_id="vec_id",
+        left_vec="embedding", right_vec="embedding", exclude_self=True,
+    )
+    base = knn_join(q, emb, k=7, **kw)
+    by_q = {}
+    for r in base.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r[K_ID], r[K_METRICS]))
+    # positives: each query's top-2 neighbors (multiple positives per query)
+    pos_rows = [(qid, did) for qid, rows in by_q.items()
+                for rk, did, _ in rows if rk <= 2]
+    pos = spark.createDataFrame(pos_rows, "query_id string, _id_ string")
+    hn = hard_negatives(
+        q, emb, pos, k=5, pos_query_col="query_id", pos_doc_col="_id_", **kw
+    )
+    got = {}
+    for r in hn.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r[K_ID], r[K_METRICS]))
+    for qid, rows in by_q.items():
+        want = [(rk - 2, did, sc) for rk, did, sc in sorted(rows) if rk > 2]
+        assert sorted(got[qid]) == want, qid
+    # positives never leak into the negatives
+    posset = set(map(tuple, pos_rows))
+    for qid, rows in got.items():
+        for _, did, _ in rows:
+            assert (qid, did) not in posset
+
+
+def test_hard_negatives_max_score_band(spark, sf_dir):
+    from picovdb_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2)
+    kw = dict(
+        left_id="vec_id", right_id="vec_id",
+        left_vec="embedding", right_vec="embedding", exclude_self=True,
+    )
+    base = knn_join(q, emb, k=1, **kw)
+    pos = base.select("query_id", K_ID)
+    # a cap below every score -> no valid negatives, honest empty result
+    none = hard_negatives(
+        q, emb, pos, k=3, max_score=-2.0,
+        pos_query_col="query_id", pos_doc_col=K_ID, **kw,
+    )
+    assert none.count() == 0
+    # cap at the top-1 score: every returned negative scores strictly below
+    top1 = {r["query_id"]: r[K_METRICS] for r in base.collect()}
+    cap = min(top1.values())
+    some = hard_negatives(
+        q, emb, pos, k=3, max_score=cap,
+        pos_query_col="query_id", pos_doc_col=K_ID, **kw,
+    )
+    for r in some.collect():
+        assert r[K_METRICS] < cap
+
+
+def test_hard_negatives_validates_method(spark, sf_dir):
+    from picovdb_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.limit(1)
+    with pytest.raises(ValueError, match="unknown method"):
+        hard_negatives(
+            q, emb, q.select("vec_id", F.col("vec_id").alias("d")),
+            k=1, method="nope",
+            left_id="vec_id", right_id="vec_id",
+            left_vec="embedding", right_vec="embedding",
+            pos_query_col="vec_id", pos_doc_col="d",
+        )
