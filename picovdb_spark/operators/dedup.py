@@ -916,6 +916,13 @@ def window_dedup(
     wins = (
         toks.filter(n >= window)
         .select(F.col(id_col), F.posexplode(hashes).alias("s", "__h"))
+        # consumed twice (winner election + loser probe) with DIFFERENT
+        # payloads, so the exchanges can't be reused — without this
+        # checkpoint the O(tokens x window) md5 pass AND the corpus text
+        # read run twice (verified: two md5 projections, 0 ReusedExchange).
+        # The materialized frame is narrow (id, start, 32-char digest);
+        # text stays out of it.
+        .localCheckpoint(eager=False)
     )
     agg = wins.groupBy("__h").agg(
         F.min(F.struct(F.col(id_col), F.col("s"))).alias("w"),
