@@ -450,6 +450,14 @@ def bench_queries(spark):
         ref_state["pq"] = PqIndex.build(s, m=16, k=256, seed=42, storage="memory")
         ref_state["pq"].codes.count()  # materialize the code cache
 
+    def _prepare_pq():
+        # only reachable under a BENCH_ONLY subset that skips the build
+        # row (e.g. the range-check auto-rerun child): build the index
+        # UNTIMED so the query row measures queries, not the build. In
+        # the full suite the timed build row has always run already.
+        if "pq" not in ref_state:
+            q_ref100k_pq_build()
+
     def q_ref100k_pq_query_1000():
         # compressed-domain ADC batch + exact refine of top-50
         s, q = _ref_store()
@@ -467,6 +475,11 @@ def bench_queries(spark):
         )
         ref_state["ivfpq"].codes.count()  # materialize the code cache
 
+    def _prepare_ivfpq():
+        # subset-run guard, same contract as _prepare_pq
+        if "ivfpq" not in ref_state:
+            q_ref100k_ivfpq_build()
+
     def q_ref100k_ivfpq_query_1000():
         # routed compressed serving: scan = codes of probed clusters
         # only (nprobe/n_centroids of the rows, 1/256 of the bytes),
@@ -483,6 +496,11 @@ def bench_queries(spark):
         # batch would saturate the probe union and degenerate to exact —
         # batch GEMM amortizes better there; see ann.py docstring.)
         ref_state["ivf"] = IvfIndex.build(s, n_centroids=256, seed=42)
+
+    def _prepare_ivf():
+        # subset-run guard, same contract as _prepare_pq
+        if "ivf" not in ref_state:
+            q_ref100k_ivf_build()
 
     def q_ref100k_ivf_query_100():
         from picovdb_spark.operators.ann import ann_query
@@ -574,6 +592,11 @@ def bench_queries(spark):
         scale_state["ivfpq"].codes.count()
         scale_state["ivfpq"].raw_by_cluster.count()
         _force(scale_state["ivfpq"].query(_scale1m_store()[1], top_k=10, nprobe=8, refine_k=50))
+
+    def _prepare_scale1m_ivfpq():
+        # subset-run guard, same contract as _prepare_pq
+        if "ivfpq" not in scale_state:
+            q_scale1m_ivfpq_build()
 
     def q_scale1m_ivfpq_query_100():
         # 100 queries x 8 probes over 256 clusters: probe union ~saturated
@@ -1028,15 +1051,19 @@ def bench_queries(spark):
         "_prepare_resident_ivf_int8": _prepare_resident_ivf_int8,
         "ref100k_ivf_resident_int8_local_100": q_ref100k_ivf_resident_int8_local_100,
         "ref100k_pq_build": q_ref100k_pq_build,
+        "_prepare_pq": _prepare_pq,
         "ref100k_pq_query_1000": q_ref100k_pq_query_1000,
         "ref100k_ivfpq_build": q_ref100k_ivfpq_build,
+        "_prepare_ivfpq": _prepare_ivfpq,
         "ref100k_ivfpq_query_1000": q_ref100k_ivfpq_query_1000,
         "ref100k_ivf_build": q_ref100k_ivf_build,
+        "_prepare_ivf": _prepare_ivf,
         "ref100k_ivf_query_100": q_ref100k_ivf_query_100,
         "ref100k_upsert": q_ref100k_upsert,
         "_prepare_scale1m": lambda: _scale1m_store(),
         "scale1m_batch_100_exact": q_scale1m_batch_100_exact,
         "scale1m_ivfpq_build": q_scale1m_ivfpq_build,
+        "_prepare_scale1m_ivfpq": _prepare_scale1m_ivfpq,
         "scale1m_ivfpq_query_100": q_scale1m_ivfpq_query_100,
         "scale1m_ivfpq_query_8": q_scale1m_ivfpq_query_8,
         "_prepare_docs1m": _prepare_docs1m,
@@ -1109,6 +1136,10 @@ def main() -> None:
     only = {s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s}
     setup_deps = {
         "_prepare_ref_corpus": ("ref100k_",),
+        "_prepare_pq": ("ref100k_pq_query",),
+        "_prepare_ivfpq": ("ref100k_ivfpq_query",),
+        "_prepare_ivf": ("ref100k_ivf_query",),
+        "_prepare_scale1m_ivfpq": ("scale1m_ivfpq_query",),
         "_prepare_resident": ("ref100k_batch_1000_resident", "ref100k_exact_local_100"),
         "_prepare_resident_int8": ("ref100k_batch_1000_resident_int8",),
         "_prepare_resident_ivf": ("ref100k_ivf_resident",),
@@ -1152,7 +1183,7 @@ def main() -> None:
     # violations for the README to paper over. Keep in sync with the
     # README table when ranges are re-earned.
     readme_ranges = {
-        "ref100k_batch_1000": (0.9, 2.0),
+        "ref100k_batch_1000": (0.9, 1.5),
         "ref100k_upsert": (0.4, 1.6),
         "ref100k_pq_query_1000": (1.8, 5.0),
         "scale1m_dedup_minhash": (20.0, 36.0),

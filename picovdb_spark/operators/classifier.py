@@ -71,13 +71,15 @@ def hashed_features(
         .groupBy(id_col, "feature_idx")
         .agg(F.sum("__cnt").alias("__cnt"))
     )
-    norm = tf.groupBy(id_col).agg(
-        F.sqrt(F.sum(F.col("__cnt") * F.col("__cnt"))).alias("__norm")
-    )
-    return tf.join(norm, id_col).select(
+    from pyspark.sql import Window as W
+
+    # per-doc norm as a WINDOW over the id — one exchange on id, no
+    # second aggregate + join back (which would shuffle tf twice more)
+    norm = F.sqrt(F.sum(F.col("__cnt") * F.col("__cnt")).over(W.partitionBy(id_col)))
+    return tf.select(
         F.col(id_col),
         "feature_idx",
-        (F.col("__cnt") / F.col("__norm")).alias("value"),
+        (F.col("__cnt") / norm).alias("value"),
     )
 
 

@@ -336,7 +336,9 @@ def mmr_rerank(
     Output: (query_id, rank 1..k, doc_id, relevance, redundancy,
     mmr_score) where redundancy is the max cosine to previously picked
     docs (0.0 for rank 1) and mmr_score the objective value at pick
-    time. Both are ROUNDED to `round_to` BEFORE the argmax compare
+    time. query_id and doc_id come back as STRINGS (the knn_join/topk
+    convention) regardless of input type — cast back before joining to
+    a typed id column, or the comparison coerces both sides. Both are ROUNDED to `round_to` BEFORE the argmax compare
     (ties then break on smallest doc_id), so the greedy trajectory —
     not just the scores — is reproducible across engines: a last-ulp
     BLAS difference can otherwise flip a pick and cascade through every

@@ -333,9 +333,6 @@ def decontaminate(
     overlapping n-grams).
     """
     grams = F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("__g")
-    t = train.select(F.col(id_col), grams).select(
-        F.col(id_col), md5_hash32(F.col("__g")).alias("__gh")
-    )
     e = (
         eval_docs.select(grams)
         .select(md5_hash32(F.col("__g")).alias("__gh"))
@@ -343,24 +340,41 @@ def decontaminate(
     )
     if broadcast_eval:
         e = F.broadcast(e)
+    if min_frac is None:
+        t = train.select(F.col(id_col), grams).select(
+            F.col(id_col), md5_hash32(F.col("__g")).alias("__gh")
+        )
+        hits = (
+            t.join(e, "__gh")
+            .groupBy(id_col)
+            .agg(F.count_distinct("__gh").cast("long").alias("n_hits"))
+        )
+        if min_hits > 1:
+            hits = hits.filter(F.col("n_hits") >= int(min_hits))
+        return hits
+    # fraction mode: the doc's distinct-gram total rides the SAME gram
+    # explode (one extra int per row), so the train text is read and
+    # shingled exactly once — no second corpus pass
+    sh = train.select(
+        F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), n)).alias("__s")
+    )
+    t = sh.select(
+        F.col(id_col),
+        F.size("__s").cast("long").alias("__ng"),
+        F.explode("__s").alias("__g"),
+    ).select(F.col(id_col), "__ng", md5_hash32(F.col("__g")).alias("__gh"))
     hits = (
         t.join(e, "__gh")
         .groupBy(id_col)
-        .agg(F.count_distinct("__gh").cast("long").alias("n_hits"))
+        .agg(
+            F.count_distinct("__gh").cast("long").alias("n_hits"),
+            F.first("__ng").alias("n_grams"),
+        )
     )
     if min_hits > 1:
         hits = hits.filter(F.col("n_hits") >= int(min_hits))
-    if min_frac is None:
-        return hits
-    totals = train.select(
-        F.col(id_col),
-        F.size(word_shingles(F.col(text_col), n)).cast("long").alias("n_grams"),
-    )
-    # hits is at most the contaminated set — broadcast it against the
-    # map-side totals projection so the train corpus still never shuffles
     return (
-        totals.join(F.broadcast(hits), id_col)
-        .withColumn(
+        hits.withColumn(
             "hit_frac",
             F.round(F.col("n_hits") / F.greatest(F.col("n_grams"), F.lit(1)), 6),
         )
@@ -1077,9 +1091,11 @@ def mixture_budgets(
     and returns the plain proportional split (useful when budgets will
     screen a FUTURE stream whose supply is unknown).
 
-    Returns {domain: budget_tokens} (ints; floors, like
-    `sample_to_budget` treats them). Total allocated ≤ `total_tokens`,
-    with equality whenever the corpus has enough supply."""
+    Returns {domain: budget_tokens} (ints). Total allocated ≤
+    `total_tokens`, with EQUALITY whenever the corpus has enough supply:
+    shares are floored, then the flooring remainder (< |domains| tokens)
+    is dealt +1 at a time in (weight desc, domain asc) order, so the
+    allocation is deterministic and accounts for every budgeted token."""
     if total_tokens <= 0:
         raise ValueError(f"total_tokens must be positive, got {total_tokens}")
     if not weights:
@@ -1087,9 +1103,20 @@ def mixture_budgets(
     bad = {d: w for d, w in weights.items() if w <= 0}
     if bad:
         raise ValueError(f"weights must be positive, got {bad}")
+    def _proportional(doms_w: dict[str, float], budget: int) -> dict[str, int]:
+        # floor each share, then deal the flooring remainder (< |domains|
+        # tokens) one at a time in (weight desc, name asc) order — the
+        # documented "equality when supply allows" contract; independent
+        # floors alone silently drop up to |domains|-1 tokens
+        wsum = float(sum(doms_w.values()))
+        alloc = {d: int(budget * w / wsum) for d, w in doms_w.items()}
+        left = budget - sum(alloc.values())
+        for d in sorted(doms_w, key=lambda x: (-doms_w[x], x))[: max(left, 0)]:
+            alloc[d] += 1
+        return alloc
+
     if not respect_available:
-        wsum = float(sum(weights.values()))
-        return {d: int(total_tokens * w / wsum) for d, w in weights.items()}
+        return _proportional(dict(weights), int(total_tokens))
     doms = list(weights)
     avail_rows = (
         docs.filter(F.col(domain_col).isin(doms))
@@ -1112,8 +1139,9 @@ def mixture_budgets(
             if remaining * free[d] / wsum >= avail.get(d, 0)
         }
         if not over:
-            alloc = {d: int(remaining * free[d] / wsum) for d in free}
-            capped.update(alloc)
+            # every free domain's supply strictly exceeds its share, so
+            # the remainder deal (at most +1 each) can't overshoot avail
+            capped.update(_proportional(free, remaining))
             break
         for d, a in over.items():
             capped[d] = a

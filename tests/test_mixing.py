@@ -498,3 +498,20 @@ def test_interleave_validation(spark, corpus):
         interleave_by_weight(corpus, {})
     with pytest.raises(ValueError, match="positive"):
         interleave_by_weight(corpus, {"en": 0})
+
+
+def test_mixture_budgets_allocates_every_token(spark, corpus):
+    from picovdb_spark.operators.textops import mixture_budgets
+
+    # proportional mode: equal thirds of 100 must still sum to 100
+    # (floors alone give 33+33+33 = 99; the remainder deal fixes it)
+    b = mixture_budgets(
+        corpus, {"en": 1.0, "de": 1.0, "zh": 1.0}, 100, respect_available=False
+    )
+    assert sum(b.values()) == 100
+    assert sorted(b.values()) == [33, 33, 34]
+    # remainder lands deterministically: equal weights -> name asc
+    assert b["de"] == 34
+    # water-filled mode with ample supply: exact total too
+    b2 = mixture_budgets(corpus, {"en": 2.0, "de": 1.0, "zh": 1.0}, 101)
+    assert sum(b2.values()) == 101
