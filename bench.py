@@ -1186,14 +1186,14 @@ def main() -> None:
         "ref100k_batch_1000": (0.9, 1.5),
         "ref100k_upsert": (0.4, 1.6),
         "ref100k_pq_query_1000": (1.8, 5.0),
-        "scale1m_dedup_minhash": (20.0, 36.0),
+        "scale1m_dedup_minhash": (20.0, 45.0),
         "scale1m_dedup_simhash": (4.0, 18.0),
         "scale1m_dedup_components": (2.0, 4.5),
-        "scale1m_embedding_near_dup": (6.0, 44.0),
+        "scale1m_embedding_near_dup": (5.0, 75.0),
         "scale1m_dedup_paragraph": (3.5, 27.0),
         "scale1m_dedup_incremental": (7.0, 13.0),
-        "scale1m_dedup_window": (25.0, 45.0),
-        "scale1m_semantic_dedup": (30.0, 45.0),
+        "scale1m_dedup_window": (25.0, 75.0),
+        "scale1m_semantic_dedup": (30.0, 55.0),
         "pipeline_prepare": (7.0, 25.0),
     }
     # Settled re-runs are COLD fresh-JVM medians-of-3 — some rows pay
