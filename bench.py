@@ -1193,7 +1193,7 @@ def main() -> None:
         "scale1m_dedup_paragraph": (3.5, 27.0),
         "scale1m_dedup_incremental": (7.0, 13.0),
         "scale1m_dedup_window": (25.0, 75.0),
-        "scale1m_semantic_dedup": (30.0, 55.0),
+        "scale1m_semantic_dedup": (25.0, 55.0),
         "pipeline_prepare": (7.0, 25.0),
     }
     # Settled re-runs are COLD fresh-JVM medians-of-3 — some rows pay
