@@ -35,7 +35,13 @@ from pyspark.sql import functions as F
 
 from picovdb_spark.functions.text import md5_hash32, tokens
 
-__all__ = ["hashed_features", "logreg_fit", "logreg_score"]
+__all__ = [
+    "hashed_features",
+    "load_model",
+    "logreg_fit",
+    "logreg_score",
+    "save_model",
+]
 
 
 def hashed_features(
@@ -248,4 +254,34 @@ def logreg_fit(
     out = {"weights": weights, "bias": bias, "n_features": int(n_features)}
     if track_loss:
         out["losses"] = losses
+    return out
+
+
+def save_model(model: dict, path: str) -> None:
+    """Persist a logreg_fit model: weights as Parquet (stays a
+    DataFrame — never collected to the driver), scalars as JSON."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    model["weights"].select("feature_idx", "w").write.mode("overwrite").parquet(
+        os.path.join(path, "weights")
+    )
+    meta = {k: model[k] for k in ("bias", "n_features") if k in model}
+    if "losses" in model:
+        meta["losses"] = list(model["losses"])
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_model(spark, path: str) -> dict:
+    """Load a model saved by :func:`save_model` — same dict shape
+    logreg_fit returns, ready for logreg_score."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    out = dict(meta)
+    out["weights"] = spark.read.parquet(os.path.join(path, "weights"))
     return out

@@ -259,6 +259,44 @@ def pack_sequences(
     return base.groupBy(*keys).applyInPandas(pack, schema=schema)
 
 
+def packing_stats(
+    packed: DataFrame,
+    max_tokens: int,
+    *,
+    group_cols: tuple[str, ...] = (),
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """The audit a trainer checks before reading packed sequences: per
+    group (e.g. per split), how full the bins actually are —
+
+    (group_cols..., n_bins, n_chunks, total_tokens, fill_rate,
+     min_fill, overflow_bins)
+
+    `fill_rate` = mean bin total / `max_tokens` (padding waste is
+    1 - fill_rate), `min_fill` the emptiest bin's ratio, and
+    `overflow_bins` counts bins whose total EXCEEDS the budget — under
+    greedy packing that is exactly the single-chunk-too-long bins, so a
+    non-zero count here is the "chunk your long docs first" signal.
+
+    Two narrow aggregations (per-bin totals, then per-group rollup) over
+    the already-packed frame; never touches payload columns."""
+    bins = packed.groupBy(*group_cols, "pack_group", "bin_idx").agg(
+        F.sum(F.col(token_col).cast("long")).alias("__bt"),
+        F.count("*").alias("__bc"),
+    )
+    m = float(max_tokens)
+    return bins.groupBy(*group_cols).agg(
+        F.count("*").alias("n_bins"),
+        F.sum("__bc").cast("long").alias("n_chunks"),
+        F.sum("__bt").cast("long").alias("total_tokens"),
+        F.round(F.avg(F.col("__bt") / m), 6).alias("fill_rate"),
+        F.round(F.min(F.col("__bt") / m), 6).alias("min_fill"),
+        F.sum((F.col("__bt") > F.lit(int(max_tokens))).cast("long")).alias(
+            "overflow_bins"
+        ),
+    )
+
+
 # PII patterns: deliberately simple, deterministic, and identically
 # expressible in Spark and DuckDB regex dialects (no lookarounds).
 PII_PATTERNS = {

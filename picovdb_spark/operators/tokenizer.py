@@ -188,3 +188,28 @@ def bpe_encode(
         F.col(id_col), enc_udf(F.col(text_col)).alias("bpe_tokens")
     )
     return out.withColumn("n_bpe_tokens", F.size("bpe_tokens").cast("long"))
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a trained merge list as JSON — the tokenizer's entire
+    state (rank = list position). Driver-side file write: the merge
+    table is KBs-MBs by construction (bpe_train caps the word table)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump([[a, b] for a, b in merges], f)
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Load a merge list saved by :func:`save_merges`, validating the
+    shape so a truncated/foreign file fails here, not mid-encode."""
+    import json
+
+    with open(path) as f:
+        raw = json.load(f)
+    out: list[tuple[str, str]] = []
+    for i, p in enumerate(raw):
+        if not (isinstance(p, list) and len(p) == 2 and all(isinstance(x, str) for x in p)):
+            raise ValueError(f"malformed merge at rank {i}: {p!r}")
+        out.append((p[0], p[1]))
+    return out

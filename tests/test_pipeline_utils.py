@@ -118,3 +118,54 @@ def test_grouped_split_is_leakage_safe(spark):
     # deterministic
     again = {r["doc_id"]: r["split"] for r in dataset_split(docs, group_col="url_domain", salt="g1").collect()}
     assert all(again[r["doc_id"]] == r["split"] for r in rows_out)
+
+
+def test_packing_stats_rollup(spark):
+    from picovdb_spark.operators.textops import packing_stats
+
+    rows = [("d%d" % i, 0, 10, "train") for i in range(10)] + [("big", 0, 40, "val")]
+    chunks = spark.createDataFrame(
+        rows, "doc_id string, chunk_idx int, n_tokens int, split string"
+    )
+    packed = pack_sequences(chunks, max_tokens=25, group_cols=("split",))
+    stats = {r["split"]: r for r in packing_stats(
+        packed, 25, group_cols=("split",)
+    ).collect()}
+    tr = stats["train"]
+    assert tr["n_chunks"] == 10 and tr["total_tokens"] == 100
+    assert tr["overflow_bins"] == 0
+    assert 0 < tr["fill_rate"] <= 1.0
+    va = stats["val"]
+    assert va["n_bins"] == 1 and va["overflow_bins"] == 1  # single 40-token chunk
+    assert va["fill_rate"] == 1.6
+
+
+def test_merge_and_model_round_trip(spark, tmp_path):
+    from picovdb_spark.operators.classifier import (
+        hashed_features, load_model, logreg_fit, logreg_score, save_model,
+    )
+    from picovdb_spark.operators.tokenizer import bpe_train, load_merges, save_merges
+
+    docs = spark.createDataFrame(
+        [(1, "good words here fine text", 1), (2, "spam spam spam spam", 0)] * 3,
+        "doc_id long, text string, label int",
+    ).withColumn("doc_id", F.monotonically_increasing_id())
+    merges = bpe_train(docs, 20, min_count=1)
+    p = str(tmp_path / "merges.json")
+    save_merges(merges, p)
+    assert load_merges(p) == merges
+    import pytest as _pt
+    bad = str(tmp_path / "bad.json")
+    open(bad, "w").write('[["a","b"],["x"]]')
+    with _pt.raises(ValueError, match="rank 1"):
+        load_merges(bad)
+
+    model = logreg_fit(docs, label_col="label", n_features=128, n_iter=5, lr=1.0)
+    mp = str(tmp_path / "model")
+    save_model(model, mp)
+    back = load_model(spark, mp)
+    assert back["bias"] == model["bias"] and back["n_features"] == model["n_features"]
+    feats = hashed_features(docs, n_features=128)
+    a = sorted(map(tuple, logreg_score(feats, model["weights"], bias=model["bias"]).collect()))
+    b = sorted(map(tuple, logreg_score(feats, back["weights"], bias=back["bias"]).collect()))
+    assert a == b
