@@ -10,9 +10,18 @@ Documented deviations (SURVEY.md §7.2):
 - auto-ids hash a canonical decimal encoding of the normalized vector,
   not raw float32 bytes — same dedup invariant, different digest values;
 - `_metrics_` is rounded to 6 decimals; ranking ties break by id;
-- FAISS/HNSW tunables are accepted and ignored (the ANN analog is the
-  IVF index, enabled by default like FAISS is: `no_faiss=True` disables
-  routing batch queries through it);
+- FAISS/HNSW tunables: the ANN analog is the IVF index, enabled by
+  default like FAISS is (`no_faiss=True` disables routing batch queries
+  through it). Per-call `ef_search`/`hnsw_ef_search` (and the
+  constructor `*_default` forms) map monotonically onto the IVF probe
+  width — `nprobe = max(1, ceil(ef / 8))`, clamped to the centroid
+  count inside `ann_query` — so a larger efSearch widens the scan and
+  raises recall exactly as it does in the reference
+  (pico_vdb.py:716-730); ef=64 lands on the engine default nprobe=8.
+  Build-time-only HNSW knobs (`hnsw_m`, `hnsw_ef_construction`) and
+  memory-layout knobs (`use_memmap`, `adaptive_buffer`,
+  `argsort_threshold`) have no IVF equivalent and are accepted no-ops
+  (COVERAGE.md);
 - persistence uses the reference's own file format
   ({storage_file}.ids.json/.vecs.npy/.meta.json) via sources/ — stores
   SAVED HERE LOAD IN THE REFERENCE and vice versa;
@@ -65,8 +74,15 @@ class PicoVectorDB:
         self.metric = metric
         self._path = storage_file
         self._use_ann = not no_faiss
-        # FAISS/memmap tunables accepted for signature compatibility; the
-        # Spark engine has no per-call equivalents (COVERAGE.md)
+        # per-call ef_search falls back to these (reference honors the
+        # same default-then-override ladder, pico_vdb.py:716-730);
+        # remaining FAISS/memmap build knobs are accepted no-ops (module
+        # docstring / COVERAGE.md)
+        self._ef_search_default = (
+            hnsw_ef_search_default
+            if hnsw_ef_search_default is not None
+            else ef_search_default
+        )
         self._spark = spark or get_spark("picovdb_compat")
         self.store = VectorStore(
             self._spark,
@@ -123,6 +139,20 @@ class PicoVectorDB:
             raise ValueError(
                 f"query vectors must be (n, {self.dim}) or ({self.dim},); got {arr.shape}"
             )
+        # per-call efSearch (hnsw_ef_search wins over ef_search, like the
+        # reference's kwarg ladder) → IVF probe width: nprobe=ceil(ef/8),
+        # monotone in ef, clamped to n_centroids inside ann_query. Only
+        # meaningful on the ANN route; the exact path scans everything.
+        ef = (
+            hnsw_ef_search
+            if hnsw_ef_search is not None
+            else ef_search
+            if ef_search is not None
+            else self._ef_search_default
+        )
+        ann_kwargs: dict[str, Any] = {}
+        if ef is not None:
+            ann_kwargs["nprobe"] = max(1, -(-int(ef) // 8))
         out = self.store.query(
             arr,  # 2-D float32 batch — store.query takes the fast path
             top_k=top_k,
@@ -130,6 +160,7 @@ class PicoVectorDB:
             where=where,
             ids=[str(i) for i in ids] if ids is not None else None,
             ann=self._use_ann and where is None and ids is None,
+            **ann_kwargs,
         )
         rank_col = "_rank_" if "_rank_" in out.columns else "rank"
         collected = out.collect()

@@ -53,15 +53,23 @@ def chunk_documents(
         F.ceil((F.size(t) - F.lit(chunk_tokens)) / F.lit(stride)).cast("int") + 1, F.lit(1)
     )
     starts = F.sequence(F.lit(0), n_windows - 1)
-    chunks = F.transform(
-        starts,
-        lambda w: F.concat_ws(" ", F.slice(t, w * stride + 1, chunk_tokens)),
-    )
+    # n_tokens comes from the SLICE SIZE, not from re-splitting
+    # chunk_text on ' ' — a re-split undercounts/overcounts whenever a
+    # caller's `tokens_col` tokens contain spaces or empty strings (the
+    # public API doesn't forbid either). chunk_text itself is still the
+    # space-joined rendering; it round-trips back to the token slice
+    # only when tokens are space-free and non-empty (true for this
+    # package's `tokens()` and BPE vocab) — callers with space-bearing
+    # tokens should keep their token arrays and treat chunk_text as a
+    # display form.
+    chunks = F.transform(starts, lambda w: F.slice(t, w * stride + 1, chunk_tokens))
     out = docs.select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
-        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+        F.posexplode(chunks).alias("chunk_idx", "__chunk_toks"),
     )
-    return out.withColumn(
-        "n_tokens", F.size(F.filter(F.split(F.col("chunk_text"), " "), lambda x: x != ""))
-    )
+    return out.select(
+        "*",
+        F.concat_ws(" ", "__chunk_toks").alias("chunk_text"),
+        F.size("__chunk_toks").cast("int").alias("n_tokens"),
+    ).drop("__chunk_toks")

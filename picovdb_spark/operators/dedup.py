@@ -103,8 +103,26 @@ def _sig_bands_from_shingles(
     `minhash_index` persistable index, and through it the streaming
     screen) derives from this projection, so none can drift from the
     others. One md5 per shingle, materialized as a column so the
-    `num_hashes` permutation mins share it."""
+    `num_hashes` permutation mins share it.
+
+    Rows with EMPTY shingle sets (documents shorter than `shingle_n`
+    tokens) are dropped: min-over-empty yields all-null signature
+    coordinates, which (a) can never pass any Jaccard/estimator
+    verification (J(∅,·)=0) and (b) collapse every band to the same
+    md5-of-nulls bucket — one boilerplate bucket of ALL short docs,
+    an O(h²) candidate blow-up at corpus scale. Dropping them is
+    semantics-preserving for every consumer; route sub-shingle docs
+    through `exact_dedup` (content hash) instead."""
+    if num_hashes % bands != 0:
+        # a silent floor here would quietly band only rows*bands of the
+        # num_hashes coordinates — lower recall with no signal (the
+        # simhash_pairs bits/bands guard is the same contract)
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); "
+            f"got remainder {num_hashes % bands}"
+        )
     rows = num_hashes // bands
+    sh = sh.filter(F.size("sh") > 0)
     hashed = sh.withColumn("hs", F.transform(F.col("sh"), md5_hash32))
     sigs = hashed.select(F.col(id_col), *minhash_signature(F.col("hs"), num_hashes))
     return sigs.select(
@@ -946,10 +964,23 @@ def window_dedup(
         .agg(F.sort_array(F.collect_set("pos")).alias("__rm"))
     )
     rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
-    kept = F.filter(arr, lambda x, i: ~F.array_contains(rm, i))
-    return docs.join(removal, on=id_col, how="left").select(
+    n_all = F.size("__arr")
+    # Reassembly is O(tokens + removed): kept POSITIONS come from one
+    # hash-set subtraction (array_except builds a hash set of __rm), then
+    # each kept token is an O(1) element_at into the materialized __arr
+    # attribute. The former per-token array_contains(__rm, i) probe was
+    # O(tokens × removed) — quadratic on a doc that loses half its
+    # tokens. (A map_from_entries lookup would NOT fix it: Spark maps are
+    # ArrayBasedMapData and GetMapValue is a linear key scan.)
+    # array_except preserves first-array order, so tokens stay in
+    # document order; `toks` puts the split below the join, so the
+    # lambdas read a bound attribute instead of re-evaluating the split
+    # per element.
+    keep_pos = F.array_except(F.sequence(F.lit(0), n_all - F.lit(1)), rm)
+    kept = F.transform(keep_pos, lambda p: F.element_at(F.col("__arr"), p + F.lit(1)))
+    return toks.join(removal, on=id_col, how="left").select(
         F.col(id_col),
-        F.size(arr).cast("long").alias("n_tokens"),
+        n_all.cast("long").alias("n_tokens"),
         F.size(rm).cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias("text_clean"),
     )
@@ -970,8 +1001,12 @@ def minhash_index(
     batch against it with `minhash_dedup_against` without ever touching
     (or storing) the historical text again.
 
-    One row per document: (id_col, sig: array<long>[num_hashes],
-    bands: array<string>[bands]). The row is ~200 bytes regardless of
+    One row per document WITH at least `shingle_n` tokens: sub-shingle
+    docs have no shingle set, so they are excluded from the index (and
+    from `minhash_dedup_against` screens — see its docstring; dedup
+    them by content hash via `exact_dedup` instead). Schema: (id_col,
+    sig: array<long>[num_hashes], bands: array<string>[bands]). The
+    row is ~200 bytes regardless of
     document size — a 100 TB corpus indexes to ~20 GB. Signatures use
     the same seeded permutations as `minhash_lsh_pairs`, so an index
     built today matches batches screened tomorrow (the coefficients are
@@ -1011,6 +1046,15 @@ def minhash_dedup_against(
     exactly the trade a production incremental pipeline makes: ~200
     bytes per historical doc vs re-reading 100 TB of history per batch.
     Raise `num_hashes` (at index build time) to tighten the estimate.
+
+    Coverage boundary: documents with fewer than `shingle_n` tokens
+    have no shingles, hence no signature — they appear in neither the
+    index nor the batch side, so a short document is NEVER flagged here
+    even against an exact copy of itself. This is structural to
+    MinHash, not an estimator artifact (before the empty-signature
+    filter such pairs scored est_jaccard=0 and passed silently anyway).
+    Screen sub-shingle docs separately with `exact_dedup` on the
+    content hash — at `shingle_n=3` that is a tiny, cheap residue.
 
     `shingle_n`/`num_hashes`/`bands` MUST match the index build — the
     signature permutations are seeded by position, so a mismatched

@@ -110,6 +110,46 @@ def _probe_missing_blocks(
     return sorted(r["pid"] for r in rows if not r["ok"])
 
 
+# substring every query-kernel fail-fast message carries ("… missing
+# under <blk_dir>") — the auto-re-arm path below matches on it to tell
+# a lost block/sidecar from an unrelated job failure
+_MISSING_BLOCK_MARKER = "missing under"
+
+
+def _serve_with_rearm(store, out: DataFrame, probe_skipped: bool, retry):
+    """Auto-re-arm for `on_missing="fallback"` stores whose CACHED
+    healthy probe skipped the per-batch check this call: execute the
+    plan eagerly so a block lost since the probe surfaces NOW (the
+    returned frame is lazy, so the kernel's fail-fast would otherwise
+    land at some caller's collect, where only a manual
+    `invalidate_probe()` could recover). On the kernel's missing-block
+    error: invalidate the probe and retry ONCE — the retry re-probes,
+    observes the loss, and serves the batch via the degraded exact path.
+    Any other failure propagates untouched. The eager materialization
+    costs nothing extra in practice (callers collect these top-k results
+    immediately); the probe-just-ran and probe_cache=False paths return
+    the plan lazily as before (`probe_skipped=False`). The retry call
+    enters with `_probe_ok` freshly cleared, so its own result is NOT
+    re-wrapped — a second failure surfaces to the caller."""
+    if not probe_skipped:
+        return out
+    try:
+        return out.localCheckpoint(eager=True)
+    except Exception as exc:  # Py4J wraps the kernel's RuntimeError
+        if _MISSING_BLOCK_MARKER not in str(exc):
+            raise
+        import warnings
+
+        warnings.warn(
+            "resident block(s) lost since the cached health probe — "
+            "re-arming the probe and retrying this batch via the "
+            "degraded path",
+            stacklevel=3,
+        )
+        store.invalidate_probe()
+        return retry()
+
+
 def _normalize_local_query(vector) -> "np.ndarray":
     """Float64 normalize with the zero⇒e₀ store invariant — the exact
     sequence of `collect_normalized_queries` (so in-process scores agree
@@ -352,6 +392,10 @@ class ResidentGemmStore:
 
         if self.n_rows is None:
             raise RuntimeError("resident store not materialized — call materialize()")
+        # captured BEFORE the probe branch can flip _probe_ok: True means
+        # this call trusts a cached health result and gets the eager
+        # auto-re-arm wrap (_serve_with_rearm) on its way out
+        probe_skipped = self.on_missing == "fallback" and self._probe_ok
         if self.on_missing == "fallback" and not self._probe_ok:
             artifacts = ("mat", "ids") + (
                 ("scales",) if self.block_dtype == "int8" else ()
@@ -428,16 +472,26 @@ class ResidentGemmStore:
             for batch in batches:  # drain the (constant-column) input
                 pass
             mat_path = os.path.join(blk_dir, f"mat_{pid}.npy")
-            if not os.path.exists(mat_path):
-                if block_pids is not None and pid not in block_pids:
+            if block_pids is not None and pid not in block_pids:
+                if not os.path.exists(mat_path):
                     return  # legitimately empty: materialize wrote no block
-                # a block SHOULD exist for this pid — silently skipping
-                # would drop its vectors from every answer
+            # every artifact the loads below touch, checked up front: a
+            # partition that lost only its ids/scales sidecar must fail
+            # with the SAME canonical message the auto-re-arm matches on
+            # (silently skipping would drop its vectors from every answer)
+            need = ["mat", "ids"] + (["scales"] if as_int8 else [])
+            lost = [
+                a
+                for a in need
+                if not os.path.exists(os.path.join(blk_dir, f"{a}_{pid}.npy"))
+            ]
+            if lost:
                 raise RuntimeError(
-                    f"resident block for partition {pid} missing under "
-                    f"{blk_dir} — store closed, partitioning changed since "
-                    "materialize(), or this task ran on a node that never "
-                    "materialized; re-materialize() or use batch_query()"
+                    f"resident block artifact(s) {lost} for partition {pid} "
+                    f"missing under {blk_dir} — store closed, partitioning "
+                    "changed since materialize(), or this task ran on a node "
+                    "that never materialized; re-materialize() or use "
+                    "batch_query()"
                 )
             # mmap: pages shared node-wide via the OS page cache — no copy
             mat = np.load(mat_path, mmap_mode="r")
@@ -477,7 +531,19 @@ class ResidentGemmStore:
         out = topk_per_query(local, top_k)
         if better_than is not None:
             out = out.filter(F.col(K_METRICS) >= F.lit(float(better_than)))
-        return out
+        return _serve_with_rearm(
+            self,
+            out,
+            probe_skipped,
+            lambda: self.query(
+                queries,
+                top_k=top_k,
+                better_than=better_than,
+                round_to=round_to,
+                query_id=query_id,
+                vector_col=vector_col,
+            ),
+        )
 
     # ---------------------------------------------------- in-process serving
 
@@ -825,6 +891,8 @@ class ResidentIvfStore:
 
         if self.n_rows is None or self._blocks_df is None:
             raise RuntimeError("resident IVF store not materialized — call materialize()")
+        # see ResidentGemmStore.query — same cached-probe auto-re-arm
+        probe_skipped = self.on_missing == "fallback" and self._probe_ok
         if self.on_missing == "fallback" and not self._probe_ok:
             artifacts = ("mat", "ids", "clus") + (
                 ("scales",) if self.dtype == "int8" else ()
@@ -903,14 +971,25 @@ class ResidentIvfStore:
             for batch in batches:
                 pass
             mat_path = os.path.join(blk_dir, f"mat_{pid}.npy")
-            if not os.path.exists(mat_path):
-                if pid not in block_pids:
+            if pid not in block_pids:
+                if not os.path.exists(mat_path):
                     return
+            # all artifacts checked up front — see ResidentGemmStore's
+            # kernel for why a lost sidecar must raise the same
+            # canonical "missing under" message the auto-re-arm matches
+            need = ["mat", "ids", "clus"] + (["scales"] if as_int8 else [])
+            lost = [
+                a
+                for a in need
+                if not os.path.exists(os.path.join(blk_dir, f"{a}_{pid}.npy"))
+            ]
+            if lost:
                 raise RuntimeError(
-                    f"resident IVF block for partition {pid} missing under "
-                    f"{blk_dir} — store closed, partitioning changed since "
-                    "materialize(), or this task ran on a node that never "
-                    "materialized; re-materialize() or use ann_query()"
+                    f"resident IVF block artifact(s) {lost} for partition "
+                    f"{pid} missing under {blk_dir} — store closed, "
+                    "partitioning changed since materialize(), or this task "
+                    "ran on a node that never materialized; re-materialize() "
+                    "or use ann_query()"
                 )
             mat = np.load(mat_path, mmap_mode="r")
             ids = np.load(os.path.join(blk_dir, f"ids_{pid}.npy"), allow_pickle=True)
@@ -959,7 +1038,19 @@ class ResidentIvfStore:
         local = probe.mapInArrow(
             score_block, schema=f"query_id string, {K_ID} string, {K_METRICS} double"
         )
-        return topk_per_query(local, top_k)
+        return _serve_with_rearm(
+            self,
+            topk_per_query(local, top_k),
+            probe_skipped,
+            lambda: self.query(
+                queries,
+                top_k=top_k,
+                nprobe=nprobe,
+                round_to=round_to,
+                query_id=query_id,
+                vector_col=vector_col,
+            ),
+        )
 
     # --------------------------------------------------- in-process serving
 

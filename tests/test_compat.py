@@ -140,3 +140,53 @@ def test_query_and_get_strip_absent_metadata_keys(spark, tmp_path):
     assert rec is not None and "tag" not in rec
     recs = db.get(["with-tag", "plain"])
     assert "tag" in recs[0] and "tag" not in recs[1]
+
+
+def test_ef_search_tunes_recall(spark, tmp_path, monkeypatch):
+    """Per-call `ef_search`/`hnsw_ef_search` are honored, not swallowed
+    (the reference honors per-call efSearch, pico_vdb.py:716-730): they
+    map monotonically onto the IVF probe width (nprobe = ceil(ef/8),
+    compat.py), so a larger ef widens the scan — recall@10 at high ef
+    must be >= recall at low ef, and an ef covering every centroid is
+    the exact answer."""
+    rng = np.random.default_rng(7)
+    dim, n = 32, 1500
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    db = PicoVectorDB(
+        embedding_dim=dim, storage_file=str(tmp_path / "annq"), spark=spark
+    )
+    db.upsert([{"_id_": str(i), "_vector_": vecs[i].tolist()} for i in range(n)])
+    qs = (
+        vecs[:16] + rng.standard_normal((16, dim)).astype(np.float32) * 0.05
+    ).astype(np.float32)
+
+    # wiring: the forwarded nprobe must be ceil(ef/8) per call
+    seen = []
+    orig = db.store.query
+
+    def spy(*a, **k):
+        seen.append(k.get("nprobe"))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(db.store, "query", spy)
+
+    # ground truth: the exact scan (store.query without ann)
+    exact_rows = orig(qs, top_k=10).collect()
+    truth = {}
+    for r in exact_rows:
+        truth.setdefault(int(r["query_id"]), set()).add(r["_id_"])
+
+    def recall(res_lists):
+        tot = 0.0
+        for qi, hits in enumerate(res_lists):
+            got = {h["_id_"] for h in hits}
+            tot += len(got & truth[qi]) / max(len(truth[qi]), 1)
+        return tot / len(res_lists)
+
+    low = db.query(qs, top_k=10, ef_search=8)  # nprobe 1
+    high = db.query(qs, top_k=10, hnsw_ef_search=512)  # nprobe 64 = all
+    assert seen == [1, 64], f"ef_search not wired through: {seen}"
+    r_low, r_high = recall(low), recall(high)
+    assert r_high >= r_low, f"wider probe lost recall: {r_low} -> {r_high}"
+    # every centroid probed == the exact answer
+    assert r_high == pytest.approx(1.0)

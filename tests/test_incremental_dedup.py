@@ -103,3 +103,48 @@ def test_bucket_cap_drops_boilerplate(spark):
     ).count()
     assert uncapped == 60
     assert capped == 0
+
+
+def test_sub_shingle_docs_excluded_and_bands_must_divide(spark):
+    """Round-6 advice items: (a) docs shorter than shingle_n have empty
+    shingle sets — they must be DROPPED before banding (all-null
+    signatures used to collapse every short doc into one md5('') band
+    bucket: an O(h^2) candidate blow-up that could never pass verify),
+    and must stay out of the index/screen rather than silently scoring
+    est_jaccard=0 (the documented recall boundary — route them through
+    exact_dedup); (b) bands not dividing num_hashes raises instead of
+    silently banding only a prefix of the signature."""
+    import pytest as _pytest
+
+    from picovdb_spark.operators.dedup import (
+        lsh_bucket_stats,
+        minhash_dedup_against,
+        minhash_index,
+        minhash_lsh_pairs,
+    )
+
+    short = [(i, "tiny doc") for i in range(50)]  # 2 tokens < shingle_n=3
+    real = [
+        (100, "the quick brown fox jumps over the lazy dog today"),
+        (101, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    docs = spark.createDataFrame(short + real, "doc_id long, text string")
+
+    # no empty-shingle rows in the index …
+    idx = minhash_index(docs)
+    assert idx.count() == 2
+    # … so no boilerplate bucket: every band bucket holds <= 2 docs
+    assert lsh_bucket_stats(docs)["max_bucket"] == 2
+    # self-join still finds the real pair, nothing among the short docs
+    pairs = minhash_lsh_pairs(docs).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(100, 101)]
+    # incremental screen: short batch docs are absent, not est=0 rows
+    batch = spark.createDataFrame(
+        [(200, "tiny doc"), (201, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    hits = minhash_dedup_against(batch, idx).collect()
+    assert {(r["id_new"], r["id_indexed"]) for r in hits} == {(201, 100), (201, 101)}
+
+    with _pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(docs, num_hashes=16, bands=5)

@@ -489,3 +489,47 @@ def test_resident_rematerialize_refreshes_local_cache(store, queries):
         assert rs._local_cache[0][0] is not old_mats[0]
     finally:
         rs.close()
+
+
+def test_resident_fallback_auto_rearms_after_healthy_probe(store, queries):
+    """Round-6 verdict item: a block lost AFTER a healthy cached probe
+    must not fail-fast until a manual invalidate_probe() — query()
+    executes eagerly on the cached-probe path, catches the kernel's
+    missing-block error, re-arms the probe, and retries ONCE via the
+    degraded exact path. Both store kinds, plus a sidecar-only loss
+    (ids file), which must take the same path as a lost mat block."""
+    import glob
+    import os
+    import warnings
+
+    from picovdb_spark.operators.resident import ResidentIvfStore
+
+    base = store.select(K_ID, "_vector_")
+    for make, kill in (
+        (lambda: ResidentGemmStore(base, on_missing="fallback"), "mat"),
+        (lambda: ResidentGemmStore(base, on_missing="fallback"), "ids"),
+        (
+            lambda: ResidentIvfStore(
+                base, n_centroids=16, seed=42, on_missing="fallback"
+            ),
+            "mat",
+        ),
+    ):
+        rs = make()
+        try:
+            rs.materialize()
+            kw = {"nprobe": 16} if isinstance(rs, ResidentIvfStore) else {}
+            want = sorted(map(tuple, rs.query(queries, top_k=3, **kw).collect()))
+            assert rs._probe_ok is True  # healthy probe cached
+            victim = sorted(glob.glob(os.path.join(rs.dir, f"{kill}_*.npy")))[0]
+            os.remove(victim)
+            # NO invalidate_probe() here — the old behavior fail-fasted
+            with warnings.catch_warnings(record=True) as caught:
+                warnings.simplefilter("always")
+                got = sorted(map(tuple, rs.query(queries, top_k=3, **kw).collect()))
+            assert any("re-arming" in str(w.message) for w in caught)
+            assert any("degraded" in str(w.message) for w in caught)
+            assert got == want  # degraded path = exact results
+            assert rs._probe_ok is False  # loss re-armed the probe
+        finally:
+            rs.close()

@@ -119,3 +119,37 @@ def test_duckdb_twin(spark, sf_dir):
         ).fetchall()
     }
     assert got == want
+
+
+def test_pathological_doc_no_quadratic_reassembly(spark):
+    """Round-6 verdict item: reassembly must be O(tokens + removed), not
+    O(tokens x removed). One 120k-token doc losing half its tokens would
+    cost ~3.6e9 membership probes under the former per-token
+    array_contains scan (tens of seconds in codegen); the hash-set
+    subtraction (array_except over positions) finishes the whole job in
+    a few seconds. Correctness is asserted exactly; the wall bound is a
+    generous regression tripwire for the quadratic shape only."""
+    import time
+
+    n_half = 60_000
+    # unique prefix, then the same 60k-token run again: every second-
+    # occurrence window is a duplicate, so positions [60000, 120000)
+    # are removed — r ~= n/2
+    run = " ".join(f"t{i}" for i in range(n_half))
+    doc = spark.createDataFrame(
+        [("big", run + " " + run), ("other", run)], "doc_id string, text string"
+    )
+    t0 = time.perf_counter()
+    rows = {r["doc_id"]: r for r in window_dedup(doc, window=8).collect()}
+    wall = time.perf_counter() - t0
+    big = rows["big"]
+    assert big["n_tokens"] == 2 * n_half
+    # the first copy in "big" wins (doc_id "big" < "other" on the first
+    # window ties? no: election is min(struct(id, s)) per digest, and
+    # "big" < "other"), so big keeps its first run, loses the second;
+    # "other" loses everything to big's windows
+    assert big["n_removed"] == n_half
+    assert big["text_clean"] == run
+    assert rows["other"]["n_removed"] == n_half
+    assert rows["other"]["text_clean"] == ""
+    assert wall < 30.0, f"reassembly took {wall:.1f}s — quadratic shape is back"
