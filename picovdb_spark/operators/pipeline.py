@@ -72,6 +72,8 @@ def curate_corpus(
     weights: dict[str, float] | None = None,
     paragraph_sep: str | None = None,
     paragraph_min_chars: int = 1,
+    max_dup_word_frac: float = 0.5,
+    max_top_bigram_frac: float = 0.05,
     lm: dict | None = None,
     lm_bits_max: float | None = None,
     return_text: bool = False,
@@ -106,8 +108,10 @@ def curate_corpus(
       (ties → smallest id), the rule real pipelines use instead of
       keeping an arbitrary copy.
     - `quality < quality_min` → low_quality; Gopher repetition screen
-      → repetitive; any eval n-gram overlap (when `eval_docs` given)
-      → contaminated.
+      (`max_dup_word_frac` / `max_top_bigram_frac` — corpus-dependent
+      tunables exactly as in Gopher/FineWeb; defaults are the
+      repetition_stats defaults) → repetitive; any eval n-gram overlap
+      (when `eval_docs` given) → contaminated.
     - `split` (train/val/test per `weights`, deterministic md5 bucket)
       is assigned to every row — filter `keep` downstream; dropped
       rows keep their split for audit symmetry.
@@ -147,7 +151,13 @@ def curate_corpus(
         id_col, F.col("is_dup").alias("__exact_dup")
     )
     q = quality_score(docs, id_col=id_col, text_col=text_col)
-    rep = repetition_stats(docs, id_col=id_col, text_col=text_col).select(
+    rep = repetition_stats(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        max_dup_word_frac=max_dup_word_frac,
+        max_top_bigram_frac=max_top_bigram_frac,
+    ).select(
         id_col,
         "dup_word_frac",
         "top_bigram_frac",
@@ -265,6 +275,8 @@ def prepare_training_data(
     weights: dict[str, float] | None = None,
     paragraph_sep: str | None = None,
     paragraph_min_chars: int = 1,
+    max_dup_word_frac: float = 0.5,
+    max_top_bigram_frac: float = 0.05,
     lm: dict | None = None,
     lm_bits_max: float | None = None,
     # mixture (optional): absolute per-domain token budgets
@@ -340,6 +352,8 @@ def prepare_training_data(
         weights=weights,
         paragraph_sep=paragraph_sep,
         paragraph_min_chars=paragraph_min_chars,
+        max_dup_word_frac=max_dup_word_frac,
+        max_top_bigram_frac=max_top_bigram_frac,
         lm=lm,
         lm_bits_max=lm_bits_max,
         return_text=True,

@@ -442,6 +442,7 @@ def knn_join_blocked(
     exclude_self: bool = False,
     left_blocks: int | None = None,
     right_blocks: int | None = None,
+    score_dtype: str = "float64",
 ) -> DataFrame:
     """Exact k-nearest-neighbors join for TWO LARGE SIDES — same
     semantics as `knn_join_exact` (cosine on L2-normalized vectors,
@@ -472,7 +473,17 @@ def knn_join_blocked(
     the GEMM form wins 12× at 1,000 (1.2 s vs 14.7 s) and 25× at 2,000
     (1.3 s vs 31.3 s) — the baseline's per-pair interpreted `dot` HOF
     scales with |L|·|R| while the blocked kernel amortizes it into
-    BLAS calls."""
+    BLAS calls.
+
+    `score_dtype`: "float64" (default) scores in double — bit-parity
+    with the broadcast baseline and the DuckDB oracle (the gate form).
+    "float32" is the SERVING form, the same convention as
+    `batch_query(score_dtype=)` and the reference's own precision:
+    vectors shuffle as array<float> (half the bytes), normalization
+    stays float64 before the cast (`collect_normalized_queries`'s
+    sequence), and the GEMM runs single-precision — measured 11–18×
+    faster on this harness's BLAS (dgemm 0.8–1.4 GF vs sgemm 15 GF
+    single-thread), and the only honest choice at the 1M-row tier."""
     import math
 
     from picovdb_spark.operators.topk import topk_per_query
@@ -483,10 +494,27 @@ def knn_join_blocked(
     for name, v in (("left_blocks", left_blocks), ("right_blocks", right_blocks)):
         if v is not None and v < 1:
             raise ValueError(f"block counts must be >= 1, got {name}={v}")
+    if score_dtype not in ("float32", "float64"):
+        raise ValueError(f"score_dtype must be float32|float64, got {score_dtype!r}")
     if left_blocks is None or right_blocks is None:
-        side = max(1, int(math.isqrt(spark.sparkContext.defaultParallelism)))
-        left_blocks = side if left_blocks is None else left_blocks
-        right_blocks = side if right_blocks is None else right_blocks
+        # Size-aware grid. Shuffle volume is |L|·rb + |R|·lb rows, so
+        # for a fixed cell count lb·rb ≈ P the optimum is
+        # lb = √(P·|L|/|R|) (Lagrange on L·rb + R·lb with lb·rb = P):
+        # equal sides get the symmetric √P×√P grid, a 10k×1M join gets
+        # lb=1 — the 1M side shuffles ONCE instead of √P times
+        # (measured 5× less shuffle at that shape; the symmetric grid
+        # cost the whole row ~2× in wall clock). Pass explicit block
+        # counts to skip the two sizing counts (cheap on cached/parquet
+        # inputs; both jobs are metadata-only column-pruned scans).
+        par = max(1, spark.sparkContext.defaultParallelism)
+        n_l = max(1, left.select(F.lit(1)).count())
+        n_r = max(1, right.select(F.lit(1)).count())
+        if left_blocks is None:
+            left_blocks = max(1, min(par, round(math.sqrt(par * n_l / n_r))))
+        if right_blocks is None:
+            # complement whatever the left resolved to (explicit or
+            # optimal) so the cell count still lands near P
+            right_blocks = max(1, math.ceil(par / left_blocks))
 
     # Both grouping keys must be the SAME type (bigint) on both sides:
     # the hashed block id is bigint while a bare lit() explode yields
@@ -495,16 +523,17 @@ def knn_join_blocked(
     # halves in different partitions and the cogroup emits nothing for
     # them (caught at sf0.1; invisible at sf0.001 where AQE coalesced
     # the whole exchange into one partition).
+    arr_t = "array<float>" if score_dtype == "float32" else "array<double>"
     l2 = left.select(
         F.col(left_id).cast("string").alias("query_id"),
-        F.col(left_vec).cast("array<double>").alias("__qv"),
+        F.col(left_vec).cast(arr_t).alias("__qv"),
         F.pmod(F.xxhash64(F.col(left_id).cast("string")), F.lit(left_blocks)).alias("__lb"),
     ).withColumn(
         "__rb", F.explode(F.array(*[F.lit(b).cast("long") for b in range(right_blocks)]))
     )
     r2 = right.select(
         F.col(right_id).cast("string").alias(K_ID),
-        F.col(right_vec).cast("array<double>").alias("__rv"),
+        F.col(right_vec).cast(arr_t).alias("__rv"),
         F.pmod(F.xxhash64(F.col(right_id).cast("string")), F.lit(right_blocks)).alias("__rb"),
     ).withColumn(
         "__lb", F.explode(F.array(*[F.lit(b).cast("long") for b in range(left_blocks)]))
@@ -513,6 +542,7 @@ def knn_join_blocked(
     kk = int(k)
     skip_self = bool(exclude_self)
     rnd = int(round_to)
+    as_f32 = score_dtype == "float32"
 
     def cell_topk(ltbl, rtbl):
         # Arrow in/out (not pandas): a pandas round-trip would conflate
@@ -541,32 +571,72 @@ def knn_join_blocked(
                 # shifts every later row in the reshape — fail loudly
                 raise ValueError("knn_join_blocked: null vectors in input")
             vals = vec.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-            return _unit_rows(vals.reshape(len(vec), -1))
+            out = _unit_rows(vals.reshape(len(vec), -1))
+            # float32 mode truncates AFTER the float64 normalize — the
+            # same sequence collect_normalized_queries feeds _gemm_topk,
+            # so the two serving paths can never disagree on a vector
+            return out.astype(np.float32) if as_f32 else out
 
         lm, rm = unit(ltbl.column("__qv")), unit(rtbl.column("__rv"))
         lids = np.asarray(ltbl.column("query_id").to_pylist(), dtype=object)
         rids = np.asarray(rtbl.column(K_ID).to_pylist(), dtype=object)
-        scores = np.round(lm @ rm.T, rnd)
-        # Selection array: NaN ranks GREATEST (Spark's sort ordering, so
-        # the global merge and the broadcast baseline agree on NaN-score
-        # rows) and excluded self-pairs rank below everything. The
-        # EMITTED score stays the raw value (NaN preserved).
-        sel = np.where(np.isnan(scores), np.inf, scores)
+        # right-id → column positions for the self mask: O(L + R) dict
+        # probes. The former `lids[:, None] == rids[None, :]` was an
+        # O(L·R) OBJECT-dtype equality — hundreds of millions of
+        # Python-interpreter comparisons per 1M-tier cell (the measured
+        # stall: 21 workers pinned for minutes), plus an L×R bool copy.
+        rpos: dict | None = None
         if skip_self:
-            same = lids[:, None] == rids[None, :]
-            sel = np.where(same, -np.inf, sel)
-        n = sel.shape[1]
+            rpos = {}
+            for j, rid in enumerate(rids):
+                rpos.setdefault(rid, []).append(j)
+        n = rm.shape[0]
         take = min(kk, n)
-        # tie-complete on ROUNDED values: every row matching the kth
-        # rounded score survives to the global merge (exact ranking is
-        # applied there — same contract as _gemm_topk float64)
-        kth = np.partition(sel, n - take, axis=1)[:, n - take]
         out_q, out_i, out_s = [], [], []
-        for qi in range(sel.shape[0]):
-            keep = np.flatnonzero((sel[qi] >= kth[qi]) & (sel[qi] > -np.inf))
-            out_q.append(np.repeat(lids[qi], len(keep)))
-            out_i.append(rids[keep])
-            out_s.append(scores[qi][keep])
+        # Chunk the LEFT rows so the float64 score matrix stays ~256 MB:
+        # a whole-cell GEMM at the 1M tier is (L/lb)×(R/rb)×8 bytes —
+        # 2.2 GB on the default grid at 10k×1M, and ×2 with the
+        # selection copy, which thrashes 20+ concurrent workers. Per-row
+        # top-k is independent of the chunking, so results are
+        # bit-identical to the unchunked form.
+        chunk = max(1, int(256e6 // ((4 if as_f32 else 8) * n)))
+        pad = 1.5 * 10.0 ** (-rnd)
+        for c0 in range(0, lm.shape[0], chunk):
+            lc = lm[c0 : c0 + chunk]
+            scores = lc @ rm.T
+            # RAW-score selection with a rounding pad, rounding only the
+            # SELECTED values — the same tie-complete contract and proof
+            # as _gemm_topk (every row whose rounded score ties the kth
+            # survives; the global merge applies the exact rounded
+            # ranking). The former full-matrix np.round + np.where pair
+            # was ~2/3 of this kernel's non-GEMM cost at the 1M tier
+            # (two extra passes + copies over L/lb × R/rb doubles).
+            if np.isnan(np.min(scores)):
+                # NaN ranks GREATEST (Spark's sort ordering, matching
+                # the broadcast baseline) and must still be EMITTED as
+                # NaN: substitute +inf in a selection copy, emit from
+                # the raw matrix. Rare path — one reduction pass guards
+                # it, not a full isnan materialization.
+                sel = np.where(np.isnan(scores), np.inf, scores)
+            else:
+                # alias, no copy: the only mutation below is the -inf
+                # self-mask, and masked positions are never emitted
+                sel = scores
+            if rpos is not None:
+                for qi in range(lc.shape[0]):
+                    cols = rpos.get(lids[c0 + qi])
+                    if cols:
+                        sel[qi, cols] = -np.inf
+            kth = np.partition(sel, n - take, axis=1)[:, n - take]
+            for qi in range(sel.shape[0]):
+                keep = np.flatnonzero(
+                    (sel[qi] >= kth[qi] - pad) & (sel[qi] > -np.inf)
+                )
+                out_q.append(np.repeat(lids[c0 + qi], len(keep)))
+                out_i.append(rids[keep])
+                # float64 BEFORE rounding in both modes (the f32 path's
+                # raw scores round in double, exactly _gemm_topk's rule)
+                out_s.append(np.round(scores[qi][keep].astype(np.float64), rnd))
         if not out_q:
             return empty
         return pa.table(

@@ -497,3 +497,40 @@ def test_hard_negatives_validates_method(spark, sf_dir):
             left_vec="embedding", right_vec="embedding",
             pos_query_col="vec_id", pos_doc_col="d",
         )
+
+
+def test_knn_join_blocked_float32_serving_mode(store, spark, sf_dir):
+    """score_dtype="float32" — the serving form (array<float> shuffle,
+    f64-normalize-then-truncate, sgemm): self-queries must return
+    themselves at exactly 1.0 (the normalize sequence matches
+    collect_normalized_queries bit-for-bit), overlap with the float64
+    oracle form must be near-total (differences only where f32
+    accumulation crosses a 6-decimal rounding edge), and an unknown
+    dtype raises."""
+    from picovdb_spark.operators.similarity import knn_join_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    kw = dict(
+        left_id="vec_id", right_id="vec_id",
+        left_vec="embedding", right_vec="embedding",
+        left_blocks=3, right_blocks=4,
+    )
+    f32 = knn_join_blocked(emb, emb, k=5, score_dtype="float32", **kw).collect()
+    f64 = knn_join_blocked(emb, emb, k=5, score_dtype="float64", **kw).collect()
+    by_q32, by_q64 = {}, {}
+    for r in f32:
+        by_q32.setdefault(r["query_id"], {})[r["rank"]] = r
+    for r in f64:
+        by_q64.setdefault(r["query_id"], {})[r["rank"]] = r
+    assert set(by_q32) == set(by_q64) and len(by_q32) == 40
+    agree = 0
+    total = 0
+    for q, ranks in by_q32.items():
+        assert ranks[1][K_ID] == q and ranks[1][K_METRICS] == 1.0  # self at 1.0
+        ids32 = {r[K_ID] for r in ranks.values()}
+        ids64 = {r[K_ID] for r in by_q64[q].values()}
+        agree += len(ids32 & ids64)
+        total += len(ids64 | ids32 - ids64)  # union size
+    assert agree / total >= 0.95, f"f32 vs f64 overlap {agree}/{total}"
+    with pytest.raises(ValueError, match="score_dtype"):
+        knn_join_blocked(emb, emb, k=1, score_dtype="float16", **kw)
