@@ -913,9 +913,10 @@ def window_dedup(
          full-width text shuffle (zero if the corpus is bucketed by id;
          AQE broadcasts the removal list when it fits).
 
-    The per-token `array_contains` in the reassembly filter is O(r) per
-    token (r = removed count) — fine for web documents; for pathological
-    docs pre-chunk first (operators/chunking.py).
+    Reassembly is O(n_tokens + removed) per doc (hash-set position
+    subtraction; see the inline note) — a pathological doc that loses
+    half its tokens costs the same per-token work as a clean one
+    (pinned by test_pathological_doc_no_quadratic_reassembly).
 
     Reference contrast: the reference dedups only whole payloads via
     content-hash auto-ids (pico_vdb.py:54-55); sub-document substrings
