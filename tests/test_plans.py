@@ -156,3 +156,44 @@ def test_bm25_query_side_is_local_relation(spark):
     # the qterms side must be a LocalRelation; the checkpointed postings
     # legitimately scan as ExistingRDD but must never be the broadcast side
     assert "LocalTableScan" in plan
+
+
+def test_knn_join_blocked_plan_no_cartesian(spark, sf_dir):
+    """The blocked kNN plan must be the cogrouped block grid — a
+    FlatMapCoGroupsInArrow over two hash exchanges — never a cartesian
+    or broadcast-nested-loop join (the shapes that can't scale past one
+    executor), and the float32 serving form must shuffle array<float>,
+    not silently widen back to double."""
+    from picovdb_spark.operators.similarity import knn_join_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    kw = dict(
+        left_id="vec_id", right_id="vec_id",
+        left_vec="embedding", right_vec="embedding",
+        left_blocks=2, right_blocks=2,
+    )
+    for dtype, cast_t in (("float32", "array<float>"), ("float64", "array<double>")):
+        df = knn_join_blocked(emb, emb, k=3, score_dtype=dtype, **kw)
+        plan = explain_str(df)
+        assert "FlatMapCoGroupsInArrow" in plan, plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the shuffled vector column carries the requested precision —
+        # the analyzed plan shows the cast the grid projection applies
+        analyzed = str(df._jdf.queryExecution().analyzed())
+        assert f"as {cast_t}" in analyzed, analyzed[:2000]
+
+
+def test_window_dedup_reassembly_is_hash_set_subtraction(spark):
+    """Round-6 verdict item pin: the reassembly must be the
+    array_except (hash-set) position subtraction, not the O(removed)
+    per-token array_contains probe — the plan itself is the evidence."""
+    from picovdb_spark.operators.dedup import window_dedup
+
+    docs = spark.createDataFrame(
+        [("a", "x y z w x y z w"), ("b", "x y z w q r s t")],
+        "doc_id string, text string",
+    )
+    plan = explain_str(window_dedup(docs, window=4))
+    assert "array_except" in plan, plan
+    assert "array_contains" not in plan, plan
