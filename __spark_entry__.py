@@ -724,6 +724,7 @@ def _minhash_oracle(
         f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
     )
     if include_against:
+        split_bucket = _d_hash32("'v1:' || CAST(doc_id AS VARCHAR)") + " / 4294967296.0"
         against_ctes = f""",
 cand_against AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -737,10 +738,26 @@ est AS (
   FROM cand_against c
   JOIN sigs sa ON sa.doc_id = c.id_a
   JOIN sigs sb ON sb.doc_id = c.id_b
+),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN {split_bucket} < 0.5 THEN 'train'
+              WHEN {split_bucket} < 0.75 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+leak AS (
+  SELECT v.id_a, v.id_b, v.jaccard
+  FROM ver v
+  JOIN splits pa ON pa.doc_id = v.id_a
+  JOIN splits pb ON pb.doc_id = v.id_b
+  WHERE pa.split <> pb.split
 )"""
         final_select = f"""SELECT 'self' AS variant, id_a, id_b, jaccard FROM ver WHERE jaccard >= {threshold}
 UNION ALL
-SELECT 'against' AS variant, id_a, id_b, jaccard FROM est WHERE jaccard >= {threshold}"""
+SELECT 'against' AS variant, id_a, id_b, jaccard FROM est WHERE jaccard >= {threshold}
+UNION ALL
+SELECT 'leakage' AS variant, id_a, id_b, jaccard FROM leak WHERE jaccard >= {threshold}"""
     else:
         against_ctes = ""
         final_select = (
@@ -777,7 +794,11 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       docs with doc_id % 5 == 0 play the new crawl batch, the rest the
       historical corpus, screened via a text-free `minhash_index` whose
       verification is the signature-estimated Jaccard (matching-
-      coordinate fraction, k/16 — exact in double, so hash-stable)."""
+      coordinate fraction, k/16 — exact in double, so hash-stable).
+    - 'leakage': `pipeline.split_leakage_report` — the self pairs whose
+      two docs land in DIFFERENT dataset splits under a 0.5/0.25/0.25
+      md5-bucket split (the cross-split contamination audit; the even
+      weights make the branch non-degenerate at sf0.01)."""
     docs = load_table(spark, sf_dir, "documents")
     self_pairs = minhash_lsh_pairs(docs).select(
         F.lit("self").alias("variant"), "id_a", "id_b", "jaccard"
@@ -792,7 +813,16 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_indexed").alias("id_b"),
         F.col("est_jaccard").alias("jaccard"),
     )
-    return self_pairs.unionByName(against)
+    from picovdb_spark.operators.pipeline import split_leakage_report
+    from picovdb_spark.operators.textops import dataset_split
+
+    sp = dataset_split(
+        docs, weights={"train": 0.5, "val": 0.25, "test": 0.25}
+    ).select("doc_id", "split")
+    leak = split_leakage_report(docs.join(sp, "doc_id")).select(
+        F.lit("leakage").alias("variant"), "id_a", "id_b", "jaccard"
+    )
+    return self_pairs.unionByName(against).unionByName(leak)
 
 
 @_register(
@@ -1575,20 +1605,67 @@ def _pii_oracle() -> str:
         for name, pat in PII_PATTERNS.items()
     )
     total = " + ".join(f"n_{name}" for name in PII_PATTERNS)
+    # redact twin: the same progressive rewrite pii_redact applies —
+    # pattern i counts and rewrites the text as rewritten by patterns
+    # 0..i-1 ('g' = replace all, Spark regexp_replace's default)
+    red_ctes, prev = [], None
+    names = list(PII_PATTERNS)
+    for i, (name, pat) in enumerate(PII_PATTERNS.items()):
+        src = f"coalesce(text, '')" if i == 0 else f"r{i - 1}"
+        base = "documents" if i == 0 else f"red{i - 1}"
+        red_ctes.append(
+            f"red{i} AS (SELECT doc_id, len(regexp_extract_all({src}, '{pat}')) AS c{i}, "
+            f"regexp_replace({src}, '{pat}', '[{name}]', 'g') AS r{i}"
+            + ("" if i == 0 else ", " + ", ".join(f"c{j}" for j in range(i)))
+            + f" FROM {base})"
+        )
+    last = len(names) - 1
+    red_total = " + ".join(f"c{i}" for i in range(len(names)))
+    nulls = ", ".join(f"CAST(NULL AS BIGINT) AS n_{n}" for n in PII_PATTERNS)
     return f"""
-WITH hits AS (SELECT doc_id, {cols} FROM documents)
-SELECT doc_id, {', '.join('n_' + n for n in PII_PATTERNS)},
-       CAST({total} AS BIGINT) AS n_pii, ({total}) > 0 AS has_pii
+WITH hits AS (SELECT doc_id, {cols} FROM documents),
+{','.join(red_ctes)}
+SELECT 'scan' AS variant, doc_id, {', '.join('n_' + n for n in PII_PATTERNS)},
+       CAST({total} AS BIGINT) AS n_pii, ({total}) > 0 AS has_pii,
+       CAST(NULL AS VARCHAR) AS payload
 FROM hits
+UNION ALL
+SELECT 'redact' AS variant, doc_id, {nulls},
+       CAST({red_total} AS BIGINT) AS n_pii, ({red_total}) > 0 AS has_pii,
+       r{last} AS payload
+FROM red{last}
 """
 
 
 @_register("text_pii_scan", _pii_oracle())
 def _pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regex PII screen (email/phone/ssn/ipv4 counts + quarantine flag)."""
-    from picovdb_spark.operators.textops import pii_scan
+    """PII suite:
+    - 'scan': regex PII screen (email/phone/ssn/ipv4 counts + the
+      quarantine flag), textops.pii_scan.
+    - 'redact': textops.pii_redact — span-level typed-tag replacement
+      over the progressively rewritten text; n_pii carries the span
+      count, payload the redacted text (hash-checked byte-for-byte
+      against the DuckDB regexp_replace twin)."""
+    from picovdb_spark.operators.textops import PII_PATTERNS, pii_redact, pii_scan
 
-    return pii_scan(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    scan = pii_scan(docs).select(
+        F.lit("scan").alias("variant"),
+        "doc_id",
+        *[F.col(f"n_{n}").cast("long").alias(f"n_{n}") for n in PII_PATTERNS],
+        F.col("n_pii"),
+        F.col("has_pii"),
+        F.lit(None).cast("string").alias("payload"),
+    )
+    red = pii_redact(docs).select(
+        F.lit("redact").alias("variant"),
+        "doc_id",
+        *[F.lit(None).cast("long").alias(f"n_{n}") for n in PII_PATTERNS],
+        F.col("n_redacted").alias("n_pii"),
+        (F.col("n_redacted") > 0).alias("has_pii"),
+        F.col("text_redacted").alias("payload"),
+    )
+    return scan.unionByName(red)
 
 
 # -------------------------------------------------------- chunking / UDF ops

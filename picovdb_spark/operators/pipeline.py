@@ -262,6 +262,65 @@ def curation_report(curated: DataFrame) -> dict:
     }
 
 
+def split_leakage_report(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_col: str = "split",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Cross-split near-duplicate leakage audit: every near-dup pair
+    (MinHash-LSH at `threshold`) whose two documents sit in DIFFERENT
+    dataset splits — the pairs that make a held-out eval measure
+    memorization instead of generalization. Run it after any split
+    assignment; a non-empty result is the argument for re-splitting
+    with `dataset_split(group_col=...)` (group-hash splits keep
+    near-dup clusters together) or for dropping the val/test member.
+
+    Input must carry `split_col` (join `dataset_split` output first).
+    Output: (id_a, id_b, split_a, split_b, jaccard), id_a < id_b.
+
+    Scale shape: the pair list is the LSH self-join's output — tiny
+    relative to the corpus — so the two split-spine joins hash on ids
+    with AQE free to broadcast the pair side; the corpus text moves
+    only inside `minhash_lsh_pairs`' own banded plan. No new shuffle
+    class beyond what the dedup sweep already pays, which is the point:
+    the audit reuses the near-dup machinery, it doesn't re-implement it.
+    """
+    pairs = minhash_lsh_pairs(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
+    )
+    spine = docs.select(id_col, split_col)
+    return (
+        pairs.join(
+            spine.select(
+                F.col(id_col).alias("id_a"), F.col(split_col).alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            spine.select(
+                F.col(id_col).alias("id_b"), F.col(split_col).alias("split_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )
+
+
 def prepare_training_data(
     docs: DataFrame,
     *,

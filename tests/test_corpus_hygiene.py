@@ -299,3 +299,37 @@ def test_decontaminate_min_hits_and_frac(spark):
     all_rows = {r["doc_id"]: r for r in decontaminate(train, ev, n=5, min_frac=0.0).collect()}
     assert set(all_rows) == {1, 2}
     assert all_rows[2]["n_grams"] == 11
+
+
+def test_pii_redact_spans_and_counts(spark):
+    """pii_redact replaces each matched span with its typed tag and
+    counts spans; clean docs pass through byte-identical; null text
+    redacts to ''. Progressive rewriting: a span consumed by an earlier
+    pattern is not re-counted by a later one."""
+    from picovdb_spark.operators.textops import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at a.b@test.org or call 555-123-4567 ok"),
+            (2, "ssn 123-45-6789 from 10.0.0.1"),
+            (3, "nothing sensitive here"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert rows[1]["text_redacted"] == "mail me at [email] or call [phone] ok"
+    assert rows[1]["n_redacted"] == 2
+    assert rows[2]["text_redacted"] == "ssn [ssn] from [ipv4]"
+    assert rows[2]["n_redacted"] == 2
+    assert rows[3]["text_redacted"] == "nothing sensitive here"
+    assert rows[3]["n_redacted"] == 0
+    assert rows[4]["text_redacted"] == "" and rows[4]["n_redacted"] == 0
+    # custom tag format + custom pattern set
+    one = pii_redact(
+        docs.filter("doc_id = 2"),
+        patterns={"ssn": "[0-9]{3}-[0-9]{2}-[0-9]{4}"},
+        tag_format="<{name}>",
+    ).collect()[0]
+    assert one["text_redacted"] == "ssn <ssn> from 10.0.0.1"
+    assert one["n_redacted"] == 1

@@ -184,3 +184,28 @@ def test_curate_optional_stages_off_yield_null_columns(spark, corpus):
     r = curate_corpus(docs).limit(1).collect()[0]
     assert r["n_paras"] is None and r["n_kept"] is None
     assert r["bits_per_token"] is None
+
+
+def test_split_leakage_report_flags_cross_split_near_dups(spark):
+    """Planted near-dup pairs: the cross-split pair is reported with
+    both split labels; the same-split pair is not leakage; unrelated
+    docs never appear. Output ids keep the id_a < id_b pair order."""
+    from picovdb_spark.operators.pipeline import split_leakage_report
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "train"),
+            (2, base + " extra", "test"),      # near-dup of 1, crosses splits
+            (3, base + " more", "train"),      # near-dup of 1, same split
+            (4, "completely different words in this unrelated document", "test"),
+        ],
+        "doc_id long, text string, split string",
+    )
+    rows = split_leakage_report(docs).collect()
+    got = {(r["id_a"], r["id_b"]): (r["split_a"], r["split_b"]) for r in rows}
+    assert (1, 2) in got and got[(1, 2)] == ("train", "test")
+    assert (2, 3) in got and got[(2, 3)] == ("test", "train")
+    assert (1, 3) not in got, "same-split pair is not leakage"
+    assert all(4 not in p for p in got)
+    assert all(a < b for a, b in got)
