@@ -800,7 +800,13 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       md5-bucket split (the cross-split contamination audit; the even
       weights make the branch non-degenerate at sf0.01)."""
     docs = load_table(spark, sf_dir, "documents")
-    self_pairs = minhash_lsh_pairs(docs).select(
+    # computed ONCE (minhash_lsh_pairs returns an eagerly checkpointed
+    # pair list): the self variant AND the leakage variant below both
+    # read this materialization — the leakage audit is by construction
+    # a subset of the self pairs, so re-running the LSH plan for it
+    # would double the row's dominant cost for identical output
+    pairs = minhash_lsh_pairs(docs)
+    self_pairs = pairs.select(
         F.lit("self").alias("variant"), "id_a", "id_b", "jaccard"
     )
     new_batch = docs.filter(F.col("doc_id") % 5 == 0)
@@ -813,13 +819,13 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_indexed").alias("id_b"),
         F.col("est_jaccard").alias("jaccard"),
     )
-    from picovdb_spark.operators.pipeline import split_leakage_report
+    from picovdb_spark.operators.pipeline import leakage_from_pairs
     from picovdb_spark.operators.textops import dataset_split
 
     sp = dataset_split(
         docs, weights={"train": 0.5, "val": 0.25, "test": 0.25}
     ).select("doc_id", "split")
-    leak = split_leakage_report(docs.join(sp, "doc_id")).select(
+    leak = leakage_from_pairs(pairs, sp).select(
         F.lit("leakage").alias("variant"), "id_a", "id_b", "jaccard"
     )
     return self_pairs.unionByName(against).unionByName(leak)

@@ -224,6 +224,16 @@ def bench_queries(spark):
         pd_docs.count()
         para_state["docs"] = pd_docs
 
+    def _release_para_docs():
+        # runs inline right after the two pipeline rows (NOT a deferred
+        # _cleanup_* step): the rebuilt full-text corpus must not stay
+        # resident while the later memory-sensitive tiers are timed.
+        # (_ref_store's clearCache() is a backstop, but explicit release
+        # keeps the contract local.) No-op in subsets that never built it.
+        df = para_state.pop("docs", None)
+        if df is not None:
+            df.unpersist()
+
     def q_pipeline_curate():
         # the composed curation chain in FineWeb order (corpus-wide
         # span removal → dedup → components → keep-best →
@@ -1135,6 +1145,7 @@ def bench_queries(spark):
         "_prepare_para_docs": _prepare_para_docs,
         "pipeline_curate": q_pipeline_curate,
         "pipeline_prepare": q_pipeline_prepare,
+        "_release_para_docs": _release_para_docs,
         # "_"-prefixed keys are SETUP steps: executed in order, excluded
         # from timings (corpus generation is not a workload; it also
         # clears the sf-scale caches, so it runs after the sf workloads)

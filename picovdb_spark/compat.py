@@ -14,10 +14,13 @@ Documented deviations (SURVEY.md §7.2):
   default like FAISS is (`no_faiss=True` disables routing batch queries
   through it). Per-call `ef_search`/`hnsw_ef_search` (and the
   constructor `*_default` forms) map monotonically onto the IVF probe
-  width — `nprobe = max(1, ceil(ef / 8))`, clamped to the centroid
+  width — `nprobe = max(1, ceil(ef / 4))`, clamped to the centroid
   count inside `ann_query` — so a larger efSearch widens the scan and
   raises recall exactly as it does in the reference
-  (pico_vdb.py:716-730); ef=64 lands on the engine default nprobe=8.
+  (pico_vdb.py:716-730). The anchor aligns the two systems' DEFAULTS:
+  the reference's HNSW_EFS=32 (pico_vdb.py:29) maps to the engine
+  default nprobe=8, so explicitly passing the reference's default is a
+  no-op here too.
   Build-time-only HNSW knobs (`hnsw_m`, `hnsw_ef_construction`) and
   memory-layout knobs (`use_memmap`, `adaptive_buffer`,
   `argsort_threshold`) have no IVF equivalent and are accepted no-ops
@@ -140,9 +143,13 @@ class PicoVectorDB:
                 f"query vectors must be (n, {self.dim}) or ({self.dim},); got {arr.shape}"
             )
         # per-call efSearch (hnsw_ef_search wins over ef_search, like the
-        # reference's kwarg ladder) → IVF probe width: nprobe=ceil(ef/8),
-        # monotone in ef, clamped to n_centroids inside ann_query. Only
-        # meaningful on the ANN route; the exact path scans everything.
+        # reference's kwarg ladder) → IVF probe width: nprobe=ceil(ef/4),
+        # monotone in ef and ANCHORED so the reference's default efSearch
+        # (HNSW_EFS=32, pico_vdb.py:29) lands on the engine default
+        # nprobe=8 — a user passing the reference's own default
+        # explicitly must get the same behavior as passing nothing.
+        # Clamped to n_centroids inside ann_query. Only meaningful on
+        # the ANN route; the exact path scans everything.
         ef = (
             hnsw_ef_search
             if hnsw_ef_search is not None
@@ -152,7 +159,7 @@ class PicoVectorDB:
         )
         ann_kwargs: dict[str, Any] = {}
         if ef is not None:
-            ann_kwargs["nprobe"] = max(1, -(-int(ef) // 8))
+            ann_kwargs["nprobe"] = max(1, -(-int(ef) // 4))
         out = self.store.query(
             arr,  # 2-D float32 batch — store.query takes the fast path
             top_k=top_k,

@@ -302,22 +302,41 @@ def split_leakage_report(
         threshold=threshold,
         max_bucket_size=max_bucket_size,
     )
-    spine = docs.select(id_col, split_col)
+    return leakage_from_pairs(
+        pairs, docs.select(id_col, split_col), id_col=id_col, split_col=split_col
+    )
+
+
+def leakage_from_pairs(
+    pairs: DataFrame,
+    splits: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """The join half of `split_leakage_report`, for callers that ALREADY
+    hold a near-dup pair list (any (id_a, id_b, jaccard) frame — a
+    `minhash_lsh_pairs` sweep the dedup pass computed anyway, or
+    `embedding_near_dup`'s (id_a, id_b, cosine) renamed): two hash
+    joins against the (id, split) spine, keep pairs whose members sit
+    in different splits. Never re-runs the similarity machinery — the
+    audit should always ride an existing sweep's output."""
+    score_cols = [c for c in pairs.columns if c not in ("id_a", "id_b")]
     return (
         pairs.join(
-            spine.select(
+            splits.select(
                 F.col(id_col).alias("id_a"), F.col(split_col).alias("split_a")
             ),
             "id_a",
         )
         .join(
-            spine.select(
+            splits.select(
                 F.col(id_col).alias("id_b"), F.col(split_col).alias("split_b")
             ),
             "id_b",
         )
         .filter(F.col("split_a") != F.col("split_b"))
-        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+        .select("id_a", "id_b", "split_a", "split_b", *score_cols)
     )
 
 

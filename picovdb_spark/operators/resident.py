@@ -126,11 +126,15 @@ def _serve_with_rearm(store, out: DataFrame, probe_skipped: bool, retry):
     error: invalidate the probe and retry ONCE — the retry re-probes,
     observes the loss, and serves the batch via the degraded exact path.
     Any other failure propagates untouched. The eager materialization
-    costs nothing extra in practice (callers collect these top-k results
-    immediately); the probe-just-ran and probe_cache=False paths return
-    the plan lazily as before (`probe_skipped=False`). The retry call
-    enters with `_probe_ok` freshly cleared, so its own result is NOT
-    re-wrapped — a second failure surfaces to the caller."""
+    is right for the collect-immediately serving pattern; callers that
+    COMPOSE query() frames lazily (union many batches, collect once, or
+    build plans they may discard) opt out with the store's
+    `auto_rearm=False` and keep the plain fail-fast + manual
+    `invalidate_probe()` contract. The probe-just-ran and
+    probe_cache=False paths return the plan lazily as before
+    (`probe_skipped=False`). The retry call enters with `_probe_ok`
+    freshly cleared, so its own result is NOT re-wrapped — a second
+    failure surfaces to the caller."""
     if not probe_skipped:
         return out
     try:
@@ -210,6 +214,7 @@ class ResidentGemmStore:
         block_dtype: str = "float32",
         on_missing: str = "fail",
         probe_cache: bool = True,
+        auto_rearm: bool = True,
     ):
         if block_dtype not in ("float32", "int8"):
             raise ValueError(f"block_dtype must be float32 or int8, got {block_dtype!r}")
@@ -254,6 +259,16 @@ class ResidentGemmStore:
         # preemptible nodes should pick False or wire invalidate_probe()
         # into their executor-loss listener.
         self.probe_cache = bool(probe_cache)
+        # fallback-mode ergonomics vs laziness: with auto_rearm=True
+        # (default), a query that SKIPPED the probe (cached healthy
+        # result) executes eagerly inside query() so a block lost since
+        # the probe is caught, the probe re-armed, and the batch retried
+        # via the degraded path (_serve_with_rearm) — right for the
+        # collect-immediately serving pattern. Callers that COMPOSE
+        # query() frames lazily (union several batches, collect once)
+        # should pass auto_rearm=False to keep the lazy contract: they
+        # get the plain fail-fast and re-arm via invalidate_probe().
+        self.auto_rearm = bool(auto_rearm)
         self._probe_ok = False
 
     # ------------------------------------------------------------ lifecycle
@@ -395,7 +410,9 @@ class ResidentGemmStore:
         # captured BEFORE the probe branch can flip _probe_ok: True means
         # this call trusts a cached health result and gets the eager
         # auto-re-arm wrap (_serve_with_rearm) on its way out
-        probe_skipped = self.on_missing == "fallback" and self._probe_ok
+        probe_skipped = (
+            self.on_missing == "fallback" and self._probe_ok and self.auto_rearm
+        )
         if self.on_missing == "fallback" and not self._probe_ok:
             artifacts = ("mat", "ids") + (
                 ("scales",) if self.block_dtype == "int8" else ()
@@ -683,6 +700,7 @@ class ResidentIvfStore:
         local_cache_bytes: int = 1 << 30,
         on_missing: str = "fail",
         probe_cache: bool = True,
+        auto_rearm: bool = True,
     ):
         # "int8": blocks hold symmetric per-row int8 codes + a float32
         # scale column (same rule as ResidentGemmStore's int8 mode) —
@@ -725,6 +743,16 @@ class ResidentIvfStore:
         # the probe_cache trade-off: cached healthy probe vs per-batch
         # auto-detection of late executor loss)
         self.probe_cache = bool(probe_cache)
+        # fallback-mode ergonomics vs laziness: with auto_rearm=True
+        # (default), a query that SKIPPED the probe (cached healthy
+        # result) executes eagerly inside query() so a block lost since
+        # the probe is caught, the probe re-armed, and the batch retried
+        # via the degraded path (_serve_with_rearm) — right for the
+        # collect-immediately serving pattern. Callers that COMPOSE
+        # query() frames lazily (union several batches, collect once)
+        # should pass auto_rearm=False to keep the lazy contract: they
+        # get the plain fail-fast and re-arm via invalidate_probe().
+        self.auto_rearm = bool(auto_rearm)
         self._probe_ok = False
 
     # ------------------------------------------------------------ lifecycle
@@ -892,7 +920,9 @@ class ResidentIvfStore:
         if self.n_rows is None or self._blocks_df is None:
             raise RuntimeError("resident IVF store not materialized — call materialize()")
         # see ResidentGemmStore.query — same cached-probe auto-re-arm
-        probe_skipped = self.on_missing == "fallback" and self._probe_ok
+        probe_skipped = (
+            self.on_missing == "fallback" and self._probe_ok and self.auto_rearm
+        )
         if self.on_missing == "fallback" and not self._probe_ok:
             artifacts = ("mat", "ids", "clus") + (
                 ("scales",) if self.dtype == "int8" else ()

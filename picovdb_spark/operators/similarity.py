@@ -503,17 +503,20 @@ def knn_join_blocked(
         # equal sides get the symmetric √P×√P grid, a 10k×1M join gets
         # lb=1 — the 1M side shuffles ONCE instead of √P times
         # (measured 5× less shuffle at that shape; the symmetric grid
-        # cost the whole row ~2× in wall clock). Pass explicit block
-        # counts to skip the two sizing counts (cheap on cached/parquet
-        # inputs; both jobs are metadata-only column-pruned scans).
+        # cost the whole row ~2× in wall clock). The sizing counts run
+        # ONLY when the ratio is actually consumed (left_blocks
+        # unspecified) — they are cheap on cached/parquet inputs but
+        # re-execute the upstream plan on derived frames, so pass
+        # explicit block counts to skip them entirely.
         par = max(1, spark.sparkContext.defaultParallelism)
-        n_l = max(1, left.select(F.lit(1)).count())
-        n_r = max(1, right.select(F.lit(1)).count())
         if left_blocks is None:
+            n_l = max(1, left.select(F.lit(1)).count())
+            n_r = max(1, right.select(F.lit(1)).count())
             left_blocks = max(1, min(par, round(math.sqrt(par * n_l / n_r))))
         if right_blocks is None:
             # complement whatever the left resolved to (explicit or
-            # optimal) so the cell count still lands near P
+            # optimal) so the cell count still lands near P — a
+            # count-free rule, so an explicit left_blocks costs no jobs
             right_blocks = max(1, math.ceil(par / left_blocks))
 
     # Both grouping keys must be the SAME type (bigint) on both sides:

@@ -145,10 +145,11 @@ def test_query_and_get_strip_absent_metadata_keys(spark, tmp_path):
 def test_ef_search_tunes_recall(spark, tmp_path, monkeypatch):
     """Per-call `ef_search`/`hnsw_ef_search` are honored, not swallowed
     (the reference honors per-call efSearch, pico_vdb.py:716-730): they
-    map monotonically onto the IVF probe width (nprobe = ceil(ef/8),
-    compat.py), so a larger ef widens the scan — recall@10 at high ef
-    must be >= recall at low ef, and an ef covering every centroid is
-    the exact answer."""
+    map monotonically onto the IVF probe width (nprobe = ceil(ef/4),
+    anchored so the reference's default HNSW_EFS=32 maps to the engine
+    default nprobe=8 — compat.py), so a larger ef widens the scan:
+    recall@10 at high ef must be >= recall at low ef, and an ef
+    covering every centroid is the exact answer."""
     rng = np.random.default_rng(7)
     dim, n = 32, 1500
     vecs = rng.standard_normal((n, dim)).astype(np.float32)
@@ -183,9 +184,12 @@ def test_ef_search_tunes_recall(spark, tmp_path, monkeypatch):
             tot += len(got & truth[qi]) / max(len(truth[qi]), 1)
         return tot / len(res_lists)
 
-    low = db.query(qs, top_k=10, ef_search=8)  # nprobe 1
-    high = db.query(qs, top_k=10, hnsw_ef_search=512)  # nprobe 64 = all
-    assert seen == [1, 64], f"ef_search not wired through: {seen}"
+    low = db.query(qs, top_k=10, ef_search=4)  # nprobe 1
+    high = db.query(qs, top_k=10, hnsw_ef_search=256)  # nprobe 64 = all
+    # the reference's own default efSearch must be a no-op: HNSW_EFS=32
+    # → the engine default nprobe=8 (explicit default == omitted)
+    db.query(qs[:1], top_k=10, ef_search=32)
+    assert seen == [1, 64, 8], f"ef_search not wired through: {seen}"
     r_low, r_high = recall(low), recall(high)
     assert r_high >= r_low, f"wider probe lost recall: {r_low} -> {r_high}"
     # every centroid probed == the exact answer
