@@ -209,3 +209,24 @@ def test_split_leakage_report_flags_cross_split_near_dups(spark):
     assert (1, 3) not in got, "same-split pair is not leakage"
     assert all(4 not in p for p in got)
     assert all(a < b for a, b in got)
+
+
+def test_leakage_from_pairs_rides_any_pair_list(spark):
+    """leakage_from_pairs joins an EXISTING pair frame (any score
+    columns — here an embedding near-dup shape) against the split
+    spine without re-running similarity machinery; extra score columns
+    pass through."""
+    from picovdb_spark.operators.pipeline import leakage_from_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.98), (2, 3, 0.97), (5, 6, 0.99)],
+        "id_a long, id_b long, cosine double",
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "test"), (5, "train"), (6, "train")],
+        "doc_id long, split string",
+    )
+    rows = {(r["id_a"], r["id_b"]): r for r in leakage_from_pairs(pairs, splits).collect()}
+    assert set(rows) == {(1, 2)}  # 2-3 same split, 5-6 same split
+    assert rows[(1, 2)]["cosine"] == 0.98  # score column rides through
+    assert rows[(1, 2)]["split_a"] == "train" and rows[(1, 2)]["split_b"] == "test"
