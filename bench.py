@@ -1370,8 +1370,8 @@ def main() -> None:
         # waves hit whichever row is reading when they land (README)
         "scale4m_disk_exact_8": (1.5, 10.0),
         "scale4m_disk_ivfpq_8": (0.7, 5.0),
-        "scale4m_disk_exact_1": (1.5, 8.0),
-        "scale4m_disk_ivfpq_1": (0.5, 5.0),
+        "scale4m_disk_exact_1": (1.5, 10.0),  # r7 wave 9.0 in-suite / 6.3 isolated
+        "scale4m_disk_ivfpq_1": (0.5, 6.0),  # r7 wave 5.3 in-suite / 1.1 isolated
     }
     # Settled re-runs are COLD fresh-JVM medians-of-3 — some rows pay
     # first-pass codegen/JIT the in-suite steady-state range deliberately
