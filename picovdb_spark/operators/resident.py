@@ -110,10 +110,14 @@ def _probe_missing_blocks(
     return sorted(r["pid"] for r in rows if not r["ok"])
 
 
-# substring every query-kernel fail-fast message carries ("… missing
-# under <blk_dir>") — the auto-re-arm path below matches on it to tell
-# a lost block/sidecar from an unrelated job failure
-_MISSING_BLOCK_MARKER = "missing under"
+# sentinel token every query-kernel fail-fast message carries — the
+# auto-re-arm path below matches on it to tell a lost block/sidecar
+# from an unrelated job failure. Deliberately NOT a natural-language
+# phrase: an earlier marker ("missing under") could collide with a
+# user path or an unrelated data-source error embedded in the
+# stringified exception, silently invalidating the probe and re-running
+# the batch once before the real error surfaced.
+_MISSING_BLOCK_MARKER = "[resident-block-missing]"
 
 
 def _serve_with_rearm(store, out: DataFrame, probe_skipped: bool, retry):
@@ -130,7 +134,17 @@ def _serve_with_rearm(store, out: DataFrame, probe_skipped: bool, retry):
     COMPOSE query() frames lazily (union many batches, collect once, or
     build plans they may discard) opt out with the store's
     `auto_rearm=False` and keep the plain fail-fast + manual
-    `invalidate_probe()` contract. The probe-just-ran and
+    `invalidate_probe()` contract. Two costs of the eager path, both
+    reasons to opt out: (a) query() executes a Spark job even for a
+    caller that only wanted to build/inspect the plan, and (b) each
+    localCheckpoint pins the result's RDD blocks in executor storage
+    until the driver GC collects the returned frame — a long-running
+    serving loop that retains many result frames accumulates that
+    storage (the blocks CANNOT be unpersisted here when superseded:
+    localCheckpoint truncates lineage, so a frame whose blocks were
+    dropped is unrecoverable, and prior results may still be live in
+    the caller). Drop frame references promptly (or collect and let
+    the frame go) and the ContextCleaner reclaims the blocks. The probe-just-ran and
     probe_cache=False paths return the plan lazily as before
     (`probe_skipped=False`). The retry call enters with `_probe_ok`
     freshly cleared, so its own result is NOT re-wrapped — a second
@@ -504,11 +518,11 @@ class ResidentGemmStore:
             ]
             if lost:
                 raise RuntimeError(
-                    f"resident block artifact(s) {lost} for partition {pid} "
-                    f"missing under {blk_dir} — store closed, partitioning "
-                    "changed since materialize(), or this task ran on a node "
-                    "that never materialized; re-materialize() or use "
-                    "batch_query()"
+                    f"[resident-block-missing] artifact(s) {lost} for "
+                    f"partition {pid} under {blk_dir} — store closed, "
+                    "partitioning changed since materialize(), or this task "
+                    "ran on a node that never materialized; re-materialize() "
+                    "or use batch_query()"
                 )
             # mmap: pages shared node-wide via the OS page cache — no copy
             mat = np.load(mat_path, mmap_mode="r")
@@ -1006,7 +1020,7 @@ class ResidentIvfStore:
                     return
             # all artifacts checked up front — see ResidentGemmStore's
             # kernel for why a lost sidecar must raise the same
-            # canonical "missing under" message the auto-re-arm matches
+            # canonical sentinel-tagged message the auto-re-arm matches
             need = ["mat", "ids", "clus"] + (["scales"] if as_int8 else [])
             lost = [
                 a
@@ -1015,8 +1029,8 @@ class ResidentIvfStore:
             ]
             if lost:
                 raise RuntimeError(
-                    f"resident IVF block artifact(s) {lost} for partition "
-                    f"{pid} missing under {blk_dir} — store closed, "
+                    f"[resident-block-missing] IVF artifact(s) {lost} for "
+                    f"partition {pid} under {blk_dir} — store closed, "
                     "partitioning changed since materialize(), or this task "
                     "ran on a node that never materialized; re-materialize() "
                     "or use ann_query()"

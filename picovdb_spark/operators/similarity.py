@@ -483,7 +483,14 @@ def knn_join_blocked(
     stays float64 before the cast (`collect_normalized_queries`'s
     sequence), and the GEMM runs single-precision — measured 11–18×
     faster on this harness's BLAS (dgemm 0.8–1.4 GF vs sgemm 15 GF
-    single-thread), and the only honest choice at the 1M-row tier."""
+    single-thread), and the only honest choice at the 1M-row tier.
+
+    Block sizing: with BOTH `left_blocks`/`right_blocks` unspecified,
+    auto-sizing runs two `count()` jobs to learn the |L|/|R| ratio —
+    cheap on cached/parquet inputs but re-executes the upstream plan on
+    derived frames; pass at least one explicit count to skip them (the
+    other side is then completed count-free as ceil(parallelism/fixed),
+    which is the shuffle optimum once one side is pinned)."""
     import math
 
     from picovdb_spark.operators.topk import topk_per_query
@@ -503,21 +510,27 @@ def knn_join_blocked(
         # equal sides get the symmetric √P×√P grid, a 10k×1M join gets
         # lb=1 — the 1M side shuffles ONCE instead of √P times
         # (measured 5× less shuffle at that shape; the symmetric grid
-        # cost the whole row ~2× in wall clock). The sizing counts run
-        # ONLY when the ratio is actually consumed (left_blocks
-        # unspecified) — they are cheap on cached/parquet inputs but
-        # re-execute the upstream plan on derived frames, so pass
-        # explicit block counts to skip them entirely.
+        # cost the whole row ~2× in wall clock).
         par = max(1, spark.sparkContext.defaultParallelism)
-        if left_blocks is None:
+        if left_blocks is None and right_blocks is None:
+            # the √ formula needs the size ratio — the ONLY branch that
+            # runs the two sizing count() jobs (see docstring)
             n_l = max(1, left.select(F.lit(1)).count())
             n_r = max(1, right.select(F.lit(1)).count())
             left_blocks = max(1, min(par, round(math.sqrt(par * n_l / n_r))))
-        if right_blocks is None:
-            # complement whatever the left resolved to (explicit or
-            # optimal) so the cell count still lands near P — a
-            # count-free rule, so an explicit left_blocks costs no jobs
             right_blocks = max(1, math.ceil(par / left_blocks))
+        else:
+            # one side explicit: with that count FIXED its shuffle term
+            # is fixed too, so minimizing the other term means the
+            # smallest free count that still lands lb·rb near P —
+            # ceil(P/fixed). Count-free (no jobs), and unlike the √
+            # formula it respects the caller's pin: when rb is explicit
+            # the old path solved lb as if rb were P/lb, which could
+            # put lb far from the optimum for the grid actually run.
+            if left_blocks is None:
+                left_blocks = max(1, math.ceil(par / right_blocks))
+            else:
+                right_blocks = max(1, math.ceil(par / left_blocks))
 
     # Both grouping keys must be the SAME type (bigint) on both sides:
     # the hashed block id is bigint while a bare lit() explode yields

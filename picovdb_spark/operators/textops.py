@@ -356,13 +356,29 @@ def pii_redact(
     `PII_PATTERNS` (Spark/DuckDB-dialect-portable); the production
     analog swaps an NER model into the same projection via
     `mapInPandas` without changing the plan shape around it.
+
+    Fixed-point contract: under the DEFAULT patterns × tags the
+    operator is idempotent — ``pii_redact(pii_redact(x)) ==
+    pii_redact(x)`` with ``n_redacted == 0`` on the second pass
+    (test-pinned) — because no rendered tag matches any pattern. A
+    custom `tag_format`/`patterns` combination where a rendered tag
+    DOES match a later (or a re-run's earlier) pattern breaks that:
+    the tag itself gets re-redacted. Callers supplying custom tags own
+    checking their tags against their patterns; ``$`` and ``\\`` in
+    tags are safe (escaped to literals before the rewrite).
     """
     pats = PII_PATTERNS if patterns is None else patterns
     text = F.coalesce(F.col(text_col), F.lit(""))
     total = F.lit(0)
     for name, pat in pats.items():
+        # regexp_replace's replacement is Java Matcher.replaceAll
+        # syntax: '$' is a group reference and '\' an escape — a
+        # caller tag like '<$name>' or one containing '$1' would
+        # silently corrupt the output (or throw on a dangling '$'),
+        # so the rendered tag is escaped to a literal here
+        tag = tag_format.format(name=name).replace("\\", "\\\\").replace("$", "\\$")
         total = total + F.size(F.regexp_extract_all(text, F.lit(pat), 0))
-        text = F.regexp_replace(text, pat, tag_format.format(name=name))
+        text = F.regexp_replace(text, pat, tag)
     return docs.select(
         F.col(id_col),
         text.alias("text_redacted"),

@@ -161,7 +161,7 @@ def test_ef_search_tunes_recall(spark, tmp_path, monkeypatch):
         vecs[:16] + rng.standard_normal((16, dim)).astype(np.float32) * 0.05
     ).astype(np.float32)
 
-    # wiring: the forwarded nprobe must be ceil(ef/8) per call
+    # wiring: the forwarded nprobe must be ceil(ef/4) per call
     seen = []
     orig = db.store.query
 

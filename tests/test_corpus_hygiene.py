@@ -333,3 +333,43 @@ def test_pii_redact_spans_and_counts(spark):
     ).collect()[0]
     assert one["text_redacted"] == "ssn <ssn> from 10.0.0.1"
     assert one["n_redacted"] == 1
+
+
+def test_pii_redact_idempotent_under_default_patterns(spark):
+    """Fixed-point contract (docstring): redacting already-redacted
+    text is a no-op under the default patterns × tags — no rendered
+    tag matches any pattern, so the second pass rewrites nothing and
+    counts zero. Pins the defaults against a future pattern whose
+    language could match a tag like '[email]'."""
+    from picovdb_spark.operators.textops import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a.b@test.org 555-123-4567 123-45-6789 10.0.0.1"),
+            (2, "mixed: x@y.io then [email] literal and 1.2.3.4"),
+            (3, "clean text"),
+        ],
+        "doc_id long, text string",
+    )
+    first = pii_redact(docs)
+    second = pii_redact(first, text_col="text_redacted")
+    f = {r["doc_id"]: r for r in first.collect()}
+    s = {r["doc_id"]: r for r in second.collect()}
+    for did in f:
+        assert s[did]["text_redacted"] == f[did]["text_redacted"]
+        assert s[did]["n_redacted"] == 0
+
+
+def test_pii_redact_tag_with_regex_replacement_metachars(spark):
+    """'$' and '\\' in a custom tag are literals in the output, not
+    Java Matcher group references/escapes — '<$name>' or '$1' in a
+    tag must neither corrupt the text nor throw."""
+    from picovdb_spark.operators.textops import pii_redact
+
+    docs = spark.createDataFrame(
+        [(1, "reach a.b@test.org now")], "doc_id long, text string"
+    )
+    dollar = pii_redact(docs, tag_format="<${name}$1>").collect()[0]
+    assert dollar["text_redacted"] == "reach <$email$1> now"
+    backslash = pii_redact(docs, tag_format="\\{name}\\").collect()[0]
+    assert backslash["text_redacted"] == "reach \\email\\ now"

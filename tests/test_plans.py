@@ -18,6 +18,13 @@ from picovdb_spark.schema import K_DELETED, K_ID, K_VECTOR, load_embeddings_stor
 
 @pytest.fixture(scope="module")
 def store(spark, sf_dir):
+    # Another module may have cache()d the same store plan (e.g.
+    # test_similarity's fixture): Spark's CacheManager then substitutes
+    # the InMemoryRelation for the Parquet scan in OUR plans, hiding
+    # PushedFilters/ReadSchema and failing every pushdown assertion —
+    # an order-dependence, not a product regression. Plan tests must
+    # see the raw scan, so start from an empty cache.
+    spark.catalog.clearCache()
     return load_embeddings_store(spark, sf_dir)
 
 
