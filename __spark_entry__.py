@@ -739,6 +739,15 @@ est AS (
   JOIN sigs sa ON sa.doc_id = c.id_a
   JOIN sigs sb ON sb.doc_id = c.id_b
 ),
+short AS (
+  SELECT doc_id, md5(array_to_string(t, ' ')) AS th
+  FROM tok WHERE len(t) < 3
+),
+short_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+  FROM short a JOIN short b ON a.th = b.th
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+),
 splits AS (
   SELECT doc_id,
          CASE WHEN {split_bucket} < 0.5 THEN 'train'
@@ -756,6 +765,8 @@ leak AS (
         final_select = f"""SELECT 'self' AS variant, id_a, id_b, jaccard FROM ver WHERE jaccard >= {threshold}
 UNION ALL
 SELECT 'against' AS variant, id_a, id_b, jaccard FROM est WHERE jaccard >= {threshold}
+UNION ALL
+SELECT 'against' AS variant, id_a, id_b, jaccard FROM short_pairs
 UNION ALL
 SELECT 'leakage' AS variant, id_a, id_b, jaccard FROM leak WHERE jaccard >= {threshold}"""
     else:

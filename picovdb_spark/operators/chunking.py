@@ -26,6 +26,7 @@ def chunk_documents(
     carry_cols: tuple[str, ...] = (),
     chunk_tokens: int = 64,
     overlap: int = 16,
+    as_tokens: bool = False,
 ) -> DataFrame:
     """Split each document into windows of `chunk_tokens` tokens with
     `overlap` tokens of context carried between consecutive chunks
@@ -39,6 +40,15 @@ def chunk_documents(
     `carry_cols` ride along per chunk (e.g. the dataset split) so
     downstream stages don't need an extra join back to the document
     table.
+
+    `as_tokens=True` replaces the space-joined `chunk_text` rendering
+    with a LOSSLESS `chunk_toks` array<string> column (the exact token
+    slice). Use it whenever the tokens themselves are the payload — a
+    BPE pipeline whose vocab contains space-bearing or empty-string
+    tokens cannot round-trip through `chunk_text` (splitting it back on
+    ' ' merges/loses tokens), while `chunk_toks` is the slice itself.
+    The default rendering is kept for display/embedding-text consumers
+    where a flat string is the contract.
 
     Pure Catalyst: tokens → sequence of window starts → transform+slice →
     posexplode. Stays inside whole-stage codegen; no Python, no shuffle.
@@ -56,20 +66,24 @@ def chunk_documents(
     # n_tokens comes from the SLICE SIZE, not from re-splitting
     # chunk_text on ' ' — a re-split undercounts/overcounts whenever a
     # caller's `tokens_col` tokens contain spaces or empty strings (the
-    # public API doesn't forbid either). chunk_text itself is still the
+    # public API doesn't forbid either). The default chunk_text is the
     # space-joined rendering; it round-trips back to the token slice
     # only when tokens are space-free and non-empty (true for this
     # package's `tokens()` and BPE vocab) — callers with space-bearing
-    # tokens should keep their token arrays and treat chunk_text as a
-    # display form.
+    # tokens pass `as_tokens=True` for the lossless slice column.
     chunks = F.transform(starts, lambda w: F.slice(t, w * stride + 1, chunk_tokens))
     out = docs.select(
         F.col(id_col),
         *[F.col(c) for c in carry_cols],
         F.posexplode(chunks).alias("chunk_idx", "__chunk_toks"),
     )
+    payload = (
+        F.col("__chunk_toks").alias("chunk_toks")
+        if as_tokens
+        else F.concat_ws(" ", "__chunk_toks").alias("chunk_text")
+    )
     return out.select(
         "*",
-        F.concat_ws(" ", "__chunk_toks").alias("chunk_text"),
+        payload,
         F.size("__chunk_toks").cast("int").alias("n_tokens"),
     ).drop("__chunk_toks")

@@ -995,6 +995,7 @@ def minhash_index(
     shingle_n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    include_short: bool = True,
 ) -> DataFrame:
     """Self-contained, text-free MinHash index over a corpus — the
     persistable half of INCREMENTAL dedup: build it once over the
@@ -1002,12 +1003,18 @@ def minhash_index(
     batch against it with `minhash_dedup_against` without ever touching
     (or storing) the historical text again.
 
-    One row per document WITH at least `shingle_n` tokens: sub-shingle
-    docs have no shingle set, so they are excluded from the index (and
-    from `minhash_dedup_against` screens — see its docstring; dedup
-    them by content hash via `exact_dedup` instead). Schema: (id_col,
-    sig: array<long>[num_hashes], bands: array<string>[bands]). The
-    row is ~200 bytes regardless of
+    Schema: (id_col, sig: array<long>[num_hashes],
+    bands: array<string>[bands], text_hash: string). Documents WITH at
+    least `shingle_n` tokens carry (sig, bands) and a NULL text_hash;
+    SUB-SHINGLE documents have no shingle set (min-over-empty is
+    undefined), so instead of silently vanishing from the index they
+    carry a NULL (sig, bands) and the md5 of their normalized token
+    join — the tiny exact-hash side table `minhash_dedup_against` uses
+    to catch a short document re-ingested verbatim (same tokens after
+    lowercase/whitespace normalization — the shingle pipeline's own
+    normalization, so 'Hi  World' matches 'hi world'). Set
+    `include_short=False` to reproduce the old signature-only index.
+    Either way a row is ~200 bytes regardless of
     document size — a 100 TB corpus indexes to ~20 GB. Signatures use
     the same seeded permutations as `minhash_lsh_pairs`, so an index
     built today matches batches screened tomorrow (the coefficients are
@@ -1016,9 +1023,23 @@ def minhash_index(
     Growing the index after a screen is a union: append
     `minhash_index(new_unique_docs)` rows and rewrite (or partition the
     index by ingest date and just add a partition)."""
-    return _sig_bands_from_shingles(
+    from picovdb_spark.functions.text import tokens
+
+    main = _sig_bands_from_shingles(
         _shingled(docs, id_col, text_col, shingle_n), id_col, num_hashes, bands
+    ).withColumn("text_hash", F.lit(None).cast("string"))
+    if not include_short:
+        return main
+    # null text normalizes like '' (0 tokens — sub-shingle) so the two
+    # engines' twins agree; F.size(null)=-1 would otherwise diverge
+    t = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    short = docs.filter(F.size(t) < shingle_n).select(
+        F.col(id_col),
+        F.lit(None).cast("array<long>").alias("sig"),
+        F.lit(None).cast("array<string>").alias("bands"),
+        F.md5(F.concat_ws(" ", t)).alias("text_hash"),
     )
+    return main.unionByName(short)
 
 
 def minhash_dedup_against(
@@ -1048,14 +1069,21 @@ def minhash_dedup_against(
     bytes per historical doc vs re-reading 100 TB of history per batch.
     Raise `num_hashes` (at index build time) to tighten the estimate.
 
-    Coverage boundary: documents with fewer than `shingle_n` tokens
-    have no shingles, hence no signature — they appear in neither the
-    index nor the batch side, so a short document is NEVER flagged here
-    even against an exact copy of itself. This is structural to
-    MinHash, not an estimator artifact (before the empty-signature
-    filter such pairs scored est_jaccard=0 and passed silently anyway).
-    Screen sub-shingle docs separately with `exact_dedup` on the
-    content hash — at `shingle_n=3` that is a tiny, cheap residue.
+    Coverage boundary, CLOSED for exact copies: documents with fewer
+    than `shingle_n` tokens have no shingles, hence no signature — that
+    is structural to MinHash (min-over-empty is undefined; before the
+    empty-signature filter such pairs scored est_jaccard=0 and passed
+    silently anyway). The index therefore carries a normalized-token
+    content hash for its sub-shingle rows (`minhash_index`'s
+    `text_hash` column), and this screen hash-joins the batch's
+    sub-shingle docs against it — a short document re-ingested with the
+    same normalized tokens IS flagged, as (id_new, id_indexed,
+    est_jaccard=1.0). What remains out of scope is NEAR-duplication
+    between sub-shingle docs (no shingle set, no Jaccard to estimate —
+    at `shingle_n=3` a 2-token doc's only meaningful duplicate is an
+    exact one). Indexes written before the `text_hash` column existed
+    (or built with `include_short=False`) skip the short route and keep
+    the old behavior.
 
     `shingle_n`/`num_hashes`/`bands` MUST match the index build — the
     signature permutations are seeded by position, so a mismatched
@@ -1071,12 +1099,15 @@ def minhash_dedup_against(
     the join — same boilerplate guard, same semantics, as
     `minhash_lsh_pairs`.
 
-    The index is consumed TWICE (band explode, then signature verify) —
-    three times with `max_bucket_size` set (the bucket census is its own
-    pass) — so pass it MATERIALIZED (a parquet read, the normal case, or
+    The index is consumed THREE times (band explode, signature verify,
+    short-route filter) — four with `max_bucket_size` set (the bucket
+    census is its own pass) — so pass it MATERIALIZED (a parquet read, the normal case, or
     `.localCheckpoint(eager=True)`); screening against a lazily
     recomputed index pays the signature pipeline once per consumer
     (measured 4.6x slower at 900k docs: 90.6 s vs 19.6 s)."""
+    # posexplode of a NULL bands array yields no rows, so the index's
+    # sub-shingle (text_hash-only) rows drop out of the band join for
+    # free — they participate only in the short-route hash join below
     idx_bands = index.select(
         F.col(id_col).alias("id_indexed"),
         F.posexplode("bands").alias("band_idx", "band"),
@@ -1127,6 +1158,21 @@ def minhash_dedup_against(
         .filter(F.col("est_jaccard") >= est_threshold)
         .select("id_new", "id_indexed", "est_jaccard")
     )
+    if "text_hash" in index.columns and est_threshold <= 1.0:
+        # short route: the batch's sub-shingle docs hash-join the
+        # index's sub-shingle side table (both tiny at shingle_n=3 —
+        # broadcastable in practice, but correct either way); an exact
+        # normalized-token copy reports est_jaccard=1.0
+        idx_short = index.filter(F.col("text_hash").isNotNull()).select(
+            F.col(id_col).alias("id_indexed"), "text_hash"
+        )
+        new_short = new_index.filter(F.col("text_hash").isNotNull()).select(
+            F.col(id_col).alias("id_new"), "text_hash"
+        )
+        short_hits = new_short.join(idx_short, "text_hash").select(
+            "id_new", "id_indexed", F.lit(1.0).alias("est_jaccard")
+        )
+        out = out.unionByName(short_hits)
     out = out.localCheckpoint(eager=True)
     new_index.unpersist()
     return out

@@ -25,10 +25,12 @@ def docs(spark, sf_dir):
 
 def test_index_is_text_free_and_one_row_per_doc(spark, docs):
     idx = minhash_index(docs)
-    assert set(idx.columns) == {"doc_id", "sig", "bands"}
+    assert set(idx.columns) == {"doc_id", "sig", "bands", "text_hash"}
     assert idx.count() == docs.count()
     row = idx.filter(F.size("sig") > 0).first()
     assert len(row["sig"]) == 16 and len(row["bands"]) == 4
+    # the corpus has no sub-shingle docs, so no short-route rows
+    assert idx.filter(F.col("text_hash").isNotNull()).count() == 0
 
 
 def test_self_screen_candidates_match_self_join(spark, docs):
@@ -106,14 +108,14 @@ def test_bucket_cap_drops_boilerplate(spark):
 
 
 def test_sub_shingle_docs_excluded_and_bands_must_divide(spark):
-    """Round-6 advice items: (a) docs shorter than shingle_n have empty
-    shingle sets — they must be DROPPED before banding (all-null
-    signatures used to collapse every short doc into one md5('') band
-    bucket: an O(h^2) candidate blow-up that could never pass verify),
-    and must stay out of the index/screen rather than silently scoring
-    est_jaccard=0 (the documented recall boundary — route them through
-    exact_dedup); (b) bands not dividing num_hashes raises instead of
-    silently banding only a prefix of the signature."""
+    """(a) docs shorter than shingle_n have empty shingle sets — they
+    must be DROPPED before banding (all-null signatures used to collapse
+    every short doc into one md5('') band bucket: an O(h^2) candidate
+    blow-up that could never pass verify); in the index they become
+    text_hash side-table rows (never band rows), so the SIGNATURE path
+    keeps its shape while the short route catches exact copies; (b)
+    bands not dividing num_hashes raises instead of silently banding
+    only a prefix of the signature."""
     import pytest as _pytest
 
     from picovdb_spark.operators.dedup import (
@@ -130,21 +132,64 @@ def test_sub_shingle_docs_excluded_and_bands_must_divide(spark):
     ]
     docs = spark.createDataFrame(short + real, "doc_id long, text string")
 
-    # no empty-shingle rows in the index …
+    # no empty-shingle rows among the index's SIGNATURE rows; the 50
+    # short docs persist as text_hash side-table rows instead
     idx = minhash_index(docs)
-    assert idx.count() == 2
+    assert idx.filter(F.col("sig").isNotNull()).count() == 2
+    assert idx.filter(F.col("text_hash").isNotNull()).count() == 50
     # … so no boilerplate bucket: every band bucket holds <= 2 docs
     assert lsh_bucket_stats(docs)["max_bucket"] == 2
     # self-join still finds the real pair, nothing among the short docs
     pairs = minhash_lsh_pairs(docs).collect()
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(100, 101)]
-    # incremental screen: short batch docs are absent, not est=0 rows
+    # signature-only index (include_short=False): the old behavior —
+    # short batch docs are absent, not est=0 rows
+    idx_sig_only = minhash_index(docs, include_short=False)
+    assert idx_sig_only.count() == 2
     batch = spark.createDataFrame(
         [(200, "tiny doc"), (201, "the quick brown fox jumps over the lazy dog today")],
         "doc_id long, text string",
     )
-    hits = minhash_dedup_against(batch, idx).collect()
+    hits = minhash_dedup_against(batch, idx_sig_only).collect()
     assert {(r["id_new"], r["id_indexed"]) for r in hits} == {(201, 100), (201, 101)}
 
     with _pytest.raises(ValueError, match="must divide"):
         minhash_lsh_pairs(docs, num_hashes=16, bands=5)
+
+
+def test_short_doc_reingested_is_caught_by_the_screen(spark):
+    """Structural close of the sub-shingle recall hole: a 2-token doc
+    re-ingested is flagged by `minhash_dedup_against` itself (no
+    caller-side exact_dedup pass), via the index's normalized-token
+    hash side table — including case/whitespace variants, which is the
+    shingle pipeline's own normalization. Near-variants of short docs
+    and long docs stay out of the short route."""
+    hist = spark.createDataFrame(
+        [
+            (1, "tiny doc"),
+            (2, "other short"),
+            (3, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = minhash_index(hist).localCheckpoint(eager=True)
+    batch = spark.createDataFrame(
+        [
+            (100, "tiny doc"),            # exact short copy -> hit on 1
+            (101, "Tiny  DOC"),           # normalization variant -> hit on 1
+            (102, "tiny document"),       # short NEAR-dup -> out of scope
+            (103, "wholly new words"),    # novel 3-token doc -> signature path, no hit
+            (104, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = minhash_dedup_against(batch, idx, est_threshold=0.5).collect()
+    got = {(r["id_new"], r["id_indexed"]): r["est_jaccard"] for r in hits}
+    assert got[(100, 1)] == 1.0 and got[(101, 1)] == 1.0
+    assert got[(104, 3)] == 1.0
+    assert not any(new in (102, 103) for new, _ in got)
+    # an index from BEFORE the text_hash column (simulated by dropping
+    # it) degrades to the documented old behavior instead of erroring
+    legacy = idx.drop("text_hash")
+    legacy_hits = minhash_dedup_against(batch, legacy, est_threshold=0.5).collect()
+    assert {(r["id_new"], r["id_indexed"]) for r in legacy_hits} == {(104, 3)}

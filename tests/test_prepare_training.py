@@ -187,6 +187,36 @@ def test_chunk_tokens_col_and_carry(spark):
     ]
 
 
+def test_chunk_as_tokens_round_trips_space_bearing_vocab(spark):
+    """as_tokens=True is the lossless mode: a vocab with space-bearing
+    and empty-string tokens (legal BPE merges) comes back as the exact
+    token slices — the space-joined chunk_text rendering could never
+    recover them (splitting 'a b' on ' ' splits one token into two)."""
+    from picovdb_spark.operators.chunking import chunk_documents
+
+    toks = ["a b", "", "c", " d", "e"]
+    df = spark.createDataFrame(
+        [("doc", toks)], schema="doc_id string, bpe_tokens array<string>"
+    )
+    out = chunk_documents(
+        df, tokens_col="bpe_tokens", chunk_tokens=3, overlap=1, as_tokens=True
+    ).collect()
+    got = sorted((r["chunk_idx"], tuple(r["chunk_toks"]), r["n_tokens"]) for r in out)
+    # stride 2: windows [0:3], [2:5]
+    assert got == [
+        (0, ("a b", "", "c"), 3),
+        (1, ("c", " d", "e"), 3),
+    ]
+    assert all("chunk_text" not in r.asDict() for r in out)
+    # reassembling the strided slices reproduces the source exactly
+    stride = 2
+    rebuilt = []
+    for idx, chunk, _ in got:
+        start = idx * stride
+        rebuilt[start : start + len(chunk)] = chunk
+    assert rebuilt == toks
+
+
 def test_curate_return_text_matches_span_rewrite(spark):
     # two docs sharing one paragraph: the loser's text_clean drops it;
     # a full-husk doc comes back with "" and drop_reason span_empty
