@@ -77,6 +77,7 @@ def curate_corpus(
     lm: dict | None = None,
     lm_bits_max: float | None = None,
     return_text: bool = False,
+    split_by_component: bool = False,
 ) -> DataFrame:
     """One row per input document:
 
@@ -115,6 +116,19 @@ def curate_corpus(
     - `split` (train/val/test per `weights`, deterministic md5 bucket)
       is assigned to every row — filter `keep` downstream; dropped
       rows keep their split for audit symmetry.
+    - `split_by_component=True` hashes the near-dup COMPONENT instead
+      of the id for split assignment (`dataset_split(group_col=)`), so
+      a near-dup cluster can never straddle train/eval — the
+      leakage-safe form. Documents outside any cluster fall back to
+      the id hash; split fractions then hold over clusters, not
+      documents (inherent to group splitting).
+
+    The returned frame carries two audit handles as attributes (both
+    zero-cost — they alias plans the curate pass materialized anyway):
+    ``_near_dup_pairs`` (the checkpointed LSH pair list) and
+    ``_split_spine`` (the (id, split) projection), the exact inputs
+    `leakage_from_pairs` wants for a cross-split leakage audit without
+    re-running any sweep.
     """
     if lm is None and lm_bits_max is not None:
         raise ValueError(
@@ -174,9 +188,17 @@ def curate_corpus(
     best = keep_best_per_component(comps, q, id_col=id_col).select(
         id_col, "component_id", F.col("keep").alias("__best_in_comp")
     )
-    # split over the FULL id spine (id-hash only, no text needed) so
-    # span-empty husks keep their split for audit symmetry
-    split = dataset_split(ids, id_col=id_col, weights=weights).select(id_col, "split")
+    # split over the FULL id spine (no text needed) so span-empty husks
+    # keep their split for audit symmetry; component-grouped when asked
+    # (husks and singletons have no component row — NULL group falls
+    # back to the id hash inside dataset_split)
+    if split_by_component:
+        split_src = ids.join(comps.select(id_col, "component_id"), id_col, "left")
+        split = dataset_split(
+            split_src, id_col=id_col, weights=weights, group_col="component_id"
+        ).select(id_col, "split")
+    else:
+        split = dataset_split(ids, id_col=id_col, weights=weights).select(id_col, "split")
 
     out = (
         ids.join(ex, id_col, "left")
@@ -226,7 +248,7 @@ def curate_corpus(
             id_col,
             "left",
         )
-    return out.select(
+    result = out.select(
         id_col,
         "n_tokens",
         "quality",
@@ -245,6 +267,13 @@ def curate_corpus(
             else []
         ),
     )
+    # audit handles (see docstring): the pair list is already
+    # checkpointed by minhash_lsh_pairs; the split spine is a pure
+    # projection over the (materialized) id spine — neither re-runs a
+    # sweep when fed to leakage_from_pairs
+    result._near_dup_pairs = pairs  # type: ignore[attr-defined]
+    result._split_spine = split  # type: ignore[attr-defined]
+    return result
 
 
 def curation_report(curated: DataFrame) -> dict:
@@ -368,7 +397,10 @@ def prepare_training_data(
     # shard dealing over packed bins (optional)
     n_shards: int | None = None,
     seed: str = "prep-v1",
-) -> tuple[DataFrame, DataFrame]:
+    # split strategy + leakage audit
+    split_by_component: bool = False,
+    leakage_report: bool = False,
+) -> tuple[DataFrame, ...]:
     """Raw corpus → trainer-ready packed sequences, in one composed
     plan — the full pre-training data path:
 
@@ -392,6 +424,15 @@ def prepare_training_data(
     - ``curated`` — the per-document audit spine (curate_corpus output
       with `text_clean`): every drop accounted by reason, `keep` the
       exact predicate the sequence side used.
+    - with ``leakage_report=True`` a THIRD frame is returned:
+      `leakage_from_pairs` over the near-dup pair list the curate pass
+      already checkpointed and the split spine it already computed —
+      (id_a, id_b, split_a, split_b, jaccard), every near-dup pair
+      whose members landed in different splits. ZERO extra sweeps: the
+      audit is two small hash joins on existing materializations. Pair
+      `split_by_component=True` (forwarded to `curate_corpus`) to make
+      that report empty by construction — near-dup clusters are then
+      split as a unit.
 
     Token accounting: with `merges`, chunk windows and the pack budget
     are in BPE tokens (`bpe_encode`, pure map); otherwise whitespace
@@ -435,6 +476,7 @@ def prepare_training_data(
         lm=lm,
         lm_bits_max=lm_bits_max,
         return_text=True,
+        split_by_component=split_by_component,
     )
     kept = curated.filter(F.col("keep")).select(
         F.col(id_col),
@@ -518,4 +560,11 @@ def prepare_training_data(
         out._global_rank_source = plan._global_rank_source  # type: ignore[attr-defined]
         packed = out
 
+    if leakage_report:
+        leakage = leakage_from_pairs(
+            curated._near_dup_pairs,  # type: ignore[attr-defined]
+            curated._split_spine,  # type: ignore[attr-defined]
+            id_col=id_col,
+        )
+        return packed, curated, leakage
     return packed, curated

@@ -234,3 +234,61 @@ def test_curate_return_text_matches_span_rewrite(spark):
     assert cur[2]["text_clean"] == ""
     assert cur[2]["drop_reason"] == "span_empty"
     assert cur[3]["text_clean"] == _natural("solo", 40)
+
+
+def _near_dup_family(seed_word: str, k: int = 8):
+    """k docs per family: a base doc + a 3-word-suffix variant, so every
+    family forms one near-dup pair at jaccard 0.5."""
+    out = []
+    for f in range(k):
+        base = _natural(f"{seed_word}{f}", 50)
+        out.append(base)
+        out.append(base + " extra trailing words")
+    return out
+
+
+def test_prepare_leakage_report_and_component_split(spark):
+    """leakage_report=True surfaces every near-dup pair straddling
+    splits under the default id-hash split (planted families make that
+    non-empty deterministically), and split_by_component=True makes the
+    SAME report empty by construction — the cluster is hashed as a
+    unit. The report rides the curate pass's checkpointed pair list
+    (leakage_from_pairs contract): no extra LSH sweep."""
+    texts = _near_dup_family("fam", 8)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], schema="doc_id long, text string"
+    )
+    weights = {"train": 0.5, "val": 0.25, "test": 0.25}
+
+    seqs, curated, leakage = prepare_training_data(
+        docs, weights=weights, chunk_tokens=32, max_tokens=64, leakage_report=True
+    )
+    leaks = leakage.collect()
+    # deterministic md5 split: with 8 two-doc families under 0.5/0.25/0.25
+    # at least one pair straddles (pinned by running the fixed hash)
+    assert len(leaks) > 0, "planted near-dup families must straddle id-hash splits"
+    assert {c for c in ("id_a", "id_b", "split_a", "split_b", "jaccard")} <= set(
+        leakage.columns
+    )
+    for r in leaks:
+        assert r["split_a"] != r["split_b"]
+
+    # the leaked pairs are a subset of the curate pass's own pair list
+    pair_set = {
+        (r["id_a"], r["id_b"]) for r in curated._near_dup_pairs.collect()
+    }
+    assert {(r["id_a"], r["id_b"]) for r in leaks} <= pair_set
+
+    seqs2, curated2, leakage2 = prepare_training_data(
+        docs,
+        weights=weights,
+        chunk_tokens=32,
+        max_tokens=64,
+        leakage_report=True,
+        split_by_component=True,
+    )
+    assert leakage2.count() == 0, "component-grouped split must not leak"
+    # both members of each family share a split in the audit spine
+    sp = {r["doc_id"]: r["split"] for r in curated2.collect()}
+    for a, b in pair_set:
+        assert sp[a] == sp[b]
