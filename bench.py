@@ -835,6 +835,130 @@ def bench_queries(spark):
         out = minhash_dedup_against(batch, idx, est_threshold=0.5)
         EXTRA_STATS["scale1m_dedup_incremental"] = {"batch_hits": out.count()}
 
+    # -- 500k-doc COMPOSED curation: the flagship chain at a scale tier.
+    # Every dedup primitive above has a 1M-tier row; this times the
+    # thing a user actually runs — curate_corpus end-to-end (span
+    # removal → exact dedup → LSH pairs → components → keep-best →
+    # quality/repetition gates → decontamination → split) over a
+    # paragraph-structured corpus with PLANTED work for every stage:
+    # ids ≡1 (mod 40) are exact copies (every paragraph a corpus-wide
+    # dup → span_empty husks under the FineWeb order), ids ≡2 mutate
+    # one word in EVERY paragraph (so the near-dup survives span
+    # removal and the LSH/CC/keep-best path gets real volume), 30% of
+    # bases carry a shared boilerplate paragraph (span removal's bulk
+    # work), and ~0.2% embed a benchmark phrase inside otherwise-unique
+    # paragraphs (so decontamination, not span removal, must catch it).
+    # Kept volumes + per-stage wall are published next to the timing.
+    para500k_state: dict = {}
+
+    def _prepare_para500k():
+        if "docs" in para500k_state:
+            return
+        import gc
+
+        # stage-boundary shed, same rationale as _prepare_docs1m (the
+        # row normally runs stage-isolated in a fresh child, where this
+        # is a no-op; on in-process fallback it still measures clean)
+        for key in ("docs1m", "pairs1m"):
+            frame = scale_state.pop(key, None)
+            if frame is not None:
+                try:
+                    frame.unpersist()
+                except Exception:
+                    pass
+        gc.collect()
+        from pyspark.sql import types as T
+
+        n_docs, vocab_n, parts = 500_000, 2_000, 32
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        eval_sentence = (
+            "the capital of france is paris and water boils at one "
+            "hundred degrees celsius at sea level"
+        )
+        boiler = (
+            "subscribe to our newsletter for updates and follow us on "
+            "social media for more breaking news every single day"
+        )
+
+        def gen(batches):
+            import numpy as np
+            import pandas as pd
+
+            vocab = np.array([f"w{i}" for i in range(vocab_n)])
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                texts = []
+                for i in pdf["id"]:
+                    i = int(i)
+                    # text derives from doc_id alone (copies reproduce
+                    # their base under any partitioning). All structural
+                    # branches key on BASE so a copy replicates its
+                    # base byte-for-byte, boiler/eval paras included.
+                    k = i % 40
+                    base = i - k if k in (1, 2) else i
+                    rng = np.random.default_rng(base)
+                    paras = []
+                    for p in range(3):
+                        words = vocab[
+                            rng.integers(0, vocab_n, 28 + (base + p) % 8)
+                        ]
+                        if k == 2:
+                            words = words.copy()
+                            words[0] = vocab[(base + p + 13) % vocab_n]
+                        paras.append(" ".join(words))
+                    if base % 10 < 3:
+                        paras.append(boiler)
+                    if base % 500 == 7:
+                        w = vocab[rng.integers(0, vocab_n, 4)]
+                        paras.append(
+                            f"{w[0]} {w[1]} {eval_sentence} {w[2]} {w[3]}"
+                        )
+                    texts.append("\n\n".join(paras))
+                yield pd.DataFrame({"doc_id": pdf["id"], "text": texts})
+
+        docs = spark.range(n_docs).repartition(parts).mapInPandas(gen, schema=schema)
+        para500k_state["docs"] = docs.cache()
+        para500k_state["docs"].count()
+        para500k_state["eval"] = spark.createDataFrame(
+            [(1, eval_sentence)], "doc_id long, text string"
+        )
+
+    def q_scale500k_curate():
+        from picovdb_spark.operators.pipeline import curate_corpus, curation_report
+
+        st: dict = {}
+        rep = curate_corpus(
+            para500k_state["docs"],
+            eval_docs=para500k_state["eval"],
+            paragraph_sep="\n\n",
+            # Gopher thresholds calibrated to the synthetic vocabulary —
+            # same calibration (and reasoning) as the pipeline_curate row
+            max_dup_word_frac=0.75,
+            max_top_bigram_frac=0.1,
+            stage_times=st,
+        )
+        t0 = time.perf_counter()
+        report = curation_report(rep)
+        st["gates_agg"] = round(time.perf_counter() - t0, 3)
+        EXTRA_STATS["scale500k_curate_volume"] = report
+        EXTRA_STATS["scale500k_curate_stages"] = st
+
+    def _release_para500k():
+        for key in ("docs",):
+            df = para500k_state.pop(key, None)
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+        para500k_state.clear()
+
     # -- 1M-vector embedding near-dup: the auto router's LSH regime.
     # 1M x 128 slips UNDER the 1 GiB broadcast byte cap (1.02 GB) but
     # its all-pairs scan is 1.3e17 FLOPs — the quadratic-compute budget
@@ -1186,6 +1310,9 @@ def bench_queries(spark):
         "scale1m_dedup_paragraph": q_scale1m_dedup_paragraph,
         "scale1m_dedup_window": q_scale1m_dedup_window,
         "scale1m_dedup_incremental": q_scale1m_dedup_incremental,
+        "_prepare_para500k": _prepare_para500k,
+        "scale500k_curate": q_scale500k_curate,
+        "_release_para500k": _release_para500k,
         "_prepare_emb1m": _prepare_emb1m,
         "scale1m_embedding_near_dup": q_scale1m_embedding_near_dup,
         "scale1m_semantic_dedup": q_scale1m_semantic_dedup,
@@ -1261,6 +1388,7 @@ def main() -> None:
         "_prepare_scale1m": ("scale1m_batch", "scale1m_ivfpq"),
         "_prepare_docs1m": ("scale1m_dedup",),
         "_prepare_pairs1m": ("scale1m_dedup_components",),
+        "_prepare_para500k": ("scale500k_",),
         "_prepare_emb1m": (
             "scale1m_embedding",
             "scale1m_semantic",
@@ -1291,7 +1419,14 @@ def main() -> None:
     # anyway. The artifact marks these rows in `stage_isolated` so the
     # methodology is visible, and falls back to in-process timing (with
     # a `stage_isolated_fallback` marker) if the child fails.
-    stage_isolated_rows = ("scale1m_dedup_minhash", "scale1m_dedup_incremental")
+    stage_isolated_rows = (
+        "scale1m_dedup_minhash",
+        "scale1m_dedup_incremental",
+        # the composed 500k curate chain is the heaviest row in the
+        # suite and a multi-barrier plan — in-suite residency effects
+        # would drown the stage decomposition it publishes
+        "scale500k_curate",
+    )
     # Self-audit: the claimed (lo, hi) envelope for EVERY timed row, in
     # seconds — the machine-checked form of the README perf table
     # (README quotes the headline rows in prose; this dict is the
@@ -1361,10 +1496,22 @@ def main() -> None:
         "scale1m_dedup_incremental": (7.0, 13.0),
         "scale1m_dedup_window": (25.0, 90.0),  # r7 in-suite 83.5, settled 68.6
         "scale1m_semantic_dedup": (22.0, 80.0),  # r7 in-suite 73.8, settled 59.9
-        # GEMM-bound at this VM's measured parallel-FP ceiling (~13 GF
-        # aggregate for k=128 sgemm shapes; see the bench row comment) —
-        # wave spread measured 115↔165 s on back-to-back identical runs
-        "scale1m_knn_join_blocked": (30.0, 200.0),
+        # composed curate chain over 500k paragraph-structured docs,
+        # stage-isolated primary (fresh child, corpus build untimed).
+        # r8 quiet isolated measurements: 60.6 / 77.3 s back-to-back
+        # (pre-fix 146-185 s before decontaminate moved to the Arrow
+        # shingle kernel); hi end = quiet × the documented 1.4-2.8×
+        # CPU-wave factor on heavy dedup rows
+        "scale500k_curate": (45.0, 220.0),
+        # GEMM-bound; the spread is the host's parallel-FP collapse
+        # mechanism (quiet sgemm ~15 GF/thread, but ~13 GF AGGREGATE
+        # when ~21 workers run concurrently at k=128 shapes — see the
+        # bench row comment). Measured full quiet↔wave span on
+        # identical code: 17.4 s in-suite / 24.5 s settled (r7 driver,
+        # quiet) ↔ 54–165 s (r7 local runs inside waves). The envelope
+        # covers BOTH regimes; the row's own evidence is the published
+        # pass/settled pair, not a narrower nominal number.
+        "scale1m_knn_join_blocked": (15.0, 200.0),
         # disk tier (4M × 256, parquet-only): byte-volume claims are the
         # stable ones; time envelopes are wide because device-level I/O
         # waves hit whichever row is reading when they land (README)
@@ -1476,6 +1623,19 @@ def main() -> None:
                 q.startswith(p) for p in prefixes for q in only
             ):
                 continue
+            if not only and prefixes is not None:
+                # a tier whose EVERY dependent row already got its
+                # primary number from a stage-isolated child has no
+                # in-process consumer — building it would waste wall
+                # and hold an unused cache across later tiers
+                dependents = [
+                    q
+                    for q in all_queries
+                    if not q.startswith("_")
+                    and any(q.startswith(p) for p in prefixes)
+                ]
+                if dependents and all(q in stage_isolated_done for q in dependents):
+                    continue
             if name.startswith("_cleanup"):
                 # defer: settled re-runs below need the prepared tiers
                 deferred_cleanups.append(fn)
@@ -1531,6 +1691,37 @@ def main() -> None:
     # exactly what the isolated figures quoted in README come from.
     # Children never recurse (a non-empty subset skips this phase).
     if not only:
+        # Round-over-round deltas: a wide envelope that never triggers
+        # is a blind spot — r7's scale1m_ivfpq_query_100 swung 2.49×
+        # inside its (1.4, 10) range with no isolated evidence forced.
+        # Compare against the PRIOR round's driver artifact (newest
+        # BENCH_r*.json next to this file; tolerant of both the driver
+        # wrapper shape and a raw headline) and isolate any row whose
+        # value exceeds 2× its prior value even while in-range.
+        prior_queries: dict = {}
+        prior_src = None
+        try:
+            import glob as _glob
+
+            cands = sorted(
+                _glob.glob(
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"
+                    )
+                )
+            )
+            if cands:
+                with open(cands[-1]) as f:
+                    pj = json.load(f)
+                parsed = pj.get("parsed") if isinstance(pj, dict) else None
+                src = parsed if isinstance(parsed, dict) else pj
+                if isinstance(src, dict) and isinstance(src.get("queries"), dict):
+                    prior_queries = src["queries"]
+                    prior_src = os.path.basename(cands[-1])
+        except (OSError, ValueError):
+            pass
+        if prior_src:
+            EXTRA_STATS["range_check_prior_round"] = prior_src
         for name, (lo, hi) in readme_ranges.items():
             if name not in timings:
                 continue
@@ -1541,16 +1732,27 @@ def main() -> None:
                 status = "outside"
             else:
                 status = "in_range"
-            # ANY violation — over OR under, mild or wild — earns a
-            # fresh-subprocess re-measure so the artifact never ships a
-            # range violation without isolated evidence attached
-            if status != "in_range" and name not in settled_rerun:
-                settled_rerun.append(name)
-            EXTRA_STATS.setdefault("range_check", {})[name] = {
+            rc = {
                 "value": v,
                 "claimed": [lo, hi],
                 "status": status,
             }
+            pv = prior_queries.get(name)
+            if isinstance(pv, (int, float)) and pv > 0:
+                rc["prior"] = pv
+                rc["delta"] = round(v / pv, 2)
+                rc["delta_status"] = (
+                    "regressed_2x" if v > 2 * pv else "ok"
+                )
+            # ANY violation — over OR under, mild or wild — earns a
+            # fresh-subprocess re-measure so the artifact never ships a
+            # range violation without isolated evidence attached; a
+            # >2× round-over-round regression earns one too, even when
+            # the (deliberately wave-wide) envelope still contains it
+            needs_isolate = status != "in_range" or rc.get("delta_status") == "regressed_2x"
+            if needs_isolate and name not in settled_rerun:
+                settled_rerun.append(name)
+            EXTRA_STATS.setdefault("range_check", {})[name] = rc
     # Stage-isolated rows already ARE fresh-subprocess numbers — a
     # second settled re-run would just duplicate them.
     settled_targets = [

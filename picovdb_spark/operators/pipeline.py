@@ -78,6 +78,7 @@ def curate_corpus(
     lm_bits_max: float | None = None,
     return_text: bool = False,
     split_by_component: bool = False,
+    stage_times: dict | None = None,
 ) -> DataFrame:
     """One row per input document:
 
@@ -123,6 +124,16 @@ def curate_corpus(
       the id hash; split fractions then hold over clusters, not
       documents (inherent to group splitting).
 
+    - `stage_times` (optional dict, diagnostic): the chain's eager
+      barriers — span-removal checkpoint, LSH pair sweep, component
+      label propagation — run jobs DURING this call; pass a dict and
+      each barrier's wall seconds land in it under ``span_removal`` /
+      ``lsh_pairs`` / ``components`` (keys only for stages that ran).
+      Everything after the barriers (quality/repetition/split joins and
+      the final select) is lazy and lands in the caller's first action,
+      not here. Benchmarks publish this so an end-to-end number comes
+      with its stage decomposition.
+
     The returned frame carries two audit handles as attributes (both
     zero-cost — they alias plans the curate pass materialized anyway):
     ``_near_dup_pairs`` (the checkpointed LSH pair list) and
@@ -136,7 +147,14 @@ def curate_corpus(
             "or drop the cap — a silent no-op gate would keep every "
             "gibberish doc the cap was meant to drop"
         )
+    import time as _time
+
+    def _staged(key: str, t0: float) -> None:
+        if stage_times is not None:
+            stage_times[key] = round(_time.perf_counter() - t0, 3)
+
     if paragraph_sep is not None:
+        _t0 = _time.perf_counter()
         spans = paragraph_dedup(
             docs,
             id_col=id_col,
@@ -144,6 +162,7 @@ def curate_corpus(
             sep=paragraph_sep,
             min_chars=paragraph_min_chars,
         ).localCheckpoint(eager=True)
+        _staged("span_removal", _t0)
         span_cols = spans.select(id_col, "n_paras", "n_kept")
         # The output spine keeps EVERY input id (one row per input
         # document), but husks (every span seen earlier, n_kept==0) are
@@ -164,7 +183,13 @@ def curate_corpus(
     ex = exact_dedup(docs, id_col=id_col, text_col=text_col).select(
         id_col, F.col("is_dup").alias("__exact_dup")
     )
-    q = quality_score(docs, id_col=id_col, text_col=text_col)
+    # quality has TWO consumers (the keep-best election and the output
+    # join) — without the lazy checkpoint its full-corpus Arrow kernel
+    # runs once per consumer (measured ~2× the quality pass at the 500k
+    # tier); the checkpointed frame is narrow (id + scalars)
+    q = quality_score(docs, id_col=id_col, text_col=text_col).localCheckpoint(
+        eager=False
+    )
     rep = repetition_stats(
         docs,
         id_col=id_col,
@@ -177,6 +202,7 @@ def curate_corpus(
         "top_bigram_frac",
         F.col("keep").alias("__rep_keep"),
     )
+    _t0 = _time.perf_counter()
     pairs = minhash_lsh_pairs(
         docs,
         id_col=id_col,
@@ -184,7 +210,10 @@ def curate_corpus(
         threshold=jaccard_threshold,
         max_bucket_size=max_bucket_size,
     )
+    _staged("lsh_pairs", _t0)
+    _t0 = _time.perf_counter()
     comps = connected_components(pairs, docs, id_col=id_col)
+    _staged("components", _t0)
     best = keep_best_per_component(comps, q, id_col=id_col).select(
         id_col, "component_id", F.col("keep").alias("__best_in_comp")
     )

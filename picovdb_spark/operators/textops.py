@@ -115,10 +115,17 @@ def doc_fingerprint(
     hashes, sorted, digested to one md5 — a compact content signature
     (equal fingerprints ⇒ near-identical shingle sets). The rolling-hash
     analog of the reference's content-hash auto-id, at document scope."""
-    sh = word_shingles(F.col(text_col), shingle_n)
+    # shingle construction through the Arrow kernel (the interpreted
+    # word_shingles HOF chain is ~10× slower corpus-wide — see
+    # decontaminate); the per-element md5 transform and sort stay
+    # Catalyst over the precomputed array. Equal fingerprints are
+    # order-free (sorted hashes), so the kernel's set order is fine.
+    from picovdb_spark.operators.dedup import _shingled
+
+    sh = F.col("sh")
     hashes = F.array_sort(F.transform(sh, lambda s: md5_hash32(s)))
     bottom = F.slice(hashes, 1, k)
-    return docs.select(
+    return _shingled(docs, id_col, text_col, shingle_n).select(
         F.col(id_col),
         F.md5(F.concat_ws(",", F.transform(bottom, lambda h: h.cast("string")))).alias(
             "fingerprint"
@@ -426,6 +433,16 @@ def decontaminate(
     Output: one row per CONTAMINATED train doc — (id, n_hits = distinct
     overlapping n-grams).
     """
+    # the TRAIN side (the 100 TB side) shingles through the Arrow
+    # kernel, not the Catalyst word_shingles HOF chain: the interpreted
+    # sequence→transform→element_at×n expression allocates per position
+    # and measured 86 s of a 105 s gate stage at 500k docs (~10× the
+    # kernel, the same ratio dedup._shingled was built on). The tiny
+    # eval side keeps the HOF form; both produce identical gram STRINGS
+    # (order inside the per-doc set differs — no consumer observes it),
+    # so the hash join semantics are unchanged.
+    from picovdb_spark.operators.dedup import _shingled
+
     grams = F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("__g")
     e = (
         eval_docs.select(grams)
@@ -434,8 +451,9 @@ def decontaminate(
     )
     if broadcast_eval:
         e = F.broadcast(e)
+    sh = _shingled(train, id_col, text_col, n).withColumnRenamed("sh", "__s")
     if min_frac is None:
-        t = train.select(F.col(id_col), grams).select(
+        t = sh.select(F.col(id_col), F.explode("__s").alias("__g")).select(
             F.col(id_col), md5_hash32(F.col("__g")).alias("__gh")
         )
         hits = (
@@ -449,9 +467,6 @@ def decontaminate(
     # fraction mode: the doc's distinct-gram total rides the SAME gram
     # explode (one extra int per row), so the train text is read and
     # shingled exactly once — no second corpus pass
-    sh = train.select(
-        F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), n)).alias("__s")
-    )
     t = sh.select(
         F.col(id_col),
         F.size("__s").cast("long").alias("__ng"),
@@ -578,10 +593,17 @@ def repeated_ngram_stats(
     (id, n_grams, n_repeated, repeated_frac). Docs shorter than ``n``
     tokens have no grams and no row; callers LEFT-join and coalesce.
     """
-    g = docs.select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), n)).alias("__g"),
-    ).select(F.col(id_col), md5_hash32(F.col("__g")).alias("__gh"))
+    # shingles via the Arrow kernel, not the interpreted word_shingles
+    # HOF chain (same swap, same reasoning, as decontaminate — the HOF
+    # allocates per position and is ~10× slower on a corpus-sized
+    # side); md5_hash32 on the EXPLODED column stays whole-stage codegen
+    from picovdb_spark.operators.dedup import _shingled
+
+    g = (
+        _shingled(docs, id_col, text_col, n)
+        .select(F.col(id_col), F.explode("sh").alias("__g"))
+        .select(F.col(id_col), md5_hash32(F.col("__g")).alias("__gh"))
+    )
     df_counts = g.groupBy("__gh").agg(F.count("*").alias("__df"))
     rep = df_counts.filter(F.col("__df") >= min_df).select("__gh")
     totals = g.groupBy(id_col).agg(F.count("*").cast("long").alias("n_grams"))
@@ -620,9 +642,17 @@ def top_ngrams(
     window — fine because k and the distinct set are small by
     construction; ties break deterministically by gram ascending.
     """
-    g = docs.select(
-        F.explode(word_shingles(F.col(text_col), n)).alias("gram")
-    )
+    # Arrow-kernel shingles (see repeated_ngram_screen); the kernel
+    # needs an id column, so synthesize a row id when pruning to text —
+    # it never leaves the shingle projection
+    from picovdb_spark.operators.dedup import _shingled
+
+    g = _shingled(
+        docs.select(F.monotonically_increasing_id().alias("__rid"), text_col),
+        "__rid",
+        text_col,
+        n,
+    ).select(F.explode("sh").alias("gram"))
     counts = g.groupBy("gram").agg(F.count("*").cast("long").alias("cnt"))
     from pyspark.sql import Window as W
 
