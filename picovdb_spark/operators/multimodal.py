@@ -6,14 +6,17 @@ metadata struct — the Spark-native pattern (same shape as
 convention). All transforms are Arrow-batched `mapInPandas` so bytes
 never round-trip row-at-a-time through Python.
 
-The decode kernels themselves (JPEG→pixels, PCM resample, video frame
-extraction) need codec libraries that are NOT in this container, so each
-is STUBBED: `decode=None` raises NotImplementedError with the library to
+The image/video decode kernels (JPEG→pixels, video frame extraction)
+need codec libraries that are NOT in this container, so each is
+STUBBED: `decode=None` raises NotImplementedError with the library to
 plug in, while `fake_decode` provides the deterministic stand-in used by
-tests and benchmarks (byte-seeded, so results are reproducible). The
-Spark-side plumbing — schema, batching, partitioning, UDF signatures —
-is real and tested; swapping the stub for Pillow/ffmpeg is a one-line
-change at the call site.
+tests and benchmarks (byte-seeded, so results are reproducible). AUDIO
+has a REAL decoder: `wav_decode` handles PCM WAV through the stdlib
+``wave`` module and plugs into the exact same `decode` slot (see
+`synthetic_wav` for a real-bytes fixture). The Spark-side plumbing —
+schema, batching, partitioning, UDF signatures — is identical for the
+fake, the WAV path, and a production Pillow/ffmpeg kernel; swapping is
+a one-line change at the call site.
 
 The reference engine has no media surface (SURVEY.md §2.4); this module
 is part of the §7.4 scale-out extensions."""
@@ -92,6 +95,77 @@ def fake_decode(content: bytes, meta) -> np.ndarray:
         dtype=np.float64,
     )
     return np.repeat(rows[:, None], w, axis=1)
+
+
+def wav_decode(content: bytes, meta) -> np.ndarray:
+    """REAL codec decode for PCM WAV (RIFF) audio — the one modality
+    this environment can decode with the standard library alone (the
+    ``wave`` module; image/video decode still needs Pillow/pyav and
+    stays env-stubbed). Returns (n_frames, n_channels) float64 samples
+    scaled to [-1, 1), so `media_features`' row-mean profile becomes a
+    channel-averaged amplitude envelope resampled to `n_features`.
+
+    Plugs into the same ``decode`` slot as `fake_decode` — the whole
+    point of the callable contract: the Arrow plumbing (batching,
+    schema, partitioning) is identical for the fake, the stdlib WAV
+    path, and a production Pillow/ffmpeg kernel. `meta` is accepted for
+    signature parity; the WAV header itself is authoritative."""
+    import io
+    import wave as _wave
+
+    with _wave.open(io.BytesIO(bytes(content))) as w:
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:  # 8-bit WAV is unsigned
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 4:
+        arr = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width: {sw} bytes")
+    return arr.reshape(-1, ch)
+
+
+def synthetic_wav(
+    spark: SparkSession,
+    n: int = 16,
+    *,
+    seed: int = 0,
+    sample_rate: int = 8000,
+    duration_ms: int = 250,
+) -> DataFrame:
+    """Deterministic corpus of REAL 16-bit mono PCM WAV files (sine
+    tones, frequency seeded per id) in the `MEDIA_SCHEMA` shape — the
+    fixture for exercising `wav_decode` through the same Arrow path the
+    stubs use. Unlike `synthetic_media`, the content column holds valid
+    RIFF bytes a real decoder accepts."""
+    import io
+    import wave as _wave
+
+    rng = np.random.default_rng(seed)
+    n_frames = sample_rate * duration_ms // 1000
+    t = np.arange(n_frames, dtype=np.float64) / sample_rate
+    rows = []
+    for i in range(n):
+        freq = 200.0 + float(rng.integers(0, 1800))
+        pcm = (np.sin(2 * np.pi * freq * t) * 0.5 * 32767.0).astype("<i2")
+        buf = io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sample_rate)
+            w.writeframes(pcm.tobytes())
+        rows.append(
+            (
+                f"audio-{i}",
+                "audio",
+                bytearray(buf.getvalue()),
+                ("audio/wav", None, None, duration_ms, sample_rate),
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
 def media_features(
