@@ -1465,10 +1465,10 @@ def main() -> None:
         "ann_ivf_query_1000": (0.6, 2.4),
         "chunk_pack": (0.55, 2.0),
         "pipeline_screen": (0.25, 1.1),
-        "pipeline_curate": (6.0, 30.0),
-        "pipeline_prepare": (7.0, 30.0),
+        "pipeline_curate": (4.5, 30.0),  # r8: 6.3 after the decontaminate Arrow-kernel fix
+        "pipeline_prepare": (5.5, 30.0),  # r8: 7.2 after the decontaminate Arrow-kernel fix
         # reference-scale tier (100k × 1024)
-        "ref100k_batch_1000": (0.9, 1.5),
+        "ref100k_batch_1000": (0.85, 1.5),  # r8: 0.896 in-suite / 0.975 settled
         "ref100k_batch_1000_resident": (0.9, 1.8),
         "ref100k_exact_local_100": (0.75, 1.6),
         "ref100k_batch_1000_resident_int8": (0.9, 1.9),
@@ -1476,11 +1476,11 @@ def main() -> None:
         "ref100k_ivf_resident_query_100": (0.4, 1.3),
         "ref100k_ivf_resident_local_100": (0.03, 0.2),
         "ref100k_ivf_resident_int8_local_100": (0.03, 0.45),
-        "ref100k_pq_build": (8.0, 48.0),
+        "ref100k_pq_build": (6.0, 48.0),  # r8: 7.3 in-suite / 15.0 settled
         "ref100k_pq_query_1000": (1.8, 5.0),
-        "ref100k_ivfpq_build": (12.0, 60.0),
+        "ref100k_ivfpq_build": (10.0, 60.0),  # r8: 11.8 in-suite / 16.2 settled
         "ref100k_ivfpq_query_1000": (1.8, 7.0),
-        "ref100k_ivf_build": (9.0, 55.0),  # r5 12.6, r6 20.6, r7 43.7/50.1 isolated — wave-sensitive driver k-means
+        "ref100k_ivf_build": (6.0, 55.0),  # r5 12.6, r6 20.6, r7 43.7/50.1 isolated, r8 7.05/7.7 — wave-sensitive driver k-means, floor covers the fast-quiet end
         "ref100k_ivf_query_100": (0.7, 3.5),  # r7 in-suite 3.28 vs 1.55 isolated
         "ref100k_upsert": (0.4, 1.6),
         # 1M scale tier
@@ -1605,6 +1605,7 @@ def main() -> None:
         for name in stage_isolated_rows:
             if name not in all_queries:
                 continue
+            print(f"[bench] stage-isolated child {name}", file=sys.stderr, flush=True)
             val, err = _run_isolated_child(
                 name, passes_key="stage_isolated_pass_times"
             )
@@ -1640,6 +1641,10 @@ def main() -> None:
                 # defer: settled re-runs below need the prepared tiers
                 deferred_cleanups.append(fn)
                 continue
+            # stderr marker so a hung run is attributable from the log
+            # tail (an r8 full-suite run stalled 45 min inside one task
+            # with nothing in the log naming the row)
+            print(f"[bench] setup {name}", file=sys.stderr, flush=True)
             fn()  # setup step — runs, not timed
             continue
         if only and name not in only:
@@ -1649,6 +1654,7 @@ def main() -> None:
             # primary number already measured pre-suite in a fresh child
             continue
         passes = []
+        print(f"[bench] row {name}", file=sys.stderr, flush=True)
         # the bar metric gets 5 passes: it drifted 1.2-1.9 s across
         # isolated runs at median-of-3 and the comparison bar is 2.0 s
         n_passes = 5 if name == "ref100k_batch_1000" else (3 if name in median3 else 1)
@@ -1764,6 +1770,7 @@ def main() -> None:
         spark.stop()
 
         for name in settled_targets:
+            print(f"[bench] settled child {name}", file=sys.stderr, flush=True)
             val, err_tail = _run_isolated_child(name)
             if val is not None:
                 EXTRA_STATS.setdefault("settled_times", {})[name] = val

@@ -32,6 +32,18 @@ _DEFAULT_CONFS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.ui.enabled": "false",
+    # Bound the PythonRunner reader's select(): a full-suite bench run
+    # observed one task pinned 45+ min with the Python worker blocked
+    # writing a ~10 MB Arrow batch to the socket while the JVM reader
+    # sat in an unbounded epoll select() — a lost-wakeup shape in the
+    # duplex loop. With an idle timeout the select wakes, logs, and
+    # re-enters the loop (re-polling the readable socket); NOT paired
+    # with killOnIdleTimeout, so a legitimately slow kernel (a long
+    # GEMM cell produces no output for minutes) only logs a warning,
+    # never dies.
+    "spark.python.worker.idleTimeoutSeconds": os.environ.get(
+        "SPARK_GRAFT_PY_IDLE_TIMEOUT", "300"
+    ),
 }
 
 
