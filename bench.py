@@ -844,8 +844,9 @@ def bench_queries(spark):
     # ids ≡1 (mod 40) are exact copies (every paragraph a corpus-wide
     # dup → span_empty husks under the FineWeb order), ids ≡2 mutate
     # one word in EVERY paragraph (so the near-dup survives span
-    # removal and the LSH/CC/keep-best path gets real volume), 30% of
-    # bases carry a shared boilerplate paragraph (span removal's bulk
+    # removal and the LSH/CC/keep-best path gets real volume), ~29% of
+    # bases — family and standalone alike — carry a shared boilerplate
+    # paragraph (span removal's bulk
     # work), and ~0.2% embed a benchmark phrase inside otherwise-unique
     # paragraphs (so decontamination, not span removal, must catch it).
     # Kept volumes + per-stage wall are published next to the timing.
@@ -912,7 +913,13 @@ def bench_queries(spark):
                             words = words.copy()
                             words[0] = vocab[(base + p + 13) % vocab_n]
                         paras.append(" ".join(words))
-                    if base % 10 < 3:
+                    # mod-7 test: base % 10 would be ALWAYS true for the
+                    # planted families (their bases are multiples of
+                    # 40), silently making boilerplate 100% of family
+                    # docs instead of the claimed ~30%; 7 is coprime
+                    # with the 40-block structure so ~2/7 of EVERY doc
+                    # class carries the boiler paragraph
+                    if base % 7 < 2:
                         paras.append(boiler)
                     if base % 500 == 7:
                         w = vocab[rng.integers(0, vocab_n, 4)]

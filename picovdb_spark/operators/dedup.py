@@ -84,7 +84,15 @@ def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
                 continue
             out = []
             for text in pdf[text_col]:
-                toks = [t for t in str(text).lower().split(" ") if t]
+                # null/NaN text has NO tokens — matching the Catalyst
+                # tokens()/word_shingles twins (split(lower(null)) is
+                # null ⇒ no shingles). str(None) would mint a spurious
+                # 'none' token, visible at shingle_n=1 and to any
+                # token-count boundary check.
+                if text is None or (isinstance(text, float) and text != text):
+                    toks = []
+                else:
+                    toks = [t for t in str(text).lower().split(" ") if t]
                 if len(toks) >= n:
                     out.append(list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}))
                 else:
@@ -94,8 +102,59 @@ def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     return docs.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
 
 
+def _shingled_for_index(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """`_shingled` plus the short-route hash, in ONE Arrow pass:
+    (id, sh, text_hash) where sub-shingle docs (fewer than `n` tokens)
+    get an empty shingle list and the md5 of their normalized token
+    join, and everything else gets its shingles and a NULL hash. One
+    corpus read — the filter-based alternative (build signatures, then
+    re-scan the corpus for short docs) doubles index-build I/O, which
+    is the whole bill at 100 TB. Tokenization (and its null handling)
+    is byte-identical to `_shingled`'s; the hash matches Catalyst
+    ``md5(concat_ws(' ', tokens(coalesce(text, ''))))`` and DuckDB
+    ``md5(array_to_string(t, ' '))``."""
+    import hashlib
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType),
+            T.StructField("sh", T.ArrayType(T.StringType())),
+            T.StructField("text_hash", T.StringType()),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            shingles, short = [], []
+            for text in pdf[text_col]:
+                if text is None or (isinstance(text, float) and text != text):
+                    toks = []
+                else:
+                    toks = [t for t in str(text).lower().split(" ") if t]
+                if len(toks) >= n:
+                    shingles.append(
+                        list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+                    )
+                    short.append(None)
+                else:
+                    shingles.append([])
+                    short.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "sh": shingles, "text_hash": short}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
+
+
 def _sig_bands_from_shingles(
-    sh: DataFrame, id_col: str, num_hashes: int, bands: int
+    sh: DataFrame, id_col: str, num_hashes: int, bands: int, *, short_col: str | None = None
 ) -> DataFrame:
     """(id, sig: array<long>, bands: array<string>) from a shingle
     DataFrame — the ONE signature+banding construction. Every consumer
@@ -112,7 +171,13 @@ def _sig_bands_from_shingles(
     md5-of-nulls bucket — one boilerplate bucket of ALL short docs,
     an O(h²) candidate blow-up at corpus scale. Dropping them is
     semantics-preserving for every consumer; route sub-shingle docs
-    through `exact_dedup` (content hash) instead."""
+    through `exact_dedup` (content hash) instead.
+
+    `short_col` (the `minhash_index(include_short=True)` form): name of
+    a passthrough column from `_shingled_for_index` — empty-shingle
+    rows are then KEPT with NULL (sig, bands) next to their short-route
+    hash instead of being dropped, in the same single projection (no
+    union, no second corpus pass)."""
     if num_hashes % bands != 0:
         # a silent floor here would quietly band only rows*bands of the
         # num_hashes coordinates — lower recall with no signal (the
@@ -122,18 +187,34 @@ def _sig_bands_from_shingles(
             f"got remainder {num_hashes % bands}"
         )
     rows = num_hashes // bands
-    sh = sh.filter(F.size("sh") > 0)
+    extra = [short_col] if short_col is not None else []
+    if short_col is None:
+        sh = sh.filter(F.size("sh") > 0)
     hashed = sh.withColumn("hs", F.transform(F.col("sh"), md5_hash32))
-    sigs = hashed.select(F.col(id_col), *minhash_signature(F.col("hs"), num_hashes))
+    sigs = hashed.select(
+        F.col(id_col),
+        *minhash_signature(F.col("hs"), num_hashes),
+        *[F.col(c) for c in extra],
+    )
+    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
+    band_arr = F.array(
+        *[
+            band_value([F.col(f"mh{b * rows + r}") for r in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    if short_col is not None:
+        # empty shingle set ⇒ every mh coordinate is null (array_min
+        # over empty) — null the arrays out rather than emitting
+        # [null,...] / md5-of-empty band buckets
+        has_sig = F.col("mh0").isNotNull()
+        sig_arr = F.when(has_sig, sig_arr)
+        band_arr = F.when(has_sig, band_arr)
     return sigs.select(
         F.col(id_col),
-        F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
-        F.array(
-            *[
-                band_value([F.col(f"mh{b * rows + r}") for r in range(rows)])
-                for b in range(bands)
-            ]
-        ).alias("bands"),
+        sig_arr.alias("sig"),
+        band_arr.alias("bands"),
+        *[F.col(c) for c in extra],
     )
 
 
@@ -1013,33 +1094,37 @@ def minhash_index(
     to catch a short document re-ingested verbatim (same tokens after
     lowercase/whitespace normalization — the shingle pipeline's own
     normalization, so 'Hi  World' matches 'hi world'). Set
-    `include_short=False` to reproduce the old signature-only index.
+    `include_short=False` to reproduce the original signature-only
+    3-column (id, sig, bands) schema exactly.
     Either way a row is ~200 bytes regardless of
-    document size — a 100 TB corpus indexes to ~20 GB. Signatures use
+    document size — a 100 TB corpus indexes to ~20 GB, built in ONE
+    corpus pass (shingles and the short-route hash come out of the same
+    Arrow kernel). Signatures use
     the same seeded permutations as `minhash_lsh_pairs`, so an index
     built today matches batches screened tomorrow (the coefficients are
     a deterministic function of `num_hashes` only).
 
     Growing the index after a screen is a union: append
     `minhash_index(new_unique_docs)` rows and rewrite (or partition the
-    index by ingest date and just add a partition)."""
-    from picovdb_spark.functions.text import tokens
-
-    main = _sig_bands_from_shingles(
-        _shingled(docs, id_col, text_col, shingle_n), id_col, num_hashes, bands
-    ).withColumn("text_hash", F.lit(None).cast("string"))
+    index by ingest date and just add a partition). ACROSS the schema
+    epoch — an index persisted before the `text_hash` column existed —
+    a plain `unionByName` raises on the missing column: grow with
+    ``old.unionByName(new, allowMissingColumns=True)`` (old rows get a
+    NULL text_hash: correct — their sub-shingle docs were never
+    indexed), or read the partitioned layout with
+    ``spark.read.option("mergeSchema", "true")``; a read that samples
+    only an old file's schema would silently drop the short route."""
     if not include_short:
-        return main
-    # null text normalizes like '' (0 tokens — sub-shingle) so the two
-    # engines' twins agree; F.size(null)=-1 would otherwise diverge
-    t = tokens(F.coalesce(F.col(text_col), F.lit("")))
-    short = docs.filter(F.size(t) < shingle_n).select(
-        F.col(id_col),
-        F.lit(None).cast("array<long>").alias("sig"),
-        F.lit(None).cast("array<string>").alias("bands"),
-        F.md5(F.concat_ws(" ", t)).alias("text_hash"),
+        return _sig_bands_from_shingles(
+            _shingled(docs, id_col, text_col, shingle_n), id_col, num_hashes, bands
+        )
+    return _sig_bands_from_shingles(
+        _shingled_for_index(docs, id_col, text_col, shingle_n),
+        id_col,
+        num_hashes,
+        bands,
+        short_col="text_hash",
     )
-    return main.unionByName(short)
 
 
 def minhash_dedup_against(
@@ -1097,7 +1182,9 @@ def minhash_dedup_against(
     for surviving candidates. `max_bucket_size` drops band buckets
     whose COMBINED (index + batch) population exceeds the cap before
     the join — same boilerplate guard, same semantics, as
-    `minhash_lsh_pairs`.
+    `minhash_lsh_pairs` — and applies the same combined-population rule
+    to the short route's text_hash groups (a ubiquitous short string
+    would otherwise explode h_index × h_batch exact pairs).
 
     The index is consumed THREE times (band explode, signature verify,
     short-route filter) — four with `max_bucket_size` set (the bucket
@@ -1169,6 +1256,23 @@ def minhash_dedup_against(
         new_short = new_index.filter(F.col("text_hash").isNotNull()).select(
             F.col(id_col).alias("id_new"), "text_hash"
         )
+        if max_bucket_size is not None:
+            # same boilerplate guard as the band path: a short string
+            # shared by h_index + h_batch docs ('ok', 'thanks', the
+            # empty post-strip text) would otherwise emit every one of
+            # the h_i·h_b pairs into the eager checkpoint below —
+            # exactly the blow-up the cap exists to stop
+            both_h = idx_short.select("text_hash").unionByName(
+                new_short.select("text_hash")
+            )
+            small_h = (
+                both_h.groupBy("text_hash")
+                .agg(F.count("*").alias("__n"))
+                .filter(F.col("__n") <= max_bucket_size)
+                .select("text_hash")
+            )
+            idx_short = idx_short.join(small_h, "text_hash", "left_semi")
+            new_short = new_short.join(small_h, "text_hash", "left_semi")
         short_hits = new_short.join(idx_short, "text_hash").select(
             "id_new", "id_indexed", F.lit(1.0).alias("est_jaccard")
         )

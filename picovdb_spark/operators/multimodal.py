@@ -215,6 +215,19 @@ def media_features(
                 b = bytes(content)
                 arr = decode(b, meta)
                 prof = arr.mean(axis=1)
+                if len(prof) == 0:
+                    # a VALID zero-length payload (e.g. a WAV with an
+                    # empty data chunk through wav_decode) — a defined
+                    # all-zero feature instead of an IndexError from
+                    # resampling an empty profile killing the task
+                    feats.append([0.0] * n_features)
+                    hashes.append(
+                        hashlib.md5(b.hex().upper().encode()).hexdigest()
+                        if hex_hash
+                        else hashlib.md5(b).hexdigest()
+                    )
+                    sizes.append(len(b))
+                    continue
                 # resample the profile to fixed length (cheap "pooling")
                 idx = np.linspace(0, len(prof) - 1, n_features).round().astype(int)
                 feats.append([float(x) for x in prof[idx]])

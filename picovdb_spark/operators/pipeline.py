@@ -120,8 +120,10 @@ def curate_corpus(
     - `split_by_component=True` hashes the near-dup COMPONENT instead
       of the id for split assignment (`dataset_split(group_col=)`), so
       a near-dup cluster can never straddle train/eval — the
-      leakage-safe form. Documents outside any cluster fall back to
-      the id hash; split fractions then hold over clusters, not
+      leakage-safe form. Singleton documents carry component_id = own
+      id, which hashes to the same assignment the plain id split gives
+      (span-empty husks have no component row and hit the NULL-group
+      id-hash fallback); split fractions then hold over clusters, not
       documents (inherent to group splitting).
 
     - `stage_times` (optional dict, diagnostic): the chain's eager
@@ -218,9 +220,12 @@ def curate_corpus(
         id_col, "component_id", F.col("keep").alias("__best_in_comp")
     )
     # split over the FULL id spine (no text needed) so span-empty husks
-    # keep their split for audit symmetry; component-grouped when asked
-    # (husks and singletons have no component row — NULL group falls
-    # back to the id hash inside dataset_split)
+    # keep their split for audit symmetry; component-grouped when asked.
+    # connected_components returns a row for EVERY node (singletons get
+    # component_id = own id), so singleton docs hash the same string the
+    # id-hash split would — identical assignment by construction, NOT
+    # by fallback. Only husks (absent from the post-span `docs`, hence
+    # from `comps`) hit dataset_split's NULL-group id-hash fallback.
     if split_by_component:
         split_src = ids.join(comps.select(id_col, "component_id"), id_col, "left")
         split = dataset_split(

@@ -193,3 +193,52 @@ def test_short_doc_reingested_is_caught_by_the_screen(spark):
     legacy = idx.drop("text_hash")
     legacy_hits = minhash_dedup_against(batch, legacy, est_threshold=0.5).collect()
     assert {(r["id_new"], r["id_indexed"]) for r in legacy_hits} == {(104, 3)}
+
+
+def test_short_route_respects_bucket_cap(spark):
+    """max_bucket_size applies the same combined-population rule to the
+    short route's text_hash groups: 60 identical 2-token docs in the
+    index + 1 in the batch would emit 60 exact pairs uncapped — the cap
+    suppresses the group entirely, while a rare short dup still hits."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    corpus = spark.createDataFrame(
+        [(i, "ok thanks") for i in range(60)] + [(100, "rare short")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1000, "ok thanks"), (1001, "rare short")], "doc_id long, text string"
+    )
+    idx = minhash_index(corpus).localCheckpoint(eager=True)
+    uncapped = minhash_dedup_against(batch, idx, est_threshold=0.5).collect()
+    assert sum(1 for r in uncapped if r["id_new"] == 1000) == 60
+    capped = minhash_dedup_against(
+        batch, idx, est_threshold=0.5, max_bucket_size=10
+    ).collect()
+    assert {(r["id_new"], r["id_indexed"]) for r in capped} == {(1001, 100)}
+
+
+def test_index_growth_across_schema_epochs(spark):
+    """The docstring's growth recipe works across the text_hash schema
+    epoch: a pre-epoch (3-column) index unions with a new build via
+    allowMissingColumns, and the merged index screens with the short
+    route active for the NEW rows only."""
+    old_epoch = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    new_epoch = spark.createDataFrame(
+        [(2, "tiny doc")], "doc_id long, text string"
+    )
+    old_idx = minhash_index(old_epoch, include_short=False)
+    assert set(old_idx.columns) == {"doc_id", "sig", "bands"}
+    grown = old_idx.unionByName(minhash_index(new_epoch), allowMissingColumns=True)
+    batch = spark.createDataFrame(
+        [(10, "tiny doc"), (11, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    hits = minhash_dedup_against(batch, grown.localCheckpoint(eager=True))
+    assert {(r["id_new"], r["id_indexed"]) for r in hits.collect()} == {
+        (10, 2),
+        (11, 1),
+    }

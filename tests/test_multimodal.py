@@ -129,3 +129,28 @@ def test_wav_decode_sample_widths():
     assert a32[:, 0] == pytest.approx([-1.0, 0.0, (2**31 - 1) / 2**31])
     with pytest.raises(ValueError, match="sample width"):
         wav_decode(make(3, b"\x00" * 6), None)
+
+
+def test_wav_decode_zero_frame_wav_yields_defined_feature(spark):
+    """A valid RIFF WAV with an empty data chunk decodes to (0, ch);
+    media_features must emit a defined all-zero feature, not die in the
+    resample (np.linspace over an empty profile indexes at -1)."""
+    import io
+    import wave as _wave
+
+    from picovdb_spark.operators.multimodal import wav_decode
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+    empty = buf.getvalue()
+    assert wav_decode(empty, None).shape == (0, 1)
+    media = spark.createDataFrame(
+        [("a0", "audio", bytearray(empty), ("audio/wav", None, None, 0, 8000))],
+        schema=MEDIA_SCHEMA,
+    )
+    row = media_features(media, decode=wav_decode).collect()[0]
+    assert row["feature"] == [0.0] * 8
+    assert row["n_bytes"] == len(empty)
