@@ -262,3 +262,35 @@ def test_minhash_screen_rejects_direct_stream(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="foreachBatch"):
         stream_minhash_screen(src, idx)
+
+
+def test_minhash_screen_catches_short_doc_reingestion(spark):
+    """The short route (index text_hash side table) flows through the
+    streaming screen's wholesale delegation: a 2-token doc arriving in
+    a micro-batch is marked as a known dup of its indexed copy with
+    est_jaccard 1.0, alongside the signature-path matches."""
+    from picovdb_spark.operators.dedup import minhash_index
+    from picovdb_spark.streaming.dedup import stream_minhash_screen
+
+    hist = spark.createDataFrame(
+        [
+            (1, "tiny doc"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = minhash_index(hist).localCheckpoint(eager=True)
+    batch = spark.createDataFrame(
+        [
+            (10, "Tiny  DOC"),  # normalized short copy
+            (11, "the quick brown fox jumps over the lazy dog today"),
+            (12, "wholly unrelated new words here"),
+        ],
+        "doc_id long, text string",
+    )
+    marked = {r["doc_id"]: r for r in stream_minhash_screen(batch, idx).collect()}
+    assert len(marked) == 3
+    assert marked[10]["is_known_dup"] and marked[10]["matched_id"] == 1
+    assert marked[10]["est_jaccard"] == 1.0
+    assert marked[11]["is_known_dup"] and marked[11]["matched_id"] == 2
+    assert not marked[12]["is_known_dup"]
