@@ -55,6 +55,25 @@ def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def _tok_list(text) -> list:
+    """THE tokenization both shingle kernels share — null/NaN text has
+    NO tokens (matching the Catalyst tokens()/word_shingles twins:
+    split(lower(null)) is null ⇒ no shingles; str(None) would mint a
+    spurious 'none' token, visible at shingle_n=1 and to any
+    token-count boundary check). One definition so `minhash_index`
+    signatures can never drift from `minhash_lsh_pairs` signatures."""
+    if text is None or (isinstance(text, float) and text != text):
+        return []
+    return [t for t in str(text).lower().split(" ") if t]
+
+
+def _shingle_set(toks: list, n: int) -> list:
+    """Distinct word n-grams of a token list; [] below n tokens."""
+    if len(toks) < n:
+        return []
+    return list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+
+
 def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """Distinct word n-gram shingles per doc, as an Arrow-batched kernel.
 
@@ -82,21 +101,7 @@ def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = []
-            for text in pdf[text_col]:
-                # null/NaN text has NO tokens — matching the Catalyst
-                # tokens()/word_shingles twins (split(lower(null)) is
-                # null ⇒ no shingles). str(None) would mint a spurious
-                # 'none' token, visible at shingle_n=1 and to any
-                # token-count boundary check.
-                if text is None or (isinstance(text, float) and text != text):
-                    toks = []
-                else:
-                    toks = [t for t in str(text).lower().split(" ") if t]
-                if len(toks) >= n:
-                    out.append(list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}))
-                else:
-                    out.append([])
+            out = [_shingle_set(_tok_list(text), n) for text in pdf[text_col]]
             yield pd.DataFrame({id_col: pdf[id_col], "sh": out})
 
     return docs.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
@@ -109,8 +114,9 @@ def _shingled_for_index(docs: DataFrame, id_col: str, text_col: str, n: int) -> 
     join, and everything else gets its shingles and a NULL hash. One
     corpus read — the filter-based alternative (build signatures, then
     re-scan the corpus for short docs) doubles index-build I/O, which
-    is the whole bill at 100 TB. Tokenization (and its null handling)
-    is byte-identical to `_shingled`'s; the hash matches Catalyst
+    is the whole bill at 100 TB. Tokenization and shingling are the
+    SHARED `_tok_list`/`_shingle_set` helpers (structurally impossible
+    to drift from `_shingled`); the hash matches Catalyst
     ``md5(concat_ws(' ', tokens(coalesce(text, ''))))`` and DuckDB
     ``md5(array_to_string(t, ' '))``."""
     import hashlib
@@ -134,14 +140,9 @@ def _shingled_for_index(docs: DataFrame, id_col: str, text_col: str, n: int) -> 
                 continue
             shingles, short = [], []
             for text in pdf[text_col]:
-                if text is None or (isinstance(text, float) and text != text):
-                    toks = []
-                else:
-                    toks = [t for t in str(text).lower().split(" ") if t]
+                toks = _tok_list(text)
                 if len(toks) >= n:
-                    shingles.append(
-                        list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
-                    )
+                    shingles.append(_shingle_set(toks, n))
                     short.append(None)
                 else:
                     shingles.append([])
@@ -1187,8 +1188,9 @@ def minhash_dedup_against(
     would otherwise explode h_index × h_batch exact pairs).
 
     The index is consumed THREE times (band explode, signature verify,
-    short-route filter) — four with `max_bucket_size` set (the bucket
-    census is its own pass) — so pass it MATERIALIZED (a parquet read, the normal case, or
+    short-route filter) — five with `max_bucket_size` set (the band
+    census and the short-hash census are each their own pass) — so
+    pass it MATERIALIZED (a parquet read, the normal case, or
     `.localCheckpoint(eager=True)`); screening against a lazily
     recomputed index pays the signature pipeline once per consumer
     (measured 4.6x slower at 900k docs: 90.6 s vs 19.6 s)."""

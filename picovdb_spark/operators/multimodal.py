@@ -175,6 +175,7 @@ def media_features(
     n_features: int = 8,
     batch_size_hint: int = 256,
     hex_hash: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode + feature-extract: (media_id, feature array<double>,
     n_bytes, content_hash). One Arrow batch at a time; feature = row-mean
@@ -186,7 +187,19 @@ def media_features(
     `hex_hash=True` hashes the UPPERCASE hex of the bytes instead of the
     raw bytes — same dedup/identity semantics (hex is injective), but
     expressible in engines whose md5 only accepts VARCHAR (DuckDB), the
-    `media_exact_dedup` convention."""
+    `media_exact_dedup` convention.
+
+    `on_error`: with a REAL decoder (`wav_decode`, a production codec),
+    one malformed payload would otherwise raise inside the Arrow kernel
+    and abort the whole job after task retries — the wrong trade for a
+    crawl-scale corpus where bad bytes are routine. ``"null"`` isolates
+    per record: the row survives with feature=NULL (hash and size still
+    computed from the bytes, so dedup identity is unaffected) and the
+    caller quarantines `feature IS NULL` rows downstream. ``"raise"``
+    (default) keeps strict fail-fast — right for trusted fixtures and
+    the oracle-checked stub path."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be raise|null, got {on_error!r}")
     if decode is None:
         raise NotImplementedError(
             "real media decode requires a codec library (Pillow/soundfile/pyav) "
@@ -213,7 +226,22 @@ def media_features(
             feats, hashes, sizes = [], [], []
             for content, meta in zip(pdf["content"], pdf["meta"]):
                 b = bytes(content)
-                arr = decode(b, meta)
+                # hash/size come from the BYTES, never the decode — one
+                # computation for every branch below, so dedup identity
+                # can't diverge between good, empty, and bad payloads
+                hashes.append(
+                    hashlib.md5(b.hex().upper().encode()).hexdigest()
+                    if hex_hash
+                    else hashlib.md5(b).hexdigest()
+                )
+                sizes.append(len(b))
+                try:
+                    arr = decode(b, meta)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    feats.append(None)  # quarantine mark — see docstring
+                    continue
                 prof = arr.mean(axis=1)
                 if len(prof) == 0:
                     # a VALID zero-length payload (e.g. a WAV with an
@@ -221,22 +249,10 @@ def media_features(
                     # all-zero feature instead of an IndexError from
                     # resampling an empty profile killing the task
                     feats.append([0.0] * n_features)
-                    hashes.append(
-                        hashlib.md5(b.hex().upper().encode()).hexdigest()
-                        if hex_hash
-                        else hashlib.md5(b).hexdigest()
-                    )
-                    sizes.append(len(b))
                     continue
                 # resample the profile to fixed length (cheap "pooling")
                 idx = np.linspace(0, len(prof) - 1, n_features).round().astype(int)
                 feats.append([float(x) for x in prof[idx]])
-                hashes.append(
-                    hashlib.md5(b.hex().upper().encode()).hexdigest()
-                    if hex_hash
-                    else hashlib.md5(b).hexdigest()
-                )
-                sizes.append(len(b))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

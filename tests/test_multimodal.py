@@ -154,3 +154,30 @@ def test_wav_decode_zero_frame_wav_yields_defined_feature(spark):
     row = media_features(media, decode=wav_decode).collect()[0]
     assert row["feature"] == [0.0] * 8
     assert row["n_bytes"] == len(empty)
+
+
+def test_media_features_on_error_null_isolates_bad_payloads(spark):
+    """on_error='null': one malformed payload (truncated/garbage bytes
+    through the real decoder) survives as a feature=NULL row with its
+    content hash intact, instead of killing the job; on_error='raise'
+    (default) keeps strict fail-fast."""
+    from picovdb_spark.operators.multimodal import synthetic_wav, wav_decode
+
+    good = synthetic_wav(spark, n=2, seed=5)
+    bad = spark.createDataFrame(
+        [("bad-0", "audio", bytearray(b"not a riff file"), ("audio/wav", None, None, 0, 8000))],
+        schema=MEDIA_SCHEMA,
+    )
+    media = good.unionByName(bad)
+    rows = {
+        r["media_id"]: r
+        for r in media_features(media, decode=wav_decode, on_error="null").collect()
+    }
+    assert len(rows) == 3
+    assert rows["bad-0"]["feature"] is None
+    assert rows["bad-0"]["n_bytes"] == 15 and rows["bad-0"]["content_hash"]
+    assert all(rows[f"audio-{i}"]["feature"] is not None for i in range(2))
+    with pytest.raises(Exception):
+        media_features(media, decode=wav_decode).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        media_features(media, decode=wav_decode, on_error="skip")
