@@ -501,7 +501,13 @@ from picovdb_spark.operators.textops import (  # noqa: E402
 )
 
 # Shared DuckDB fragments mirroring functions/text.py kernels exactly.
-_D_TOK = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+# coalesce pins the NULL-text convention to the engine's: _tok_list(None)
+# yields [] (picovdb_spark/operators/dedup.py), so a NULL-text doc
+# tokenizes exactly like an empty doc on BOTH sides — without it DuckDB's
+# string_split(lower(NULL)) evaluates NULL and len(NULL)<k excludes the
+# doc from short-route CTEs entirely (engine/oracle divergence, pinned by
+# tests/test_incremental_dedup.py::test_null_text_short_route_oracle_parity)
+_D_TOK = "list_filter(string_split(lower(coalesce(text, '')), ' '), t -> t <> '')"
 _D_SHING = (
     "list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)), "
     "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
@@ -740,7 +746,10 @@ est AS (
   JOIN sigs sb ON sb.doc_id = c.id_b
 ),
 short AS (
-  SELECT doc_id, md5(array_to_string(t, ' ')) AS th
+  -- coalesce: DuckDB's array_to_string([], ' ') is NULL, but the
+  -- engine's short-route hash for a zero-token doc is md5('') — NULL
+  -- here would silently un-join every zero-token (empty/NULL-text) doc
+  SELECT doc_id, md5(coalesce(array_to_string(t, ' '), '')) AS th
   FROM tok WHERE len(t) < 3
 ),
 short_pairs AS (

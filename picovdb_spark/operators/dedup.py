@@ -118,7 +118,10 @@ def _shingled_for_index(docs: DataFrame, id_col: str, text_col: str, n: int) -> 
     SHARED `_tok_list`/`_shingle_set` helpers (structurally impossible
     to drift from `_shingled`); the hash matches Catalyst
     ``md5(concat_ws(' ', tokens(coalesce(text, ''))))`` and DuckDB
-    ``md5(array_to_string(t, ' '))``."""
+    ``md5(coalesce(array_to_string(t, ' '), ''))`` — the coalesces
+    matter: NULL text tokenizes as [] here (`_tok_list`), and DuckDB's
+    array_to_string over an empty list is NULL, so both twins need
+    pinning to the md5('') the zero-token route produces."""
     import hashlib
     from collections.abc import Iterator
 

@@ -6,17 +6,19 @@ metadata struct — the Spark-native pattern (same shape as
 convention). All transforms are Arrow-batched `mapInPandas` so bytes
 never round-trip row-at-a-time through Python.
 
-The image/video decode kernels (JPEG→pixels, video frame extraction)
-need codec libraries that are NOT in this container, so each is
-STUBBED: `decode=None` raises NotImplementedError with the library to
-plug in, while `fake_decode` provides the deterministic stand-in used by
-tests and benchmarks (byte-seeded, so results are reproducible). AUDIO
-has a REAL decoder: `wav_decode` handles PCM WAV through the stdlib
-``wave`` module and plugs into the exact same `decode` slot (see
-`synthetic_wav` for a real-bytes fixture). The Spark-side plumbing —
-schema, batching, partitioning, UDF signatures — is identical for the
-fake, the WAV path, and a production Pillow/ffmpeg kernel; swapping is
-a one-line change at the call site.
+TWO modalities have REAL decoders on the standard library alone:
+`wav_decode` (PCM WAV via ``wave``) and `png_decode` (8-bit PNG via
+``zlib`` inflate + spec unfiltering), each with a real-bytes fixture
+(`synthetic_wav` / `synthetic_png`) and each plugging into the exact
+same `decode` slot as the stubs. JPEG and video frame extraction need
+codec libraries NOT in this container, so those remain STUBBED:
+`decode=None` raises NotImplementedError naming the library to plug
+in, while `fake_decode` provides the deterministic stand-in used by
+tests and the oracle-checked gate entries (byte-seeded, reproducible).
+The Spark-side plumbing — schema, batching, partitioning, UDF
+signatures — is identical for the fakes, the stdlib codecs, and a
+production Pillow/ffmpeg kernel; swapping is a one-line change at the
+call site.
 
 The reference engine has no media surface (SURVEY.md §2.4); this module
 is part of the §7.4 scale-out extensions."""
@@ -168,6 +170,144 @@ def synthetic_wav(
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def png_decode(content: bytes, meta) -> np.ndarray:
+    """REAL codec decode for 8-bit PNG images on the standard library
+    alone (``zlib`` inflate + spec unfiltering — no Pillow needed), the
+    image twin of `wav_decode`: chunk parse with CRC verification, IDAT
+    inflate, per-scanline reversal of all five PNG filter types
+    (None/Sub/Up/Average/Paeth), supporting color types 0 (gray),
+    2 (RGB), 4 (gray+alpha), 6 (RGBA) at bit depth 8, non-interlaced.
+    Returns (H*W, channels) float64 in [0, 1), so `media_features`'
+    row-mean profile becomes a per-pixel channel-mean (luminance-ish)
+    raster scan resampled to `n_features`.
+
+    Plugs into the same ``decode`` slot as `fake_decode` / `wav_decode`
+    — the Arrow plumbing is identical; a production Pillow kernel is a
+    one-line swap. Correctness-first, not throughput-first: the
+    unfilter loop is per-scanline Python (fine for fixtures and CI; a
+    100 TB image corpus wants the Pillow/torchvision path on this same
+    slot). Malformed bytes raise ValueError/zlib.error — exactly the
+    DATA-error classes `media_features(on_error="null")` quarantines.
+    `meta` is accepted for signature parity; the IHDR is authoritative."""
+    import struct
+    import zlib
+
+    b = bytes(content)
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    ihdr = None
+    idat = bytearray()
+    pos = 8
+    while pos + 12 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(b):
+            raise ValueError("truncated PNG chunk")
+        (want_crc,) = struct.unpack(">I", b[pos + 8 + length : pos + 12 + length])
+        if (zlib.crc32(ctype + data) & 0xFFFFFFFF) != want_crc:
+            raise ValueError(f"PNG CRC mismatch in chunk {ctype!r}")
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant: depth={depth} interlace={interlace} "
+            "(8-bit non-interlaced only; use Pillow for the rest)"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color} (no PLTE support)")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel payload length mismatch")
+    bpp = channels  # bytes per pixel at depth 8
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype = row[0]
+        cur = np.frombuffer(row[1:], dtype=np.uint8).astype(np.int64)
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h * w, channels).astype(np.float64) / 256.0
+
+
+def synthetic_png(
+    spark: SparkSession,
+    n: int = 16,
+    *,
+    seed: int = 0,
+    width: int = 32,
+    height: int = 24,
+) -> DataFrame:
+    """Deterministic corpus of REAL 8-bit RGB PNG files (seeded random
+    rasters, filter-0 scanlines, correct CRCs) in the `MEDIA_SCHEMA`
+    shape — the image twin of `synthetic_wav`: content a real decoder
+    accepts, exercised through the same Arrow path as the stubs."""
+    import struct
+    import zlib
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng((seed, i))
+        img = rng.integers(0, 256, size=(height, width * 3), dtype=np.uint8)
+        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(height))
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+        rows.append(
+            (
+                f"image-{i}",
+                "image",
+                bytearray(png),
+                ("image/png", width, height, None, None),
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
 def media_features(
     media: DataFrame,
     *,
@@ -195,15 +335,23 @@ def media_features(
     crawl-scale corpus where bad bytes are routine. ``"null"`` isolates
     per record: the row survives with feature=NULL (hash and size still
     computed from the bytes, so dedup identity is unaffected) and the
-    caller quarantines `feature IS NULL` rows downstream. ``"raise"``
-    (default) keeps strict fail-fast — right for trusted fixtures and
-    the oracle-checked stub path."""
+    caller quarantines `feature IS NULL` rows downstream — count them
+    (``df.filter("feature IS NULL").count()``) and alert on the rate: a
+    systematically broken corpus shows up as a spike, not silence.
+    Decoder PROGRAMMING errors (TypeError/NameError/AttributeError —
+    wrong signature, typo'd attribute) always propagate, even under
+    ``"null"``: a broken decoder would otherwise quarantine 100% of the
+    corpus indistinguishably from bad bytes. ``"raise"`` (default)
+    keeps strict fail-fast — right for trusted fixtures and the
+    oracle-checked stub path."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be raise|null, got {on_error!r}")
     if decode is None:
         raise NotImplementedError(
-            "real media decode requires a codec library (Pillow/soundfile/pyav) "
-            "not present in this environment; pass decode=fake_decode or your own "
+            "decode=None names the plug-in point for a full codec library "
+            "(Pillow/soundfile/pyav), not present in this environment; pass "
+            "the stdlib decoders wav_decode (PCM WAV) / png_decode (8-bit "
+            "PNG), decode=fake_decode, or your own "
             "Callable[[bytes, meta], np.ndarray]"
         )
 
@@ -237,6 +385,13 @@ def media_features(
                 sizes.append(len(b))
                 try:
                     arr = decode(b, meta)
+                except (TypeError, NameError, AttributeError):
+                    # programming errors in the decoder itself (wrong
+                    # signature, typo'd attribute) must SURFACE even
+                    # under on_error="null" — quarantining them would
+                    # silently null every feature in the corpus and look
+                    # identical to routinely-bad bytes
+                    raise
                 except Exception:
                     if on_error == "raise":
                         raise

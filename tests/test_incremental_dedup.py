@@ -242,3 +242,67 @@ def test_index_growth_across_schema_epochs(spark):
         (10, 2),
         (11, 1),
     }
+
+
+def test_null_text_short_route_oracle_parity(spark):
+    """A NULL-text doc must behave identically in the engine's short
+    route and the DuckDB oracle's short CTE (round-8 advice). The
+    engine convention is `_tok_list(None) == []` — NULL tokenizes as
+    empty, so a NULL-text doc short-route-matches empty-text and other
+    NULL-text docs at est_jaccard 1.0; the oracle pins the same
+    convention via `coalesce(text, '')` in its tok CTE
+    (__spark_entry__._D_TOK). Without the coalesce, DuckDB's
+    string_split(lower(NULL)) evaluates NULL and len(NULL) < k drops
+    NULL-text docs from the short CTE entirely."""
+    import duckdb
+    import pandas as pd
+
+    from __spark_entry__ import _D_TOK
+
+    hist_rows = [
+        (1, None),
+        (2, ""),
+        (3, "tiny doc"),
+        (4, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    batch_rows = [
+        (100, None),
+        (101, ""),
+        (102, "tiny doc"),
+        (103, "wholly new unrelated words"),
+    ]
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    idx = minhash_index(hist).localCheckpoint(eager=True)
+    got = {
+        (r["id_new"], r["id_indexed"])
+        for r in minhash_dedup_against(batch, idx, est_threshold=0.5).collect()
+    }
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(hist_rows + batch_rows, columns=["doc_id", "text"]),
+    )
+    want = {
+        (n, i)
+        for n, i in con.execute(
+            f"""
+            WITH tok AS (SELECT doc_id, {_D_TOK} AS t FROM documents),
+            short AS (
+              SELECT doc_id, md5(coalesce(array_to_string(t, ' '), '')) AS th
+              FROM tok WHERE len(t) < 3
+            )
+            SELECT b.doc_id AS id_new, a.doc_id AS id_indexed
+            FROM short a JOIN short b ON a.th = b.th
+            WHERE a.doc_id < 100 AND b.doc_id >= 100
+            """
+        ).fetchall()
+    }
+    con.close()
+    # every batch doc here is sub-shingle, so the engine's hits ARE the
+    # short route's — they must equal the oracle's short-pair set
+    assert got == want
+    # and the NULL-text batch doc really is caught against both the
+    # NULL-text and the empty-text history docs
+    assert (100, 1) in got and (100, 2) in got

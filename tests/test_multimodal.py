@@ -181,3 +181,149 @@ def test_media_features_on_error_null_isolates_bad_payloads(spark):
         media_features(media, decode=wav_decode).collect()
     with pytest.raises(ValueError, match="on_error"):
         media_features(media, decode=wav_decode, on_error="skip")
+
+
+def test_media_features_programming_errors_surface_even_under_null(spark):
+    """on_error='null' quarantines DATA errors only (round-8 advice): a
+    decoder that is itself broken — raising TypeError/NameError/
+    AttributeError on every record — must surface, or a systematically
+    broken decoder would silently null 100% of the corpus's features,
+    indistinguishable from routinely bad bytes."""
+    from picovdb_spark.operators.multimodal import synthetic_wav
+
+    media = synthetic_wav(spark, n=2, seed=9)
+
+    def broken_decoder(content, meta):  # typo'd API: programming error
+        raise AttributeError("'bytes' object has no attribute 'frames'")
+
+    with pytest.raises(Exception):  # Py4J wraps the AttributeError
+        media_features(media, decode=broken_decoder, on_error="null").collect()
+
+    def data_error_decoder(content, meta):
+        raise ValueError("bad magic")
+
+    rows = media_features(
+        media, decode=data_error_decoder, on_error="null"
+    ).collect()
+    assert len(rows) == 2 and all(r["feature"] is None for r in rows)
+
+
+def test_png_decode_real_codec_roundtrip(spark):
+    """`png_decode` is a REAL stdlib codec (zlib inflate + spec
+    unfiltering) through the same Arrow path as the stubs: a
+    `synthetic_png` corpus (real RGB PNG bytes, CRCs verified) decodes
+    to exactly the raster the writer embedded, and `media_features`
+    over it yields the per-pixel channel-mean profile."""
+    from picovdb_spark.operators.multimodal import png_decode, synthetic_png
+
+    media = synthetic_png(spark, n=3, seed=7, width=16, height=12)
+    # driver-side exactness: decode one payload and compare to the
+    # deterministic raster the writer built from the same (seed, i)
+    row = media.filter(F.col("media_id") == "image-1").collect()[0]
+    arr = png_decode(bytes(row["content"]), row["meta"].asDict())
+    rng = np.random.default_rng((7, 1))
+    img = rng.integers(0, 256, size=(12, 16 * 3), dtype=np.uint8)
+    expect = img.reshape(12 * 16, 3).astype(np.float64) / 256.0
+    assert arr.shape == (12 * 16, 3)
+    assert np.array_equal(arr, expect)
+    # distributed path: same decode slot, Arrow-batched
+    feats = {
+        r["media_id"]: r
+        for r in media_features(media, decode=png_decode, n_features=4).collect()
+    }
+    assert len(feats) == 3
+    want_prof = expect.mean(axis=1)
+    idx = np.linspace(0, len(want_prof) - 1, 4).round().astype(int)
+    assert np.allclose(feats["image-1"]["feature"], want_prof[idx])
+
+
+def test_png_decode_reverses_all_filter_types():
+    """Each PNG filter type (Sub/Up/Average/Paeth) round-trips: filter a
+    known raster per the spec, wrap it in a valid PNG, and assert
+    `png_decode` reconstructs the original bytes."""
+    import struct
+    import zlib
+
+    from picovdb_spark.operators.multimodal import png_decode
+
+    rng = np.random.default_rng(42)
+    h, w, ch = 6, 5, 3
+    img = rng.integers(0, 256, size=(h, w * ch), dtype=np.uint8).astype(int)
+    stride, bpp = w * ch, ch
+
+    def filt_row(ftype, cur, prev):
+        out = bytearray([ftype])
+        for x in range(stride):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((cur[x] - pred) & 0xFF)
+        return bytes(out)
+
+    raw = bytearray()
+    prev = [0] * stride
+    for y in range(h):
+        cur = list(img[y])
+        raw += filt_row([0, 1, 2, 3, 4, 4][y], cur, prev)
+        prev = cur
+
+    def _chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    arr = png_decode(png, {})
+    assert np.array_equal(
+        (arr * 256.0).round().astype(int).reshape(h, stride), img
+    )
+
+
+def test_png_decode_rejects_malformed_and_quarantines(spark):
+    """Bad PNG bytes raise ValueError/zlib.error (DATA errors), so
+    `media_features(on_error='null')` quarantines them per record —
+    exactly the wav_decode contract, now for images."""
+    import struct
+    import zlib
+
+    from picovdb_spark.operators.multimodal import png_decode, synthetic_png
+
+    with pytest.raises(ValueError, match="bad signature"):
+        png_decode(b"not a png at all", {})
+    # corrupt a real PNG's CRC
+    good = bytes(synthetic_png(spark, n=1).collect()[0]["content"])
+    corrupted = bytearray(good)
+    corrupted[-5] ^= 0xFF  # IEND CRC byte
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(corrupted), {})
+
+    bad = spark.createDataFrame(
+        [("img-bad", "image", bytearray(b"JFIF junk"), ("image/png", 8, 8, None, None))],
+        schema=MEDIA_SCHEMA,
+    )
+    media = synthetic_png(spark, n=2, seed=3).unionByName(bad)
+    rows = {
+        r["media_id"]: r
+        for r in media_features(media, decode=png_decode, on_error="null").collect()
+    }
+    assert rows["img-bad"]["feature"] is None
+    assert rows["img-bad"]["content_hash"] and rows["img-bad"]["n_bytes"] == 9
+    assert all(rows[f"image-{i}"]["feature"] is not None for i in range(2))
