@@ -79,6 +79,7 @@ def curate_corpus(
     return_text: bool = False,
     split_by_component: bool = False,
     stage_times: dict | None = None,
+    eager_gates: bool = False,
 ) -> DataFrame:
     """One row per input document:
 
@@ -133,8 +134,25 @@ def curate_corpus(
       ``lsh_pairs`` / ``components`` (keys only for stages that ran).
       Everything after the barriers (quality/repetition/split joins and
       the final select) is lazy and lands in the caller's first action,
-      not here. Benchmarks publish this so an end-to-end number comes
-      with its stage decomposition.
+      not here — unless `eager_gates` is set. Benchmarks publish this so
+      an end-to-end number comes with its stage decomposition.
+
+    - `eager_gates=True` materializes each gate's NARROW per-id frame
+      (exact-dup flag, quality scalars, repetition scalars, LM bits,
+      decontamination flags, keep-best election) as its own eager
+      localCheckpoint, each barrier timed under its own `stage_times`
+      key (``exact_dedup`` / ``quality`` / ``repetition`` / ``lm_score``
+      / ``decontaminate`` / ``keep_best``). The caller's first action
+      then pays only the id-joins + final select — at 500k docs that
+      turned a 30 s opaque `gates_agg` tail into per-gate walls plus a
+      seconds-scale join residual. Structurally this also pins
+      single-invocation: every Arrow kernel runs inside its own
+      checkpoint barrier, so the assembled plan contains NO Python
+      kernels for a multi-consumer action to re-run (test-pinned via
+      explainString). At corpus scale the checkpointed frames are
+      id + a few scalars (~50 B/doc) — the shape you'd persist to a
+      table anyway. Off (default) keeps the fully lazy single-plan form
+      so Catalyst can collapse stages for small corpora.
 
     The returned frame carries two audit handles as attributes (both
     zero-cost — they alias plans the curate pass materialized anyway):
@@ -154,6 +172,16 @@ def curate_corpus(
     def _staged(key: str, t0: float) -> None:
         if stage_times is not None:
             stage_times[key] = round(_time.perf_counter() - t0, 3)
+
+    def _gate(frame: DataFrame, key: str) -> DataFrame:
+        """eager_gates barrier: materialize a narrow per-id gate frame
+        and record its wall under `key`; identity when off."""
+        if not eager_gates:
+            return frame
+        t0 = _time.perf_counter()
+        frame = frame.localCheckpoint(eager=True)
+        _staged(key, t0)
+        return frame
 
     if paragraph_sep is not None:
         _t0 = _time.perf_counter()
@@ -182,27 +210,38 @@ def curate_corpus(
         span_cols = None
         ids = docs.select(id_col)
 
-    ex = exact_dedup(docs, id_col=id_col, text_col=text_col).select(
-        id_col, F.col("is_dup").alias("__exact_dup")
+    ex = _gate(
+        exact_dedup(docs, id_col=id_col, text_col=text_col).select(
+            id_col, F.col("is_dup").alias("__exact_dup")
+        ),
+        "exact_dedup",
     )
     # quality has TWO consumers (the keep-best election and the output
     # join) — without the lazy checkpoint its full-corpus Arrow kernel
     # runs once per consumer (measured ~2× the quality pass at the 500k
-    # tier); the checkpointed frame is narrow (id + scalars)
-    q = quality_score(docs, id_col=id_col, text_col=text_col).localCheckpoint(
-        eager=False
-    )
-    rep = repetition_stats(
-        docs,
-        id_col=id_col,
-        text_col=text_col,
-        max_dup_word_frac=max_dup_word_frac,
-        max_top_bigram_frac=max_top_bigram_frac,
-    ).select(
-        id_col,
-        "dup_word_frac",
-        "top_bigram_frac",
-        F.col("keep").alias("__rep_keep"),
+    # tier); the checkpointed frame is narrow (id + scalars). Under
+    # eager_gates the same checkpoint simply materializes up front with
+    # its wall recorded.
+    if eager_gates:
+        q = _gate(quality_score(docs, id_col=id_col, text_col=text_col), "quality")
+    else:
+        q = quality_score(docs, id_col=id_col, text_col=text_col).localCheckpoint(
+            eager=False
+        )
+    rep = _gate(
+        repetition_stats(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            max_dup_word_frac=max_dup_word_frac,
+            max_top_bigram_frac=max_top_bigram_frac,
+        ).select(
+            id_col,
+            "dup_word_frac",
+            "top_bigram_frac",
+            F.col("keep").alias("__rep_keep"),
+        ),
+        "repetition",
     )
     _t0 = _time.perf_counter()
     pairs = minhash_lsh_pairs(
@@ -216,8 +255,11 @@ def curate_corpus(
     _t0 = _time.perf_counter()
     comps = connected_components(pairs, docs, id_col=id_col)
     _staged("components", _t0)
-    best = keep_best_per_component(comps, q, id_col=id_col).select(
-        id_col, "component_id", F.col("keep").alias("__best_in_comp")
+    best = _gate(
+        keep_best_per_component(comps, q, id_col=id_col).select(
+            id_col, "component_id", F.col("keep").alias("__best_in_comp")
+        ),
+        "keep_best",
     )
     # split over the FULL id spine (no text needed) so span-empty husks
     # keep their split for audit symmetry; component-grouped when asked.
@@ -248,16 +290,22 @@ def curate_corpus(
             "n_kept", F.lit(None).cast("long")
         )
     if lm is not None:
-        lms = ngram_lm_score(docs, lm, id_col=id_col, text_col=text_col).select(
-            id_col, "bits_per_token"
+        lms = _gate(
+            ngram_lm_score(docs, lm, id_col=id_col, text_col=text_col).select(
+                id_col, "bits_per_token"
+            ),
+            "lm_score",
         )
         out = out.join(lms, id_col, "left")
     else:
         out = out.withColumn("bits_per_token", F.lit(None).cast("double"))
     if eval_docs is not None:
-        cont = decontaminate(
-            docs, eval_docs, id_col=id_col, text_col=text_col
-        ).select(id_col, F.lit(True).alias("__contaminated"))
+        cont = _gate(
+            decontaminate(
+                docs, eval_docs, id_col=id_col, text_col=text_col
+            ).select(id_col, F.lit(True).alias("__contaminated")),
+            "decontaminate",
+        )
         out = out.join(cont, id_col, "left")
     else:
         out = out.withColumn("__contaminated", F.lit(None).cast("boolean"))
@@ -434,6 +482,9 @@ def prepare_training_data(
     # split strategy + leakage audit
     split_by_component: bool = False,
     leakage_report: bool = False,
+    # diagnostics (see curate_corpus): per-stage walls + eager barriers
+    stage_times: dict | None = None,
+    eager_gates: bool = False,
 ) -> tuple[DataFrame, ...]:
     """Raw corpus → trainer-ready packed sequences, in one composed
     plan — the full pre-training data path:
@@ -486,13 +537,35 @@ def prepare_training_data(
     outputs are consumed; at corpus scale you'd write `curated` to a
     table first.
 
+    `stage_times` (optional dict, diagnostic — same contract as
+    `curate_corpus`): forwards to the curate stage (pass `eager_gates`
+    for per-gate walls there) and adds eager, individually-timed
+    barriers for the back half — ``kept_select`` (curate joins + keep
+    filter), ``budget`` (when sampling), ``bpe_chunk``/``chunk``
+    (tokenize + window), ``pack`` (the one packing shuffle), and
+    ``shard_deal`` (bin ranking + deal join). With it on, the caller's
+    first action over `sequences` pays only the final scan — an
+    end-to-end benchmark number decomposes into its stages. Off
+    (default): the lazy single-plan form documented above.
+
     Not in the reference (it ingests ready-made vectors); this is the
     SURVEY §7.4 pipeline front-end composed end-to-end.
     """
+    import time as _time
+
     from picovdb_spark.operators.chunking import chunk_documents
     from picovdb_spark.operators.sharding import shard_plan
     from picovdb_spark.operators.textops import pack_sequences, sample_to_budget
     from picovdb_spark.operators.tokenizer import bpe_encode
+
+    def _barrier(frame: DataFrame, key: str) -> DataFrame:
+        """stage_times mode: materialize + record a back-half stage."""
+        if stage_times is None:
+            return frame
+        t0 = _time.perf_counter()
+        frame = frame.localCheckpoint(eager=True)
+        stage_times[key] = round(_time.perf_counter() - t0, 3)
+        return frame
 
     curated = curate_corpus(
         docs,
@@ -511,6 +584,8 @@ def prepare_training_data(
         lm_bits_max=lm_bits_max,
         return_text=True,
         split_by_component=split_by_component,
+        stage_times=stage_times,
+        eager_gates=eager_gates,
     )
     kept = curated.filter(F.col("keep")).select(
         F.col(id_col),
@@ -518,7 +593,9 @@ def prepare_training_data(
         F.col("n_tokens"),
         F.col("text_clean").alias(text_col),
     )
-    if token_budgets is not None or merges is not None or n_shards is not None:
+    if stage_times is not None:
+        kept = _barrier(kept, "kept_select")
+    elif token_budgets is not None or merges is not None or n_shards is not None:
         # these stages evaluate `kept` more than once (budget sampling's
         # two driver passes, the BPE re-attach join, the shard deal's
         # eager rank-count job) — a lazy checkpoint truncates the curate
@@ -535,6 +612,7 @@ def prepare_training_data(
             tokens_col="n_tokens",
             salt=f"{seed}:budget",
         ).drop("cum_tokens", domain_col)
+        kept = _barrier(kept, "budget")
 
     if merges is not None:
         toks = bpe_encode(kept, merges, id_col=id_col, text_col=text_col)
@@ -559,6 +637,7 @@ def prepare_training_data(
             chunk_tokens=chunk_tokens,
             overlap=overlap,
         )
+    chunks = _barrier(chunks, "bpe_chunk" if merges is not None else "chunk")
 
     packed = pack_sequences(
         chunks,
@@ -571,11 +650,15 @@ def prepare_training_data(
         payload_cols=("chunk_text",),
     )
 
+    packed = _barrier(packed, "pack")
+
     if n_shards is not None:
         # the shard deal reads `packed` twice (the distinct-bin spine
         # feeding shard_plan's eager rank job, then the join back) —
         # checkpoint so chunk+pack run once
-        packed = packed.localCheckpoint(eager=False)
+        if stage_times is None:
+            packed = packed.localCheckpoint(eager=False)
+        _t0 = _time.perf_counter()
         bin_key = F.concat_ws(
             ":",
             F.col("split"),
@@ -589,6 +672,9 @@ def prepare_training_data(
         out = packed.withColumn("__bin_id", bin_key).join(
             plan, "__bin_id"
         ).drop("__bin_id")
+        if stage_times is not None:
+            out = out.localCheckpoint(eager=True)
+            stage_times["shard_deal"] = round(_time.perf_counter() - _t0, 3)
         # shard_plan ranks via a cached source — surface the handle so
         # the caller can release_global_rank(sequences) once written
         out._global_rank_source = plan._global_rank_source  # type: ignore[attr-defined]

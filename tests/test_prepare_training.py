@@ -292,3 +292,41 @@ def test_prepare_leakage_report_and_component_split(spark):
     sp = {r["doc_id"]: r["split"] for r in curated2.collect()}
     for a, b in pair_set:
         assert sp[a] == sp[b]
+
+
+def test_prepare_stage_times_decomposition_matches_lazy(spark, corpus):
+    """stage_times + eager_gates: the instrumented form (a) produces
+    byte-identical sequences and audit verdicts to the lazy form, (b)
+    records a wall for every back-half stage that ran, and (c) keeps
+    per-gate walls from the curate stage — so a bench row's end-to-end
+    number always decomposes into its stages (r8 verdict: the 30 s
+    opaque gates_agg tail)."""
+    st: dict = {}
+    seqs_i, cur_i = prepare_training_data(
+        corpus,
+        token_budgets={"en": 200, "de": 150},
+        chunk_tokens=32,
+        max_tokens=64,
+        n_shards=2,
+        stage_times=st,
+        eager_gates=True,
+    )
+    seqs_l, cur_l = prepare_training_data(
+        corpus,
+        token_budgets={"en": 200, "de": 150},
+        chunk_tokens=32,
+        max_tokens=64,
+        n_shards=2,
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(seqs_i) == key(seqs_l)
+    assert key(cur_i) == key(cur_l)
+    release_global_rank(seqs_i)
+    release_global_rank(seqs_l)
+    for k in (
+        "exact_dedup", "quality", "repetition", "keep_best",  # curate gates
+        "lsh_pairs", "components",                            # curate barriers
+        "kept_select", "budget", "chunk", "pack", "shard_deal",  # back half
+    ):
+        assert k in st and st[k] >= 0.0, (k, st)
+    assert "bpe_chunk" not in st  # no merges → whitespace chunk key
