@@ -6,12 +6,14 @@ metadata struct — the Spark-native pattern (same shape as
 convention). All transforms are Arrow-batched `mapInPandas` so bytes
 never round-trip row-at-a-time through Python.
 
-TWO modalities have REAL decoders on the standard library alone:
-`wav_decode` (PCM WAV via ``wave``) and `png_decode` (8-bit PNG via
-``zlib`` inflate + spec unfiltering), each with a real-bytes fixture
-(`synthetic_wav` / `synthetic_png`) and each plugging into the exact
-same `decode` slot as the stubs. JPEG and video frame extraction need
-codec libraries NOT in this container, so those remain STUBBED:
+ALL THREE modalities have REAL decoders on the standard library alone:
+`wav_decode` (PCM WAV via ``wave``), `png_decode` (8-bit PNG via
+``zlib`` inflate + spec unfiltering), and `avi_decode`/`avi_frames`
+(uncompressed 24-bit RIFF/AVI via ``struct`` chunk walk), each with a
+real-bytes fixture (`synthetic_wav` / `synthetic_png` /
+`synthetic_avi`) and each plugging into the exact same `decode` slot
+as the stubs. COMPRESSED formats (JPEG, H.264) need codec libraries
+NOT in this container, so those remain STUBBED:
 `decode=None` raises NotImplementedError naming the library to plug
 in, while `fake_decode` provides the deterministic stand-in used by
 tests and the oracle-checked gate entries (byte-seeded, reproducible).
@@ -308,6 +310,200 @@ def synthetic_png(
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def _avi_parse(content: bytes) -> tuple[np.ndarray, float]:
+    """Parse an uncompressed (BI_RGB, 24-bit) RIFF/AVI container into
+    (frames, fps): frames is a (n_frames, H, W, 3) uint8 RGB top-down
+    stack; fps comes from the 'vids' stream header's dwRate/dwScale
+    (falling back to avih's dwMicroSecPerFrame). Shared core for
+    `avi_decode` (media_features slot) and `avi_frames` (frame_sample
+    slot). Standard library only — ``struct`` chunk walk + numpy raster
+    reshapes; the DIB payloads are stored bottom-up BGR with 4-byte row
+    padding, undone here.
+
+    Malformed bytes (bad fourcc, truncated chunk, frame-length mismatch)
+    and honest capability limits (compressed '00dc' streams, non-24-bit
+    DIBs — those need pyav/ffmpeg) raise ValueError — the DATA-error
+    class `media_features(on_error="null")` quarantines."""
+    import struct
+
+    b = bytes(content)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI: bad RIFF/AVI signature")
+    (riff_size,) = struct.unpack("<I", b[4:8])
+    if riff_size + 8 > len(b):
+        raise ValueError("truncated AVI: RIFF size exceeds payload")
+
+    state = {
+        "width": None,
+        "height": None,
+        "bottom_up": True,
+        "bit_count": None,
+        "compression": None,
+        "fps": None,
+        "usec_per_frame": None,
+        "last_strh_type": None,
+    }
+    frames_raw: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = b[pos : pos + 4]
+            (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            start, stop = pos + 8, pos + 8 + size
+            if stop > end:
+                raise ValueError(f"truncated AVI chunk {fourcc!r}")
+            if fourcc == b"LIST":
+                walk(start + 4, stop)  # skip the 4-byte list type
+            elif fourcc == b"avih" and size >= 4:
+                (state["usec_per_frame"],) = struct.unpack("<I", b[start : start + 4])
+            elif fourcc == b"strh" and size >= 32:
+                state["last_strh_type"] = b[start : start + 4]
+                if state["last_strh_type"] == b"vids":
+                    scale, rate = struct.unpack("<II", b[start + 20 : start + 28])
+                    if scale and rate:
+                        state["fps"] = rate / scale
+            elif fourcc == b"strf" and state["last_strh_type"] == b"vids":
+                if size < 40:
+                    raise ValueError("AVI video strf shorter than BITMAPINFOHEADER")
+                _, bw, bh, _, bcnt, comp = struct.unpack(
+                    "<IiiHHI", b[start : start + 20]
+                )
+                state["width"], state["height"] = bw, abs(bh)
+                state["bottom_up"] = bh > 0  # negative biHeight = top-down
+                state["bit_count"], state["compression"] = bcnt, comp
+            elif fourcc[2:4] == b"db":  # '00db' — uncompressed DIB frame
+                frames_raw.append(b[start:stop])
+            elif fourcc[2:4] == b"dc":  # '00dc' — compressed frame
+                raise ValueError(
+                    "compressed AVI frames ('..dc') need pyav/ffmpeg; this "
+                    "stdlib path decodes uncompressed BI_RGB ('..db') only"
+                )
+            pos = stop + (size & 1)  # RIFF chunks are word-aligned
+
+    walk(12, min(len(b), riff_size + 8))
+    if state["width"] is None or not frames_raw:
+        raise ValueError("AVI missing video stream header or frames")
+    if state["compression"] != 0 or state["bit_count"] != 24:
+        raise ValueError(
+            f"unsupported AVI DIB: biCompression={state['compression']} "
+            f"biBitCount={state['bit_count']} (uncompressed 24-bit only; "
+            "use pyav for compressed codecs)"
+        )
+    w, h = state["width"], state["height"]
+    stride = ((w * 3 + 3) // 4) * 4
+    out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+    for i, fr in enumerate(frames_raw):
+        if len(fr) != stride * h:
+            raise ValueError(
+                f"AVI frame {i} payload {len(fr)} B != stride*height {stride * h} B"
+            )
+        rows = np.frombuffer(fr, dtype=np.uint8).reshape(h, stride)[:, : w * 3]
+        img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+        out[i] = img[::-1] if state["bottom_up"] else img
+    fps = state["fps"]
+    if fps is None and state["usec_per_frame"]:
+        fps = 1e6 / state["usec_per_frame"]
+    return out, float(fps or 0.0)
+
+
+def avi_decode(content: bytes, meta) -> np.ndarray:
+    """REAL codec decode for uncompressed RIFF/AVI video on the standard
+    library alone — the video sibling of `wav_decode` / `png_decode`,
+    through the exact same ``decode`` slot. Returns
+    (n_frames, H*W*3) float64 in [0, 1): one row per frame, so
+    `media_features`' row-mean profile becomes the video's TEMPORAL mean-
+    intensity envelope resampled to `n_features` (the scene-change /
+    black-frame signal a curation pipeline gates on). Compressed codecs
+    (H.264 etc.) still need pyav/ffmpeg and stay honestly stubbed —
+    `_avi_parse` raises ValueError on '..dc' chunks. `meta` is accepted
+    for signature parity; the AVI headers are authoritative."""
+    frames, _ = _avi_parse(content)
+    return frames.reshape(frames.shape[0], -1).astype(np.float64) / 256.0
+
+
+def avi_frames(content: bytes, meta) -> np.ndarray:
+    """Frame-stack form of `avi_decode` for `frame_sample(frame_decode=)`:
+    (n_frames, H*W, 3) float64 in [0, 1) — each sampled frame is a
+    (pixels, channels) raster the per-frame feature reduces exactly like
+    the stub route's array."""
+    frames, _ = _avi_parse(content)
+    n, h, w, c = frames.shape
+    return frames.reshape(n, h * w, c).astype(np.float64) / 256.0
+
+
+def synthetic_avi(
+    spark: SparkSession,
+    n: int = 8,
+    *,
+    seed: int = 0,
+    width: int = 24,
+    height: int = 16,
+    n_video_frames: int = 12,
+    fps: int = 10,
+) -> DataFrame:
+    """Deterministic corpus of REAL uncompressed 24-bit RIFF/AVI files
+    (seeded random rasters, bottom-up BGR DIB frames, correct chunk
+    sizes) in the `MEDIA_SCHEMA` shape — the video twin of
+    `synthetic_wav` / `synthetic_png`: content a real parser accepts,
+    exercised through the same Arrow path as the stubs."""
+    import struct
+
+    stride = ((width * 3 + 3) // 4) * 4
+    duration_ms = int(round(n_video_frames * 1000.0 / fps))
+
+    def _chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def _list(list_type: bytes, payload: bytes) -> bytes:
+        return _chunk(b"LIST", list_type + payload)
+
+    rows = []
+    for i in range(n):
+        rng = np.random.default_rng((seed, i))
+        rasters = rng.integers(
+            0, 256, size=(n_video_frames, height, width, 3), dtype=np.uint8
+        )
+        frame_chunks = []
+        for fr in rasters:
+            dib = np.zeros((height, stride), dtype=np.uint8)
+            dib[:, : width * 3] = fr[::-1, :, ::-1].reshape(height, width * 3)
+            frame_chunks.append(_chunk(b"00db", dib.tobytes()))
+        avih = struct.pack(
+            "<14I",
+            int(1e6 / fps), 0, 0, 0,
+            n_video_frames, 0, 1, stride * height,
+            width, height, 0, 0, 0, 0,
+        )
+        strh = (
+            b"vids" + b"DIB " + struct.pack(
+                "<IIIIIIIIII", 0, 0, 0, 1, fps, 0, n_video_frames,
+                stride * height, 0, 0,
+            ) + struct.pack("<4H", 0, 0, width, height)
+        )
+        strf = struct.pack(
+            "<IiiHHIIiiII",
+            40, width, height, 1, 24, 0, stride * height, 0, 0, 0, 0,
+        )
+        hdrl = _list(
+            b"hdrl",
+            _chunk(b"avih", avih)
+            + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+        )
+        movi = _list(b"movi", b"".join(frame_chunks))
+        body = b"AVI " + hdrl + movi
+        avi = b"RIFF" + struct.pack("<I", len(body)) + body
+        rows.append(
+            (
+                f"video-{i}",
+                "video",
+                bytearray(avi),
+                ("video/x-msvideo", width, height, duration_ms, None),
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
 def media_features(
     media: DataFrame,
     *,
@@ -351,8 +547,8 @@ def media_features(
             "decode=None names the plug-in point for a full codec library "
             "(Pillow/soundfile/pyav), not present in this environment; pass "
             "the stdlib decoders wav_decode (PCM WAV) / png_decode (8-bit "
-            "PNG), decode=fake_decode, or your own "
-            "Callable[[bytes, meta], np.ndarray]"
+            "PNG) / avi_decode (uncompressed AVI), decode=fake_decode, or "
+            "your own Callable[[bytes, meta], np.ndarray]"
         )
 
     out_schema = T.StructType(
@@ -444,13 +640,34 @@ def frame_sample(
     *,
     n_frames: int = 4,
     decode: Callable[[bytes, dict], np.ndarray] | None = fake_decode,
+    frame_decode: Callable[[bytes, dict], np.ndarray] | None = None,
 ) -> DataFrame:
     """Video → sampled frames, one output row per frame (flatMap shape):
-    (media_id, frame_idx, frame_feature). Deterministic frame positions
-    (linspace over duration); the per-frame "decode" reuses the media
-    decode stub with the frame index mixed into the seed."""
-    if decode is None:
-        raise NotImplementedError("real frame extraction needs pyav/ffmpeg")
+    (media_id, frame_idx, ts_ms, frame_feature).
+
+    Two routes through the same Arrow kernel:
+
+    - **Real codec** (``frame_decode=avi_frames`` or a pyav kernel with
+      the same signature): the callable returns the decoded
+      (total_frames, pixels, channels) stack; `n_frames` positions are
+      sampled at linspace over the ACTUAL frame count, ts_ms is the
+      sampled frame's timestamp from ``meta.duration_ms`` spread over
+      the stack, and the per-frame feature is the same
+      ``frame.mean(axis=1)[:4]`` reduction as the stub route. Decoder
+      errors propagate (sample a quarantined corpus with
+      `media_features(on_error="null")` first if bytes are untrusted).
+    - **Stub** (default, oracle-expressible): deterministic positions
+      linspace over ``meta.duration_ms``; the per-frame "decode" reuses
+      the media decode stub with the frame index mixed in via np.roll.
+      ``decode=None`` marks the unavailable-codec path for COMPRESSED
+      video (H.264 etc. need pyav/ffmpeg — uncompressed RIFF/AVI has the
+      real stdlib route above)."""
+    if frame_decode is None and decode is None:
+        raise NotImplementedError(
+            "real frame extraction for compressed video needs pyav/ffmpeg; "
+            "uncompressed RIFF/AVI decodes with frame_decode=avi_frames "
+            "(stdlib), or pass decode=fake_decode for the stub route"
+        )
 
     out_schema = T.StructType(
         [
@@ -470,6 +687,19 @@ def frame_sample(
             rows = []
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
                 duration = int(meta["duration_ms"] or 0)
+                if frame_decode is not None:
+                    stack = frame_decode(bytes(content), meta)
+                    total = stack.shape[0]
+                    positions = (
+                        np.linspace(0, max(total - 1, 0), n_frames).round().astype(int)
+                    )
+                    for j, fidx in enumerate(positions):
+                        frame = stack[fidx]
+                        ts = int(round(fidx * duration / total)) if total else 0
+                        rows.append(
+                            (mid, j, ts, [float(x) for x in frame.mean(axis=1)[:4]])
+                        )
+                    continue
                 positions = np.linspace(0, max(duration - 1, 0), n_frames).astype(int)
                 base = decode(bytes(content), meta)
                 for j, ts in enumerate(positions):

@@ -327,3 +327,147 @@ def test_png_decode_rejects_malformed_and_quarantines(spark):
     assert rows["img-bad"]["feature"] is None
     assert rows["img-bad"]["content_hash"] and rows["img-bad"]["n_bytes"] == 9
     assert all(rows[f"image-{i}"]["feature"] is not None for i in range(2))
+
+
+def test_avi_decode_real_codec_roundtrip(spark):
+    """synthetic_avi content is a REAL uncompressed RIFF/AVI; _avi_parse
+    round-trips the seeded rasters bit-exactly (bottom-up BGR + stride
+    padding undone), and media_features over avi_decode produces the
+    temporal mean-intensity envelope through the same Arrow path as the
+    stubs."""
+    from picovdb_spark.operators.multimodal import (
+        _avi_parse,
+        avi_decode,
+        synthetic_avi,
+    )
+
+    media = synthetic_avi(spark, n=4, seed=7, n_video_frames=12, fps=10)
+    raw = {r["media_id"]: (bytes(r["content"]), r["meta"]) for r in media.collect()}
+
+    # bit-exact raster round-trip against the seeded source
+    content, meta = raw["video-2"]
+    frames, fps = _avi_parse(content)
+    rng = np.random.default_rng((7, 2))
+    want = rng.integers(0, 256, size=(12, 16, 24, 3), dtype=np.uint8)
+    assert frames.shape == (12, 16, 24, 3) and fps == 10.0
+    assert np.array_equal(frames, want)
+
+    # the media_features slot: row profile == per-frame mean intensity
+    out = {
+        r["media_id"]: r
+        for r in media_features(media, decode=avi_decode, n_features=6).collect()
+    }
+    arr = avi_decode(content, meta)
+    assert arr.shape == (12, 16 * 24 * 3)
+    prof = arr.mean(axis=1)
+    idx = np.linspace(0, len(prof) - 1, 6).round().astype(int)
+    assert np.allclose(out["video-2"]["feature"], prof[idx])
+    assert all(len(r["feature"]) == 6 for r in out.values())
+
+
+def test_avi_orientation_and_channel_order():
+    """Plant a single red pixel at the TOP-LEFT of frame 0: after the
+    bottom-up/BGR undo it must come back at [0, 0, 0] with channel
+    order RGB — pinning the two raster transforms a naive parser gets
+    wrong."""
+    import struct
+
+    from picovdb_spark.operators.multimodal import _avi_parse
+
+    width = height = 4
+    stride = ((width * 3 + 3) // 4) * 4
+    raster = np.zeros((height, width, 3), dtype=np.uint8)
+    raster[0, 0] = (255, 0, 0)  # pure red, top-left, RGB
+
+    def _chunk(fourcc, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def _list(t, p):
+        return _chunk(b"LIST", t + p)
+
+    dib = np.zeros((height, stride), dtype=np.uint8)
+    dib[:, : width * 3] = raster[::-1, :, ::-1].reshape(height, width * 3)
+    avih = struct.pack("<14I", 100000, 0, 0, 0, 1, 0, 1, 0, width, height, 0, 0, 0, 0)
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IIIIIIIIII", 0, 0, 0, 1, 10, 0, 1, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height, 0, 0, 0, 0)
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
+    movi = _list(b"movi", _chunk(b"00db", dib.tobytes()))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    frames, _ = _avi_parse(avi)
+    assert frames.shape == (1, 4, 4, 3)
+    assert tuple(frames[0, 0, 0]) == (255, 0, 0)
+    assert frames[0].sum() == 255  # nothing bled anywhere else
+
+
+def test_frame_sample_real_avi_frames(spark):
+    """frame_sample(frame_decode=avi_frames) samples REAL decoded frames
+    at linspace over the actual frame count; features match a local
+    recompute of the same reduction, ts_ms spreads meta.duration_ms."""
+    from picovdb_spark.operators.multimodal import avi_frames, synthetic_avi
+
+    media = synthetic_avi(spark, n=3, seed=11, n_video_frames=10, fps=5)
+    out = frame_sample(media, n_frames=4, frame_decode=avi_frames)
+    rows = sorted(
+        (r for r in out.collect() if r["media_id"] == "video-1"),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+
+    raw = media.filter(F.col("media_id") == "video-1").first()
+    stack = avi_frames(bytes(raw["content"]), raw["meta"])
+    assert stack.shape == (10, 16 * 24, 3)
+    positions = np.linspace(0, 9, 4).round().astype(int)  # 0, 3, 6, 9
+    duration = raw["meta"]["duration_ms"]  # 2000 ms at 10 frames / 5 fps
+    for r, fidx in zip(rows, positions):
+        want = [float(x) for x in stack[fidx].mean(axis=1)[:4]]
+        assert np.allclose(r["frame_feature"], want)
+        assert r["ts_ms"] == int(round(fidx * duration / 10))
+    # distinct frames -> distinct features (unlike a stub roll of 4 rows)
+    assert rows[0]["frame_feature"] != rows[-1]["frame_feature"]
+
+
+def test_avi_decode_rejects_malformed_and_quarantines(spark):
+    """Bad AVI bytes raise ValueError (DATA errors) so
+    media_features(on_error='null') quarantines per record — the same
+    contract as wav_decode/png_decode, now for video. Compressed ('..dc')
+    frames are an honest ValueError naming the pyav integration point."""
+    from picovdb_spark.operators.multimodal import (
+        _avi_parse,
+        avi_decode,
+        synthetic_avi,
+    )
+
+    with pytest.raises(ValueError, match="RIFF"):
+        _avi_parse(b"MP4 junk that is not RIFF")
+    good = bytes(synthetic_avi(spark, n=1).collect()[0]["content"])
+    with pytest.raises(ValueError, match="truncated|missing"):
+        _avi_parse(good[:64])
+    with pytest.raises(ValueError, match="pyav"):
+        _avi_parse(good.replace(b"00db", b"00dc", 1))
+
+    bad = spark.createDataFrame(
+        [
+            (
+                "vid-bad",
+                "video",
+                bytearray(b"\x00\x00\x00 ftypisom junk"),
+                ("video/mp4", 24, 16, 1000, None),
+            )
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    media = synthetic_avi(spark, n=2, seed=3).unionByName(bad)
+    rows = {
+        r["media_id"]: r
+        for r in media_features(media, decode=avi_decode, on_error="null").collect()
+    }
+    assert rows["vid-bad"]["feature"] is None
+    assert rows["vid-bad"]["content_hash"] is not None
+    assert all(rows[f"video-{i}"]["feature"] is not None for i in range(2))
