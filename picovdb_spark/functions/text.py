@@ -83,7 +83,14 @@ def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
 def minhash_signature(shingle_hashes: Column, num_hashes: int = 16) -> list[Column]:
     """MinHash signature over a column of pre-hashed shingles
     (`transform(sh, md5_hash32)`): mh_i = min over shingles of
-    (a_i·h + b_i) mod P. Empty shingle set ⇒ null."""
+    (a_i·h + b_i) mod P. Empty shingle set ⇒ null.
+
+    REFERENCE TWIN: production signatures come from the Arrow kernel in
+    `dedup._sig_bands_from_shingles` (interpreted Catalyst HOFs cost 31 s
+    of a 44 s LSH wall at the 500k-doc tier); this Catalyst form states
+    the formula declaratively and pins the kernel bit-identical in
+    tests/test_oracle.py::test_minhash_sig_arrow_kernel_matches_catalyst_reference
+    — the same identity the DuckDB oracle twins restate in SQL."""
     coeffs = _minhash_coeffs(num_hashes)
 
     def perm(a: int, b: int):
@@ -97,7 +104,9 @@ def minhash_signature(shingle_hashes: Column, num_hashes: int = 16) -> list[Colu
 
 
 def band_value(sig_cols: list[Column]) -> Column:
-    """LSH band bucket id: md5 over the band's signature slice."""
+    """LSH band bucket id: md5 over the band's signature slice
+    (comma-joined decimal). Reference twin of the Arrow kernel's band
+    hash — see `minhash_signature`."""
     return F.md5(F.concat_ws(",", *[c.cast("string") for c in sig_cols]))
 
 

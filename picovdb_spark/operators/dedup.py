@@ -30,10 +30,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from picovdb_spark.functions.text import (
-    band_value,
+    MINHASH_PRIME,
+    _minhash_coeffs,
     jaccard,
-    md5_hash32,
-    minhash_signature,
     word_shingles,
 )
 from picovdb_spark.functions.vector import dot, l2_normalize
@@ -190,36 +189,103 @@ def _sig_bands_from_shingles(
             f"bands ({bands}) must divide num_hashes ({num_hashes}); "
             f"got remainder {num_hashes % bands}"
         )
+    # Arrow kernel, not Catalyst HOFs: the values are EXACTLY the
+    # documented formula — h = int(md5(shingle)[:8 hex], 16), mh_i =
+    # min over shingles of (a_i·h + b_i) mod MINHASH_PRIME (fixed
+    # seeded coeffs, functions/text._minhash_coeffs), band = md5 of the
+    # comma-joined decimal slice — bit-identical to the previous
+    # `transform(sh, md5_hash32)` + num_hashes×array_min(transform(...))
+    # Catalyst form AND to the DuckDB oracle twins (test-pinned). The
+    # HOF form ran INTERPRETED per element; at the 500k-doc tier that
+    # was 31 s of the 44 s LSH wall (r9 profile), vs ~16 vectorized
+    # mul-mod passes + one hashlib pass here. Same r8 lesson as the
+    # shingle kernels: no interpreted HOFs on corpus-sized paths.
     rows = num_hashes // bands
+    coeffs = _minhash_coeffs(num_hashes)
     extra = [short_col] if short_col is not None else []
     if short_col is None:
         sh = sh.filter(F.size("sh") > 0)
-    hashed = sh.withColumn("hs", F.transform(F.col("sh"), md5_hash32))
-    sigs = hashed.select(
-        F.col(id_col),
-        *minhash_signature(F.col("hs"), num_hashes),
-        *[F.col(c) for c in extra],
-    )
-    sig_arr = F.array(*[F.col(f"mh{i}") for i in range(num_hashes)])
-    band_arr = F.array(
-        *[
-            band_value([F.col(f"mh{b * rows + r}") for r in range(rows)])
-            for b in range(bands)
+    src = sh.select(id_col, "sh", *extra)
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            src.schema[id_col],
+            T.StructField("sig", T.ArrayType(T.LongType())),
+            T.StructField("bands", T.ArrayType(T.StringType())),
+            *([src.schema[short_col]] if short_col is not None else []),
         ]
     )
-    if short_col is not None:
-        # empty shingle set ⇒ every mh coordinate is null (array_min
-        # over empty) — null the arrays out rather than emitting
-        # [null,...] / md5-of-empty band buckets
-        has_sig = F.col("mh0").isNotNull()
-        sig_arr = F.when(has_sig, sig_arr)
-        band_arr = F.when(has_sig, band_arr)
-    return sigs.select(
-        F.col(id_col),
-        sig_arr.alias("sig"),
-        band_arr.alias("bands"),
-        *[F.col(c) for c in extra],
-    )
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+
+    def kernel(batches: "Iterator") -> "Iterator":
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            lists = pdf["sh"]
+            n_rows = len(lists)
+            lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=n_rows)
+            total = int(lens.sum())
+            # one md5 per shingle (digest()[:4] big-endian == first 8
+            # hex chars as int — the md5_hash32 contract)
+            flat = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+                    for lst in lists
+                    for s in lst
+                ),
+                dtype=np.int64,
+                count=total,
+            )
+            starts = np.zeros(n_rows, dtype=np.int64)
+            if n_rows > 1:
+                np.cumsum(lens[:-1], out=starts[1:])
+            nonempty = lens > 0
+            ne_starts = starts[nonempty]
+            n_ne = int(nonempty.sum())
+            mins = np.empty((n_ne, num_hashes), dtype=np.int64)
+            if n_ne:
+                for i in range(num_hashes):
+                    # a < 2^30, h < 2^32 ⇒ a·h + b < 2^62: no int64 overflow
+                    perm = (A[i] * flat + B[i]) % MINHASH_PRIME
+                    mins[:, i] = np.minimum.reduceat(perm, ne_starts)
+            sig_out: list = []
+            band_out: list = []
+            j = 0
+            for k in range(n_rows):
+                if not nonempty[k]:
+                    # empty shingle set ⇒ null (sig, bands) — the
+                    # short_col route keeps the row, the default route
+                    # filtered it above
+                    sig_out.append(None)
+                    band_out.append(None)
+                    continue
+                s = mins[j]
+                j += 1
+                sig_out.append([int(v) for v in s])
+                band_out.append(
+                    [
+                        hashlib.md5(
+                            ",".join(
+                                str(int(v)) for v in s[b * rows : (b + 1) * rows]
+                            ).encode()
+                        ).hexdigest()
+                        for b in range(bands)
+                    ]
+                )
+            data = {id_col: pdf[id_col], "sig": sig_out, "bands": band_out}
+            for c in extra:
+                data[c] = pdf[c]
+            yield pd.DataFrame(data)
+
+    return src.mapInPandas(kernel, schema=out_schema)
 
 
 def _band_rows_from_shingles(
