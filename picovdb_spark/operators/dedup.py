@@ -1077,15 +1077,55 @@ def window_dedup(
         raise ValueError(f"window must be >= 2 tokens, got {window}")
     arr = F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1)
     toks = docs.select(F.col(id_col), arr.alias("__arr"))
-    n = F.size("__arr")
-    # one (start, digest) row per window, built inside the mapper
-    hashes = F.transform(
-        F.sequence(F.lit(0), n - F.lit(window)),
-        lambda s: F.md5(F.array_join(F.slice(F.col("__arr"), s + 1, window), " ")),
+    # one (start, digest) row per window — an ARROW kernel, not the
+    # former `transform(sequence, md5(array_join(slice)))` Catalyst HOF:
+    # that chain runs INTERPRETED per window (the same cost class the
+    # signature kernel and the r8 shingle kernels eliminated), and at
+    # the 1M-doc tier the window-hash pass dominated the row's wall.
+    # Values are bit-identical: md5 over the UTF-8 of
+    # " ".join(tokens[s:s+window]) with tokens from a literal
+    # single-space split of coalesce(text, '') — exactly what the
+    # Catalyst form and the DuckDB oracle twin compute (split(' ')
+    # keeps empty tokens on both sides).
+    from pyspark.sql import types as _T
+
+    win_schema = _T.StructType(
+        [
+            docs.schema[id_col],
+            _T.StructField("s", _T.IntegerType()),
+            _T.StructField("__h", _T.StringType()),
+        ]
     )
+
+    def _win_kernel(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_out: list = []
+            starts: list = []
+            digs: list = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                tk = ("" if text is None else text).split(" ")
+                nw = len(tk) - window + 1
+                if nw <= 0:
+                    continue
+                for s in range(nw):
+                    digs.append(
+                        hashlib.md5(" ".join(tk[s : s + window]).encode()).hexdigest()
+                    )
+                ids_out.extend([did] * nw)
+                starts.extend(range(nw))
+            yield pd.DataFrame(
+                {id_col: ids_out, "s": pd.array(starts, dtype="int32"), "__h": digs}
+            )
+
     wins = (
-        toks.filter(n >= window)
-        .select(F.col(id_col), F.posexplode(hashes).alias("s", "__h"))
+        docs.select(id_col, text_col)
+        .mapInPandas(_win_kernel, schema=win_schema)
         # consumed twice (winner election + loser probe) with DIFFERENT
         # payloads, so the exchanges can't be reused — without this
         # checkpoint the O(tokens x window) md5 pass AND the corpus text
