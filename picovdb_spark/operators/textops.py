@@ -114,24 +114,56 @@ def doc_fingerprint(
     """Bottom-k document fingerprint: the k smallest md5-derived shingle
     hashes, sorted, digested to one md5 — a compact content signature
     (equal fingerprints ⇒ near-identical shingle sets). The rolling-hash
-    analog of the reference's content-hash auto-id, at document scope."""
-    # shingle construction through the Arrow kernel (the interpreted
-    # word_shingles HOF chain is ~10× slower corpus-wide — see
-    # decontaminate); the per-element md5 transform and sort stay
-    # Catalyst over the precomputed array. Equal fingerprints are
-    # order-free (sorted hashes), so the kernel's set order is fine.
-    from picovdb_spark.operators.dedup import _shingled
+    analog of the reference's content-hash auto-id, at document scope.
 
-    sh = F.col("sh")
-    hashes = F.array_sort(F.transform(sh, lambda s: md5_hash32(s)))
-    bottom = F.slice(hashes, 1, k)
-    return _shingled(docs, id_col, text_col, shingle_n).select(
-        F.col(id_col),
-        F.md5(F.concat_ws(",", F.transform(bottom, lambda h: h.cast("string")))).alias(
-            "fingerprint"
-        ),
-        F.size(sh).cast("long").alias("n_shingles"),
+    One fused Arrow kernel (shared `_tok_list`/`_shingle_set` tokenizer,
+    hashlib per shingle, bottom-k digest) — the last per-shingle
+    Catalyst HOF left after the signature and window kernels moved to
+    Arrow; values unchanged: fingerprint =
+    md5(",".join(sorted(h32 of each distinct shingle)[:k])) with
+    h32 = first 8 md5 hex chars as int, exactly the md5_hash32 /
+    array_sort / slice / concat_ws form the DuckDB twin restates
+    (md5('') for sub-shingle docs on both sides)."""
+    from pyspark.sql import types as T
+
+    from picovdb_spark.operators.dedup import _shingle_set, _tok_list
+
+    out_schema = T.StructType(
+        [
+            docs.schema[id_col],
+            T.StructField("fingerprint", T.StringType()),
+            T.StructField("n_shingles", T.LongType()),
+        ]
     )
+
+    def kern(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            fps, ns = [], []
+            for text in pdf[text_col]:
+                sh = _shingle_set(_tok_list(text), shingle_n)
+                hs = sorted(
+                    int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+                    for s in sh
+                )
+                fps.append(
+                    hashlib.md5(",".join(str(v) for v in hs[:k]).encode()).hexdigest()
+                )
+                ns.append(len(sh))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "fingerprint": fps,
+                    "n_shingles": pd.array(ns, dtype="int64"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kern, schema=out_schema)
 
 
 def dataset_split(
