@@ -179,3 +179,98 @@ def test_batch_query_gemm_equals_sql_on_tie_heavy_stores(sess, store_vs, q_vs, k
     finally:
         sess.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert g64 == sql_r
+
+
+# --------------------------------------------------------- Arrow-kernel twins
+
+# Arbitrary text including unicode, repeated/empty tokens, and multi-space
+# runs — the token/shingle edge cases (single-space split keeps empty
+# strings; md5 operates on UTF-8 bytes on both engines).
+doc_text = st.one_of(
+    st.none(),
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=120),
+    st.lists(
+        st.sampled_from(["a", "bb", "ccc", "Ω", "字", "", "x y"]), max_size=30
+    ).map(" ".join),
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(doc_text, min_size=1, max_size=12))
+def test_signature_kernel_matches_catalyst_twin_on_arbitrary_text(sess, texts):
+    """Property form of the r9 Arrow-kernel migration pin: on ARBITRARY
+    text (unicode, empty tokens, multi-space runs) the vectorized
+    signature+banding kernel equals the declarative Catalyst twin
+    bit-for-bit — both hash the UTF-8 of the same shingle strings."""
+    from picovdb_spark.functions.text import band_value, md5_hash32, minhash_signature
+    from picovdb_spark.operators import dedup as D
+
+    docs = sess.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    num_hashes, bands = 8, 2
+    rows = num_hashes // bands
+    sh = D._shingled(docs, "doc_id", "text", 2)
+
+    hashed = sh.filter(F.size("sh") > 0).withColumn(
+        "hs", F.transform(F.col("sh"), md5_hash32)
+    )
+    sigs = hashed.select("doc_id", *minhash_signature(F.col("hs"), num_hashes))
+    ref = {
+        r["doc_id"]: (r["sig"], r["bands"])
+        for r in sigs.select(
+            "doc_id",
+            F.array(*[F.col(f"mh{i}") for i in range(num_hashes)]).alias("sig"),
+            F.array(
+                *[
+                    band_value([F.col(f"mh{b * rows + r}") for r in range(rows)])
+                    for b in range(bands)
+                ]
+            ).alias("bands"),
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: (r["sig"], r["bands"])
+        for r in D._sig_bands_from_shingles(sh, "doc_id", num_hashes, bands).collect()
+    }
+    assert ref == got
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(doc_text, min_size=1, max_size=10))
+def test_window_hash_kernel_matches_catalyst_twin_on_arbitrary_text(sess, texts):
+    """The window-hash formula the Arrow kernel implements (a literal
+    single-space split + hashlib md5 per window, recomputed here
+    locally) equals the former Catalyst
+    transform/sequence/md5(array_join(slice)) form on arbitrary text —
+    empty-token and UTF-8 semantics must agree exactly. The kernel's
+    in-plan output is pinned end-to-end by tests/test_window_dedup.py
+    and the dedup_exact:window DuckDB twin."""
+    import hashlib
+
+    from picovdb_spark.operators.dedup import window_dedup  # noqa: F401 (surface)
+
+    window = 3
+    docs = sess.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    arr = F.split(F.coalesce(F.col("text"), F.lit("")), " ", -1)
+    toks = docs.select(F.col("doc_id"), arr.alias("__arr"))
+    n = F.size("__arr")
+    hashes = F.transform(
+        F.sequence(F.lit(0), n - F.lit(window)),
+        lambda s: F.md5(F.array_join(F.slice(F.col("__arr"), s + 1, window), " ")),
+    )
+    ref = sorted(
+        (r["doc_id"], r["s"], r["__h"])
+        for r in toks.filter(n >= window)
+        .select(F.col("doc_id"), F.posexplode(hashes).alias("s", "__h"))
+        .collect()
+    )
+    # the kernel's values, recomputed the way the Arrow kernel does
+    got = []
+    for did, text in enumerate(texts):
+        tk = ("" if text is None else text).split(" ")
+        for s in range(len(tk) - window + 1):
+            got.append(
+                (did, s, hashlib.md5(" ".join(tk[s : s + window]).encode()).hexdigest())
+            )
+    assert ref == sorted(got)
