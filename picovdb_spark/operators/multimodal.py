@@ -690,12 +690,17 @@ def frame_sample(
                 if frame_decode is not None:
                     stack = frame_decode(bytes(content), meta)
                     total = stack.shape[0]
+                    if total == 0:
+                        # a custom decoder may return an empty stack for
+                        # a frameless container — no rows, not an
+                        # IndexError (avi_frames itself raises upstream)
+                        continue
                     positions = (
-                        np.linspace(0, max(total - 1, 0), n_frames).round().astype(int)
+                        np.linspace(0, total - 1, n_frames).round().astype(int)
                     )
                     for j, fidx in enumerate(positions):
                         frame = stack[fidx]
-                        ts = int(round(fidx * duration / total)) if total else 0
+                        ts = int(round(fidx * duration / total))
                         rows.append(
                             (mid, j, ts, [float(x) for x in frame.mean(axis=1)[:4]])
                         )

@@ -471,3 +471,18 @@ def test_avi_decode_rejects_malformed_and_quarantines(spark):
     assert rows["vid-bad"]["feature"] is None
     assert rows["vid-bad"]["content_hash"] is not None
     assert all(rows[f"video-{i}"]["feature"] is not None for i in range(2))
+
+
+def test_frame_sample_zero_frame_custom_decoder_yields_no_rows(spark):
+    """A custom frame_decode returning an EMPTY stack (frameless
+    container) must produce zero rows for that doc — not an IndexError
+    inside the Arrow kernel. (avi_frames itself raises on frameless AVIs
+    upstream; this pins the contract for plug-in decoders.)"""
+    from picovdb_spark.operators.multimodal import synthetic_avi
+
+    media = synthetic_avi(spark, n=2, seed=1)
+
+    def empty_stack(content, meta):
+        return np.empty((0, 4, 3), dtype=np.float64)
+
+    assert frame_sample(media, n_frames=4, frame_decode=empty_stack).count() == 0
