@@ -1569,24 +1569,26 @@ def main() -> None:
         # r9 floor re-earned: the Arrow signature+banding kernel
         # (replacing interpreted Catalyst HOFs) reads 3.09 s in a
         # loadavg-gated quiet run (start 1.63 / end 2.35) vs 5.35 s r8
-        "dedup_minhash_lsh": (2.5, 13.0),
+        "dedup_minhash_lsh": (1.5, 13.0),  # r9 full-suite in-suite 1.95 (settled 3.92)
         "dedup_simhash": (1.0, 4.5),
         "embedding_near_dup": (1.3, 6.5),
         "text_analysis": (1.2, 5.5),
         "bm25_index_build": (1.2, 4.5),
         "bm25_query_batch": (1.7, 6.0),
-        "dedup_components": (4.5, 16.0),
+        # r9 floor: 4.0 in-suite after the Arrow signature kernel
+        # (pairs prep shares the cheaper signature path), settled 5.3
+        "dedup_components": (3.0, 16.0),
         "sessionize": (0.4, 1.6),
         "ann_ivf_build": (0.45, 2.0),
         "ann_ivf_query_1000": (0.6, 2.4),
         "chunk_pack": (0.55, 2.0),
         "pipeline_screen": (0.25, 1.1),
-        "pipeline_curate": (4.5, 30.0),  # r8: 6.3 after the decontaminate Arrow-kernel fix
-        "pipeline_prepare": (5.5, 30.0),  # r8: 7.2 after the decontaminate Arrow-kernel fix
+        "pipeline_curate": (3.5, 30.0),  # r8: 6.3 after the decontaminate Arrow-kernel fix; r9: 4.46 after the signature kernel
+        "pipeline_prepare": (4.0, 30.0),  # r8: 7.2 after the decontaminate Arrow-kernel fix; r9: 5.07 after the signature kernel
         # reference-scale tier (100k × 1024)
         "ref100k_batch_1000": (0.85, 1.5),  # r8: 0.896 in-suite / 0.975 settled
         "ref100k_batch_1000_resident": (0.9, 1.8),
-        "ref100k_exact_local_100": (0.75, 1.6),
+        "ref100k_exact_local_100": (0.6, 1.6),  # r9 in-suite 0.744 — fast side
         "ref100k_batch_1000_resident_int8": (0.9, 1.9),
         "ref100k_ivf_resident_query_1000": (0.55, 1.3),
         "ref100k_ivf_resident_query_100": (0.4, 1.3),
@@ -1601,7 +1603,7 @@ def main() -> None:
         "ref100k_upsert": (0.4, 1.6),
         # 1M scale tier
         "scale1m_batch_100_exact": (0.7, 10.0),
-        "scale1m_ivfpq_build": (12.0, 60.0),
+        "scale1m_ivfpq_build": (9.0, 60.0),  # r9 in-suite 10.6 (settled 15.0) — fast-quiet end
         "scale1m_ivfpq_query_100": (1.4, 10.0),
         "scale1m_ivfpq_query_8": (0.8, 6.0),
         # quiet isolated 20.7-22.5 s across r8/r9; r6 wave sessions to
