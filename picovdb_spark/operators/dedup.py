@@ -1024,69 +1024,22 @@ def paragraph_dedup(
     )
 
 
-def window_dedup(
-    docs: DataFrame,
-    *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    window: int = 20,
+def _window_hash_rows(
+    docs: DataFrame, id_col: str, text_col: str, window: int
 ) -> DataFrame:
-    """Cross-document repeated token-WINDOW removal — the exact-substring
-    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
-    Language Models Better"), at word-token granularity: every length-
-    `window` token span that occurs more than once in the corpus keeps
-    only its GLOBAL first occurrence (ordered by (id, start) —
-    deterministic); every other occurrence's tokens are removed and the
-    document reassembled from the survivors. This catches boilerplate
-    that does NOT align to paragraph separators (navigation chrome,
-    license blocks mid-paragraph, templated sentences), which
-    `paragraph_dedup` above cannot see.
-
-    Output: (id_col, n_tokens, n_removed, text_clean) — one row per
-    input document; docs shorter than `window` tokens pass through
-    untouched (no window, no edit), matching the reference algorithm's
-    behavior on short sequences.
-
-    Scale shape — the same text-moves-once discipline as
-    `paragraph_dedup`:
-      1. Window hashes are built MAP-SIDE from the token array
-         (`transform(sequence(...))` + md5-of-slice): O(n_tokens x
-         window) local work, no shuffle. (A rolling hash would make it
-         O(n_tokens); md5-of-slice is kept because DuckDB computes the
-         identical digest for the oracle twin.)
-      2. Winner election shuffles (digest, id, start) triplets only —
-         window TEXT never leaves the mapper.
-      3. Loser windows explode to covered token positions: O(dup_bytes
-         x window) rows, proportional to the duplicated portion of the
-         corpus only, then collapse to one sorted int array per doc
-         (narrow (id, pos) shuffle).
-      4. Reassembly joins the removal list back on id — the single
-         full-width text shuffle (zero if the corpus is bucketed by id;
-         AQE broadcasts the removal list when it fits).
-
-    Reassembly is O(n_tokens + removed) per doc (hash-set position
-    subtraction; see the inline note) — a pathological doc that loses
-    half its tokens costs the same per-token work as a clean one
-    (pinned by test_pathological_doc_no_quadratic_reassembly).
-
-    Reference contrast: the reference dedups only whole payloads via
-    content-hash auto-ids (pico_vdb.py:54-55); sub-document substrings
-    are outside its model.
-    """
-    if window < 2:
-        raise ValueError(f"window must be >= 2 tokens, got {window}")
-    arr = F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1)
-    toks = docs.select(F.col(id_col), arr.alias("__arr"))
-    # one (start, digest) row per window — an ARROW kernel, not the
-    # former `transform(sequence, md5(array_join(slice)))` Catalyst HOF:
-    # that chain runs INTERPRETED per window (the same cost class the
-    # signature kernel and the r8 shingle kernels eliminated), and at
-    # the 1M-doc tier the window-hash pass dominated the row's wall.
-    # Values are bit-identical: md5 over the UTF-8 of
-    # " ".join(tokens[s:s+window]) with tokens from a literal
-    # single-space split of coalesce(text, '') — exactly what the
-    # Catalyst form and the DuckDB oracle twin compute (split(' ')
-    # keeps empty tokens on both sides).
+    """One (id, start, digest) row per sliding token window — the
+    `window_dedup` hash pass as an ARROW kernel, not the former
+    `transform(sequence, md5(array_join(slice)))` Catalyst HOF: that
+    chain runs INTERPRETED per window (the same cost class the
+    signature kernel and the r8 shingle kernels eliminated), and at the
+    1M-doc tier the window-hash pass dominated the row's wall.
+    Values are bit-identical: md5 over the UTF-8 of
+    " ".join(tokens[s:s+window]) with tokens from a literal
+    single-space split of coalesce(text, '') — exactly what the
+    Catalyst form and the DuckDB oracle twin compute (split(' ') keeps
+    empty tokens on both sides; property-test-pinned against the
+    Catalyst twin on arbitrary text). Docs with fewer than `window`
+    tokens contribute no rows."""
     from pyspark.sql import types as _T
 
     win_schema = _T.StructType(
@@ -1123,9 +1076,64 @@ def window_dedup(
                 {id_col: ids_out, "s": pd.array(starts, dtype="int32"), "__h": digs}
             )
 
+    return docs.select(id_col, text_col).mapInPandas(_win_kernel, schema=win_schema)
+
+
+def window_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+) -> DataFrame:
+    """Cross-document repeated token-WINDOW removal — the exact-substring
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), at word-token granularity: every length-
+    `window` token span that occurs more than once in the corpus keeps
+    only its GLOBAL first occurrence (ordered by (id, start) —
+    deterministic); every other occurrence's tokens are removed and the
+    document reassembled from the survivors. This catches boilerplate
+    that does NOT align to paragraph separators (navigation chrome,
+    license blocks mid-paragraph, templated sentences), which
+    `paragraph_dedup` above cannot see.
+
+    Output: (id_col, n_tokens, n_removed, text_clean) — one row per
+    input document; docs shorter than `window` tokens pass through
+    untouched (no window, no edit), matching the reference algorithm's
+    behavior on short sequences.
+
+    Scale shape — the same text-moves-once discipline as
+    `paragraph_dedup`:
+      1. Window hashes are built MAP-SIDE in an Arrow kernel
+         (`_window_hash_rows`): O(n_tokens x window) local work, no
+         shuffle. (A rolling hash would make it O(n_tokens);
+         md5-of-window is kept because DuckDB computes the identical
+         digest for the oracle twin.)
+      2. Winner election shuffles (digest, id, start) triplets only —
+         window TEXT never leaves the mapper.
+      3. Loser windows explode to covered token positions: O(dup_bytes
+         x window) rows, proportional to the duplicated portion of the
+         corpus only, then collapse to one sorted int array per doc
+         (narrow (id, pos) shuffle).
+      4. Reassembly joins the removal list back on id — the single
+         full-width text shuffle (zero if the corpus is bucketed by id;
+         AQE broadcasts the removal list when it fits).
+
+    Reassembly is O(n_tokens + removed) per doc (hash-set position
+    subtraction; see the inline note) — a pathological doc that loses
+    half its tokens costs the same per-token work as a clean one
+    (pinned by test_pathological_doc_no_quadratic_reassembly).
+
+    Reference contrast: the reference dedups only whole payloads via
+    content-hash auto-ids (pico_vdb.py:54-55); sub-document substrings
+    are outside its model.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2 tokens, got {window}")
+    arr = F.split(F.coalesce(F.col(text_col), F.lit("")), " ", -1)
+    toks = docs.select(F.col(id_col), arr.alias("__arr"))
     wins = (
-        docs.select(id_col, text_col)
-        .mapInPandas(_win_kernel, schema=win_schema)
+        _window_hash_rows(docs, id_col, text_col, window)
         # consumed twice (winner election + loser probe) with DIFFERENT
         # payloads, so the exchanges can't be reused — without this
         # checkpoint the O(tokens x window) md5 pass AND the corpus text

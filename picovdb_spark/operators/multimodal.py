@@ -342,6 +342,8 @@ def _avi_parse(content: bytes) -> tuple[np.ndarray, float]:
         "fps": None,
         "usec_per_frame": None,
         "last_strh_type": None,
+        "n_streams": 0,  # strh chunks appear in stream order
+        "vid_stream": None,  # index of the FIRST 'vids' stream
     }
     frames_raw: list[bytes] = []
 
@@ -358,10 +360,12 @@ def _avi_parse(content: bytes) -> tuple[np.ndarray, float]:
                 (state["usec_per_frame"],) = struct.unpack("<I", b[start : start + 4])
             elif fourcc == b"strh" and size >= 32:
                 state["last_strh_type"] = b[start : start + 4]
-                if state["last_strh_type"] == b"vids":
+                if state["last_strh_type"] == b"vids" and state["vid_stream"] is None:
+                    state["vid_stream"] = state["n_streams"]
                     scale, rate = struct.unpack("<II", b[start + 20 : start + 28])
                     if scale and rate:
                         state["fps"] = rate / scale
+                state["n_streams"] += 1
             elif fourcc == b"strf" and state["last_strh_type"] == b"vids":
                 if size < 40:
                     raise ValueError("AVI video strf shorter than BITMAPINFOHEADER")
@@ -371,13 +375,21 @@ def _avi_parse(content: bytes) -> tuple[np.ndarray, float]:
                 state["width"], state["height"] = bw, abs(bh)
                 state["bottom_up"] = bh > 0  # negative biHeight = top-down
                 state["bit_count"], state["compression"] = bcnt, comp
-            elif fourcc[2:4] == b"db":  # '00db' — uncompressed DIB frame
-                frames_raw.append(b[start:stop])
-            elif fourcc[2:4] == b"dc":  # '00dc' — compressed frame
-                raise ValueError(
-                    "compressed AVI frames ('..dc') need pyav/ffmpeg; this "
-                    "stdlib path decodes uncompressed BI_RGB ('..db') only"
-                )
+                state["last_strh_type"] = None  # one strf per strh
+            elif fourcc[:2].isdigit() and fourcc[2:4] in (b"db", b"dc"):
+                # movi data chunk 'NNdb'/'NNdc' — only the ELECTED video
+                # stream's chunks count; an audio or second-video
+                # stream's chunks are ignored rather than concatenated
+                # into the frame stack (or spuriously rejecting the file)
+                if int(fourcc[:2]) != state["vid_stream"]:
+                    pass
+                elif fourcc[2:4] == b"db":  # uncompressed DIB frame
+                    frames_raw.append(b[start:stop])
+                else:  # '..dc' — compressed frame in the video stream
+                    raise ValueError(
+                        "compressed AVI frames ('..dc') need pyav/ffmpeg; this "
+                        "stdlib path decodes uncompressed BI_RGB ('..db') only"
+                    )
             pos = stop + (size & 1)  # RIFF chunks are word-aligned
 
     walk(12, min(len(b), riff_size + 8))
@@ -388,6 +400,12 @@ def _avi_parse(content: bytes) -> tuple[np.ndarray, float]:
             f"unsupported AVI DIB: biCompression={state['compression']} "
             f"biBitCount={state['bit_count']} (uncompressed 24-bit only; "
             "use pyav for compressed codecs)"
+        )
+    if state["width"] <= 0 or state["height"] <= 0:
+        # zero-area rasters would flow to NaN features downstream and
+        # dodge the on_error='null' quarantine (mean of empty slice)
+        raise ValueError(
+            f"AVI zero-area dimensions {state['width']}x{state['height']}"
         )
     w, h = state["width"], state["height"]
     stride = ((w * 3 + 3) // 4) * 4
@@ -431,6 +449,55 @@ def avi_frames(content: bytes, meta) -> np.ndarray:
     return frames.reshape(n, h * w, c).astype(np.float64) / 256.0
 
 
+def avi_bytes(rasters: np.ndarray, *, fps: int = 10) -> bytes:
+    """Serialize a (n_frames, H, W, 3) uint8 RGB raster stack into a
+    minimal REAL uncompressed 24-bit RIFF/AVI (bottom-up BGR DIB frames
+    with 4-byte row padding, correct chunk sizes) — the single writer
+    behind `synthetic_avi` AND the raster-pin tests, so the fixture and
+    the orientation/channel-order pins can't drift apart."""
+    import struct
+
+    n_video_frames, height, width, _ = rasters.shape
+    stride = ((width * 3 + 3) // 4) * 4
+
+    def _chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def _list(list_type: bytes, payload: bytes) -> bytes:
+        return _chunk(b"LIST", list_type + payload)
+
+    frame_chunks = []
+    for fr in rasters:
+        dib = np.zeros((height, stride), dtype=np.uint8)
+        dib[:, : width * 3] = fr[::-1, :, ::-1].reshape(height, width * 3)
+        frame_chunks.append(_chunk(b"00db", dib.tobytes()))
+    avih = struct.pack(
+        "<14I",
+        int(1e6 / fps), 0, 0, 0,
+        n_video_frames, 0, 1, stride * height,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack(
+            "<IIIIIIIIII", 0, 0, 0, 1, fps, 0, n_video_frames,
+            stride * height, 0, 0,
+        ) + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, stride * height, 0, 0, 0, 0,
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi = _list(b"movi", b"".join(frame_chunks))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def synthetic_avi(
     spark: SparkSession,
     n: int = 8,
@@ -442,62 +509,22 @@ def synthetic_avi(
     fps: int = 10,
 ) -> DataFrame:
     """Deterministic corpus of REAL uncompressed 24-bit RIFF/AVI files
-    (seeded random rasters, bottom-up BGR DIB frames, correct chunk
-    sizes) in the `MEDIA_SCHEMA` shape — the video twin of
-    `synthetic_wav` / `synthetic_png`: content a real parser accepts,
-    exercised through the same Arrow path as the stubs."""
-    import struct
-
-    stride = ((width * 3 + 3) // 4) * 4
+    (seeded random rasters through `avi_bytes`) in the `MEDIA_SCHEMA`
+    shape — the video twin of `synthetic_wav` / `synthetic_png`:
+    content a real parser accepts, exercised through the same Arrow
+    path as the stubs."""
     duration_ms = int(round(n_video_frames * 1000.0 / fps))
-
-    def _chunk(fourcc: bytes, data: bytes) -> bytes:
-        pad = b"\x00" if len(data) & 1 else b""
-        return fourcc + struct.pack("<I", len(data)) + data + pad
-
-    def _list(list_type: bytes, payload: bytes) -> bytes:
-        return _chunk(b"LIST", list_type + payload)
-
     rows = []
     for i in range(n):
         rng = np.random.default_rng((seed, i))
         rasters = rng.integers(
             0, 256, size=(n_video_frames, height, width, 3), dtype=np.uint8
         )
-        frame_chunks = []
-        for fr in rasters:
-            dib = np.zeros((height, stride), dtype=np.uint8)
-            dib[:, : width * 3] = fr[::-1, :, ::-1].reshape(height, width * 3)
-            frame_chunks.append(_chunk(b"00db", dib.tobytes()))
-        avih = struct.pack(
-            "<14I",
-            int(1e6 / fps), 0, 0, 0,
-            n_video_frames, 0, 1, stride * height,
-            width, height, 0, 0, 0, 0,
-        )
-        strh = (
-            b"vids" + b"DIB " + struct.pack(
-                "<IIIIIIIIII", 0, 0, 0, 1, fps, 0, n_video_frames,
-                stride * height, 0, 0,
-            ) + struct.pack("<4H", 0, 0, width, height)
-        )
-        strf = struct.pack(
-            "<IiiHHIIiiII",
-            40, width, height, 1, 24, 0, stride * height, 0, 0, 0, 0,
-        )
-        hdrl = _list(
-            b"hdrl",
-            _chunk(b"avih", avih)
-            + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
-        )
-        movi = _list(b"movi", b"".join(frame_chunks))
-        body = b"AVI " + hdrl + movi
-        avi = b"RIFF" + struct.pack("<I", len(body)) + body
         rows.append(
             (
                 f"video-{i}",
                 "video",
-                bytearray(avi),
+                bytearray(avi_bytes(rasters, fps=fps)),
                 ("video/x-msvideo", width, height, duration_ms, None),
             )
         )
@@ -652,9 +679,11 @@ def frame_sample(
       (total_frames, pixels, channels) stack; `n_frames` positions are
       sampled at linspace over the ACTUAL frame count, ts_ms is the
       sampled frame's timestamp from ``meta.duration_ms`` spread over
-      the stack, and the per-frame feature is the same
-      ``frame.mean(axis=1)[:4]`` reduction as the stub route. Decoder
-      errors propagate (sample a quarantined corpus with
+      the stack, and the per-frame feature is the WHOLE-frame
+      per-channel mean (``frame.mean(axis=0)``, length = channels) —
+      a content-bearing reduction over every pixel, not a corner
+      sample, so black-frame/scene-change gating sees the full image.
+      Decoder errors propagate (sample a quarantined corpus with
       `media_features(on_error="null")` first if bytes are untrusted).
     - **Stub** (default, oracle-expressible): deterministic positions
       linspace over ``meta.duration_ms``; the per-frame "decode" reuses
@@ -702,7 +731,7 @@ def frame_sample(
                         frame = stack[fidx]
                         ts = int(round(fidx * duration / total))
                         rows.append(
-                            (mid, j, ts, [float(x) for x in frame.mean(axis=1)[:4]])
+                            (mid, j, ts, [float(x) for x in frame.mean(axis=0)])
                         )
                     continue
                 positions = np.linspace(0, max(duration - 1, 0), n_frames).astype(int)

@@ -369,39 +369,15 @@ def test_avi_orientation_and_channel_order():
     """Plant a single red pixel at the TOP-LEFT of frame 0: after the
     bottom-up/BGR undo it must come back at [0, 0, 0] with channel
     order RGB — pinning the two raster transforms a naive parser gets
-    wrong."""
-    import struct
+    wrong. Uses the shared `avi_bytes` writer (same code path as
+    `synthetic_avi`), so fixture and pin can't drift."""
+    from picovdb_spark.operators.multimodal import _avi_parse, avi_bytes
 
-    from picovdb_spark.operators.multimodal import _avi_parse
+    raster = np.zeros((1, 4, 4, 3), dtype=np.uint8)
+    raster[0, 0, 0] = (255, 0, 0)  # pure red, top-left, RGB
 
-    width = height = 4
-    stride = ((width * 3 + 3) // 4) * 4
-    raster = np.zeros((height, width, 3), dtype=np.uint8)
-    raster[0, 0] = (255, 0, 0)  # pure red, top-left, RGB
-
-    def _chunk(fourcc, data):
-        pad = b"\x00" if len(data) & 1 else b""
-        return fourcc + struct.pack("<I", len(data)) + data + pad
-
-    def _list(t, p):
-        return _chunk(b"LIST", t + p)
-
-    dib = np.zeros((height, stride), dtype=np.uint8)
-    dib[:, : width * 3] = raster[::-1, :, ::-1].reshape(height, width * 3)
-    avih = struct.pack("<14I", 100000, 0, 0, 0, 1, 0, 1, 0, width, height, 0, 0, 0, 0)
-    strh = (
-        b"vids" + b"DIB "
-        + struct.pack("<IIIIIIIIII", 0, 0, 0, 1, 10, 0, 1, 0, 0, 0)
-        + struct.pack("<4H", 0, 0, width, height)
-    )
-    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height, 0, 0, 0, 0)
-    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
-    movi = _list(b"movi", _chunk(b"00db", dib.tobytes()))
-    body = b"AVI " + hdrl + movi
-    avi = b"RIFF" + struct.pack("<I", len(body)) + body
-
-    frames, _ = _avi_parse(avi)
-    assert frames.shape == (1, 4, 4, 3)
+    frames, fps = _avi_parse(avi_bytes(raster, fps=10))
+    assert frames.shape == (1, 4, 4, 3) and fps == 10.0
     assert tuple(frames[0, 0, 0]) == (255, 0, 0)
     assert frames[0].sum() == 255  # nothing bled anywhere else
 
@@ -426,7 +402,10 @@ def test_frame_sample_real_avi_frames(spark):
     positions = np.linspace(0, 9, 4).round().astype(int)  # 0, 3, 6, 9
     duration = raw["meta"]["duration_ms"]  # 2000 ms at 10 frames / 5 fps
     for r, fidx in zip(rows, positions):
-        want = [float(x) for x in stack[fidx].mean(axis=1)[:4]]
+        # WHOLE-frame per-channel mean — every pixel contributes, so a
+        # letterboxed corner can't blind the feature
+        want = [float(x) for x in stack[fidx].mean(axis=0)]
+        assert len(want) == 3
         assert np.allclose(r["frame_feature"], want)
         assert r["ts_ms"] == int(round(fidx * duration / 10))
     # distinct frames -> distinct features (unlike a stub roll of 4 rows)
@@ -486,3 +465,48 @@ def test_frame_sample_zero_frame_custom_decoder_yields_no_rows(spark):
         return np.empty((0, 4, 3), dtype=np.float64)
 
     assert frame_sample(media, n_frames=4, frame_decode=empty_stack).count() == 0
+
+
+def test_avi_multistream_and_zero_area():
+    """Stream-indexed chunk matching: a second stream's '01db'/'01dc'
+    chunks are IGNORED (not concatenated into the frame stack, not a
+    spurious rejection), and zero-area dimensions are a ValueError (a
+    zero-area raster would flow to NaN features and dodge the
+    on_error='null' quarantine)."""
+    import struct
+
+    from picovdb_spark.operators.multimodal import _avi_parse, avi_bytes
+
+    rasters = np.zeros((2, 4, 4, 3), dtype=np.uint8)
+    rasters[0, 0, 0] = (9, 8, 7)
+    base = avi_bytes(rasters, fps=10)
+
+    # splice a foreign stream's chunks into the movi list: '01dc'
+    # (compressed, stream 1) must NOT reject the file, '01db' must NOT
+    # add frames
+    def _chunk(fourcc, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    foreign = _chunk(b"01dc", b"\x01\x02") + _chunk(b"01db", b"\x03\x04\x05\x06")
+    movi_at = base.index(b"movi")
+    # grow the movi LIST and RIFF sizes to cover the spliced chunks
+    (movi_size,) = struct.unpack("<I", base[movi_at - 4 : movi_at])
+    patched = (
+        base[: movi_at - 4]
+        + struct.pack("<I", movi_size + len(foreign))
+        + base[movi_at : movi_at + movi_size]
+        + foreign
+    )
+    (riff_size,) = struct.unpack("<I", base[4:8])
+    patched = patched[:4] + struct.pack("<I", riff_size + len(foreign)) + patched[8:]
+
+    frames, _ = _avi_parse(patched)
+    assert frames.shape == (2, 4, 4, 3)  # exactly the stream-0 frames
+    assert tuple(frames[0, 0, 0]) == (9, 8, 7)
+
+    # zero-area dims: crafted header passes the length checks but must
+    # be rejected, not decoded into an (n, h, 0, 3) NaN source
+    zero = avi_bytes(np.zeros((1, 4, 0, 3), dtype=np.uint8), fps=10)
+    with pytest.raises(ValueError, match="zero-area"):
+        _avi_parse(zero)

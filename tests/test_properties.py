@@ -239,16 +239,13 @@ def test_signature_kernel_matches_catalyst_twin_on_arbitrary_text(sess, texts):
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(doc_text, min_size=1, max_size=10))
 def test_window_hash_kernel_matches_catalyst_twin_on_arbitrary_text(sess, texts):
-    """The window-hash formula the Arrow kernel implements (a literal
-    single-space split + hashlib md5 per window, recomputed here
-    locally) equals the former Catalyst
+    """The ACTUAL window-hash Arrow kernel (`dedup._window_hash_rows`,
+    executed through mapInPandas) equals the former Catalyst
     transform/sequence/md5(array_join(slice)) form on arbitrary text —
-    empty-token and UTF-8 semantics must agree exactly. The kernel's
-    in-plan output is pinned end-to-end by tests/test_window_dedup.py
-    and the dedup_exact:window DuckDB twin."""
-    import hashlib
-
-    from picovdb_spark.operators.dedup import window_dedup  # noqa: F401 (surface)
+    empty-token and UTF-8 semantics must agree exactly. (Also pinned
+    end-to-end by tests/test_window_dedup.py and the
+    dedup_exact:window DuckDB twin.)"""
+    from picovdb_spark.operators.dedup import _window_hash_rows
 
     window = 3
     docs = sess.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
@@ -265,12 +262,8 @@ def test_window_hash_kernel_matches_catalyst_twin_on_arbitrary_text(sess, texts)
         .select(F.col("doc_id"), F.posexplode(hashes).alias("s", "__h"))
         .collect()
     )
-    # the kernel's values, recomputed the way the Arrow kernel does
-    got = []
-    for did, text in enumerate(texts):
-        tk = ("" if text is None else text).split(" ")
-        for s in range(len(tk) - window + 1):
-            got.append(
-                (did, s, hashlib.md5(" ".join(tk[s : s + window]).encode()).hexdigest())
-            )
-    assert ref == sorted(got)
+    got = sorted(
+        (r["doc_id"], r["s"], r["__h"])
+        for r in _window_hash_rows(docs, "doc_id", "text", window).collect()
+    )
+    assert ref == got
