@@ -204,3 +204,37 @@ def test_window_dedup_reassembly_is_hash_set_subtraction(spark):
     plan = explain_str(window_dedup(docs, window=4))
     assert "array_except" in plan, plan
     assert "array_contains" not in plan, plan
+
+
+def test_minhash_signature_path_is_arrow_not_interpreted_hofs(spark):
+    """r9 structural pin: the signature+banding construction must be the
+    Arrow kernel (one MapInPandas), with NO interpreted lambda-HOF
+    (array_min(transform(...))) left on the corpus-sized path — the
+    regression this guards cost 31 s of a 44 s LSH wall at 500k docs.
+    The Catalyst twin (functions/text.minhash_signature) remains test-
+    only; if it leaks back into the production plan this fails."""
+    from picovdb_spark.operators.dedup import _band_rows_from_shingles, _shingled
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    plan = explain_str(
+        _band_rows_from_shingles(_shingled(docs, "doc_id", "text", 3), "doc_id", 16, 4)
+    )
+    assert "MapInPandas" in plan, plan
+    assert "array_min(transform(" not in plan, plan
+
+
+def test_window_hash_path_is_arrow_not_interpreted_hofs(spark):
+    """Same pin for the window-dedup hash pass: one MapInPandas emits
+    the (id, start, digest) rows; the interpreted
+    transform(sequence, md5(array_join(slice))) chain must not return."""
+    from picovdb_spark.operators.dedup import _window_hash_rows
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(4)], "doc_id long, text string"
+    )
+    plan = explain_str(_window_hash_rows(docs, "doc_id", "text", 4))
+    assert "MapInPandas" in plan, plan
+    assert "array_join(slice(" not in plan, plan
