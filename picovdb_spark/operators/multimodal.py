@@ -341,7 +341,7 @@ def _avi_parse(content: bytes) -> tuple[np.ndarray, float]:
         "compression": None,
         "fps": None,
         "usec_per_frame": None,
-        "last_strh_type": None,
+        "await_vid_strf": False,
         "n_streams": 0,  # strh chunks appear in stream order
         "vid_stream": None,  # index of the FIRST 'vids' stream
     }
@@ -359,14 +359,18 @@ def _avi_parse(content: bytes) -> tuple[np.ndarray, float]:
             elif fourcc == b"avih" and size >= 4:
                 (state["usec_per_frame"],) = struct.unpack("<I", b[start : start + 4])
             elif fourcc == b"strh" and size >= 32:
-                state["last_strh_type"] = b[start : start + 4]
-                if state["last_strh_type"] == b"vids" and state["vid_stream"] is None:
+                # the ELECTED video stream is the FIRST 'vids' strh; its
+                # strf (dims/compression) is the only one accepted — a
+                # second video stream's strf must not overwrite the
+                # elected stream's dimensions
+                if b[start : start + 4] == b"vids" and state["vid_stream"] is None:
                     state["vid_stream"] = state["n_streams"]
+                    state["await_vid_strf"] = True
                     scale, rate = struct.unpack("<II", b[start + 20 : start + 28])
                     if scale and rate:
                         state["fps"] = rate / scale
                 state["n_streams"] += 1
-            elif fourcc == b"strf" and state["last_strh_type"] == b"vids":
+            elif fourcc == b"strf" and state.get("await_vid_strf"):
                 if size < 40:
                     raise ValueError("AVI video strf shorter than BITMAPINFOHEADER")
                 _, bw, bh, _, bcnt, comp = struct.unpack(
@@ -375,7 +379,7 @@ def _avi_parse(content: bytes) -> tuple[np.ndarray, float]:
                 state["width"], state["height"] = bw, abs(bh)
                 state["bottom_up"] = bh > 0  # negative biHeight = top-down
                 state["bit_count"], state["compression"] = bcnt, comp
-                state["last_strh_type"] = None  # one strf per strh
+                state["await_vid_strf"] = False  # one strf per strh
             elif fourcc[:2].isdigit() and fourcc[2:4] in (b"db", b"dc"):
                 # movi data chunk 'NNdb'/'NNdc' — only the ELECTED video
                 # stream's chunks count; an audio or second-video

@@ -510,3 +510,50 @@ def test_avi_multistream_and_zero_area():
     zero = avi_bytes(np.zeros((1, 4, 0, 3), dtype=np.uint8), fps=10)
     with pytest.raises(ValueError, match="zero-area"):
         _avi_parse(zero)
+
+
+def test_avi_second_video_stream_strf_does_not_override_dims():
+    """A second 'vids' stream's strf (different dimensions) must not
+    overwrite the ELECTED (first) stream's dims — its frames are ignored
+    by the stream-indexed chunk matching, so its header must be too."""
+    import struct
+
+    from picovdb_spark.operators.multimodal import _avi_parse, avi_bytes
+
+    rasters = np.zeros((1, 4, 4, 3), dtype=np.uint8)
+    rasters[0, 1, 2] = (5, 6, 7)
+    base = avi_bytes(rasters, fps=10)
+
+    def _chunk(fourcc, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def _list(t, p):
+        return _chunk(b"LIST", t + p)
+
+    # second video stream: 8x8, also BI_RGB — would change stride*height
+    strh2 = (
+        b"vids" + b"DIB "
+        + struct.pack("<IIIIIIIIII", 0, 0, 0, 1, 10, 0, 1, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, 8, 8)
+    )
+    strf2 = struct.pack("<IiiHHIIiiII", 40, 8, 8, 1, 24, 0, 24 * 8, 0, 0, 0, 0)
+    strl2 = _list(b"strl", _chunk(b"strh", strh2) + _chunk(b"strf", strf2))
+
+    # splice the second strl into hdrl, before movi
+    hdrl_at = base.index(b"hdrl")
+    (hdrl_size,) = struct.unpack("<I", base[hdrl_at - 4 : hdrl_at])
+    hdrl_end = hdrl_at + hdrl_size
+    patched = (
+        base[: hdrl_at - 4]
+        + struct.pack("<I", hdrl_size + len(strl2))
+        + base[hdrl_at:hdrl_end]
+        + strl2
+        + base[hdrl_end:]
+    )
+    (riff_size,) = struct.unpack("<I", base[4:8])
+    patched = patched[:4] + struct.pack("<I", riff_size + len(strl2)) + patched[8:]
+
+    frames, _ = _avi_parse(patched)
+    assert frames.shape == (1, 4, 4, 3)  # elected stream's dims survive
+    assert tuple(frames[0, 1, 2]) == (5, 6, 7)
