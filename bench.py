@@ -767,8 +767,13 @@ def bench_queries(spark):
         EXTRA_STATS["scale1m_dedup_buckets"] = lsh_bucket_stats(scale_state["docs1m"])
 
     def q_scale1m_dedup_minhash():
-        scale_state["pairs1m"] = minhash_lsh_pairs(scale_state["docs1m"])
+        # stage decomposition (r9, same contract as curate's eager
+        # gates): shingle / signature_bands / candidates_verify walls
+        # published so a wave reading names the stage it landed in
+        st: dict = {}
+        scale_state["pairs1m"] = minhash_lsh_pairs(scale_state["docs1m"], stage_times=st)
         scale_state["pairs1m"].count()  # localCheckpointed: count = materialize
+        EXTRA_STATS["scale1m_dedup_minhash_stages"] = st
 
     def q_scale1m_dedup_simhash():
         # scale configuration (simhash_pairs docstring SCALE RULE):

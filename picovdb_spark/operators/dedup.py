@@ -311,6 +311,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     round_to: int = 6,
     max_bucket_size: int | None = None,
+    stage_times: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -331,12 +332,30 @@ def minhash_lsh_pairs(
     buckets are near-certainly boilerplate, and their members still pair
     via their other, more selective bands). None = uncapped (exact
     oracle parity).
+
+    `stage_times` (optional dict, diagnostic — the curate_corpus
+    contract): eagerly materializes the two cached frames with their
+    walls recorded under ``shingle`` / ``signature_bands``, so the final
+    pair materialization (recorded under ``candidates_verify``) times
+    only the self-join + Jaccard verify. Off (default): the caches fill
+    lazily inside the one pair-materialization action (identical work,
+    no decomposition).
     """
+    import time as _time
+
     sh = _shingled(docs, id_col, text_col, shingle_n).cache()
+    if stage_times is not None:
+        _t0 = _time.perf_counter()
+        sh.count()
+        stage_times["shingle"] = round(_time.perf_counter() - _t0, 3)
     band_rows = _band_rows_from_shingles(
         sh, id_col, num_hashes, bands
     ).cache()  # consumed by BOTH sides of the self-join: without the
     # cache the md5-per-shingle signature subtree runs twice
+    if stage_times is not None:
+        _t0 = _time.perf_counter()
+        band_rows.count()
+        stage_times["signature_bands"] = round(_time.perf_counter() - _t0, 3)
     band_rows_cached = band_rows  # keep the handle: unpersist must hit
     # the CACHED plan even after the skew-guard rebinds band_rows below
     if max_bucket_size is not None:
@@ -364,7 +383,10 @@ def minhash_lsh_pairs(
     # shingle/band caches can be RELEASED now — .cache() entries are
     # never auto-evicted in a long-lived session, while the checkpoint
     # RDD is context-cleaned once the result goes out of scope
+    _t0 = _time.perf_counter()
     out = out.localCheckpoint(eager=True)
+    if stage_times is not None:
+        stage_times["candidates_verify"] = round(_time.perf_counter() - _t0, 3)
     sh.unpersist()
     band_rows_cached.unpersist()
     return out
