@@ -768,8 +768,9 @@ def bench_queries(spark):
 
     def q_scale1m_dedup_minhash():
         # stage decomposition (r9, same contract as curate's eager
-        # gates): shingle / signature_bands / candidates_verify walls
-        # published so a wave reading names the stage it landed in
+        # gates): shingle_sig_bands (one fused Arrow pass) /
+        # candidates_verify walls published so a wave reading names
+        # the stage it landed in
         st: dict = {}
         scale_state["pairs1m"] = minhash_lsh_pairs(scale_state["docs1m"], stage_times=st)
         scale_state["pairs1m"].count()  # localCheckpointed: count = materialize

@@ -222,70 +222,139 @@ def _sig_bands_from_shingles(
     B = np.array([b for _, b in coeffs], dtype=np.int64)
 
     def kernel(batches: "Iterator") -> "Iterator":
-        import hashlib
-
         import pandas as pd
 
         for pdf in batches:
             if pdf.empty:
                 continue
-            lists = pdf["sh"]
-            n_rows = len(lists)
-            lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=n_rows)
-            total = int(lens.sum())
-            # one md5 per shingle (digest()[:4] big-endian == first 8
-            # hex chars as int — the md5_hash32 contract)
-            flat = np.fromiter(
-                (
-                    int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
-                    for lst in lists
-                    for s in lst
-                ),
-                dtype=np.int64,
-                count=total,
-            )
-            starts = np.zeros(n_rows, dtype=np.int64)
-            if n_rows > 1:
-                np.cumsum(lens[:-1], out=starts[1:])
-            nonempty = lens > 0
-            ne_starts = starts[nonempty]
-            n_ne = int(nonempty.sum())
-            mins = np.empty((n_ne, num_hashes), dtype=np.int64)
-            if n_ne:
-                for i in range(num_hashes):
-                    # a < 2^30, h < 2^32 ⇒ a·h + b < 2^62: no int64 overflow
-                    perm = (A[i] * flat + B[i]) % MINHASH_PRIME
-                    mins[:, i] = np.minimum.reduceat(perm, ne_starts)
-            sig_out: list = []
-            band_out: list = []
-            j = 0
-            for k in range(n_rows):
-                if not nonempty[k]:
-                    # empty shingle set ⇒ null (sig, bands) — the
-                    # short_col route keeps the row, the default route
-                    # filtered it above
-                    sig_out.append(None)
-                    band_out.append(None)
-                    continue
-                s = mins[j]
-                j += 1
-                sig_out.append([int(v) for v in s])
-                band_out.append(
-                    [
-                        hashlib.md5(
-                            ",".join(
-                                str(int(v)) for v in s[b * rows : (b + 1) * rows]
-                            ).encode()
-                        ).hexdigest()
-                        for b in range(bands)
-                    ]
-                )
+            sig_out, band_out = _sig_band_lists(pdf["sh"], A, B, num_hashes, bands)
             data = {id_col: pdf[id_col], "sig": sig_out, "bands": band_out}
             for c in extra:
                 data[c] = pdf[c]
             yield pd.DataFrame(data)
 
     return src.mapInPandas(kernel, schema=out_schema)
+
+
+def _sig_band_lists(lists, A, B, num_hashes: int, bands: int):
+    """Per-batch signature+banding math shared by EVERY kernel that
+    computes MinHash signatures (`_sig_bands_from_shingles` and the
+    fused `_shingled_sig_bands`) — one implementation, so the fused
+    LSH path and the index/streaming path cannot drift. Returns
+    (sig_out, band_out) aligned with `lists`; empty shingle lists get
+    (None, None). `A`/`B` are the `_minhash_coeffs` arrays as int64
+    numpy vectors (hoisted by the caller so they're built once per
+    kernel, not per batch)."""
+    import hashlib
+
+    import numpy as np
+
+    rows = num_hashes // bands
+    n_rows = len(lists)
+    lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=n_rows)
+    total = int(lens.sum())
+    # one md5 per shingle (digest()[:4] big-endian == first 8 hex
+    # chars as int — the md5_hash32 contract)
+    flat = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+            for lst in lists
+            for s in lst
+        ),
+        dtype=np.int64,
+        count=total,
+    )
+    starts = np.zeros(n_rows, dtype=np.int64)
+    if n_rows > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    nonempty = lens > 0
+    ne_starts = starts[nonempty]
+    n_ne = int(nonempty.sum())
+    mins = np.empty((n_ne, num_hashes), dtype=np.int64)
+    if n_ne:
+        for i in range(num_hashes):
+            # a < 2^30, h < 2^32 ⇒ a·h + b < 2^62: no int64 overflow
+            perm = (A[i] * flat + B[i]) % MINHASH_PRIME
+            mins[:, i] = np.minimum.reduceat(perm, ne_starts)
+    sig_out: list = []
+    band_out: list = []
+    j = 0
+    for k in range(n_rows):
+        if not nonempty[k]:
+            # empty shingle set ⇒ null (sig, bands) — short_col /
+            # fused routes keep the row, the default route pre-filters
+            sig_out.append(None)
+            band_out.append(None)
+            continue
+        s = mins[j]
+        j += 1
+        sig_out.append([int(v) for v in s])
+        band_out.append(
+            [
+                hashlib.md5(
+                    ",".join(
+                        str(int(v)) for v in s[b * rows : (b + 1) * rows]
+                    ).encode()
+                ).hexdigest()
+                for b in range(bands)
+            ]
+        )
+    return sig_out, band_out
+
+
+def _shingled_sig_bands(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(id, sh, bands) in ONE Arrow pass — tokenize, shingle, hash,
+    min-perm, and band without ever materializing the shingle arrays
+    back into the JVM between stages. This is `minhash_lsh_pairs`'
+    fast path: the two-step form (`_shingled` cache → signature kernel)
+    ships the corpus's shingle strings JVM→Python a second time
+    (~hundreds of MB at the 1M tier) purely to hash them; here the
+    signature rides the same kernel that built the shingles, and the
+    one cached frame serves BOTH the banded self-join (posexplode of
+    `bands`, a cheap projection) and the Jaccard verify join (`sh`).
+    Values are the shared `_sig_band_lists` math — identical to
+    `_sig_bands_from_shingles` by construction. Empty shingle lists
+    keep their row with bands=NULL (posexplode skips them; they can
+    never be candidates)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); "
+            f"got remainder {num_hashes % bands}"
+        )
+    import numpy as np
+    from pyspark.sql import types as T
+
+    coeffs = _minhash_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+    out_schema = T.StructType(
+        [
+            docs.schema[id_col],
+            T.StructField("sh", T.ArrayType(T.StringType())),
+            T.StructField("bands", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            shingles = [_shingle_set(_tok_list(t), n) for t in pdf[text_col]]
+            _, band_out = _sig_band_lists(shingles, A, B, num_hashes, bands)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "sh": shingles, "bands": band_out}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
 
 
 def _band_rows_from_shingles(
@@ -334,29 +403,31 @@ def minhash_lsh_pairs(
     oracle parity).
 
     `stage_times` (optional dict, diagnostic — the curate_corpus
-    contract): eagerly materializes the two cached frames with their
-    walls recorded under ``shingle`` / ``signature_bands``, so the final
+    contract): eagerly materializes the fused shingle+signature cache
+    with its wall recorded under ``shingle_sig_bands``, so the final
     pair materialization (recorded under ``candidates_verify``) times
-    only the self-join + Jaccard verify. Off (default): the caches fill
+    only the self-join + Jaccard verify. Off (default): the cache fills
     lazily inside the one pair-materialization action (identical work,
     no decomposition).
     """
     import time as _time
 
-    sh = _shingled(docs, id_col, text_col, shingle_n).cache()
+    # ONE fused Arrow pass builds shingles AND band hashes (values =
+    # the shared _sig_band_lists math); the single cached frame feeds
+    # both the banded self-join and the verify join — the two-step
+    # form re-shipped every shingle string JVM→Python just to hash it
+    fused = _shingled_sig_bands(
+        docs, id_col, text_col, shingle_n, num_hashes, bands
+    ).cache()
     if stage_times is not None:
         _t0 = _time.perf_counter()
-        sh.count()
-        stage_times["shingle"] = round(_time.perf_counter() - _t0, 3)
-    band_rows = _band_rows_from_shingles(
-        sh, id_col, num_hashes, bands
-    ).cache()  # consumed by BOTH sides of the self-join: without the
-    # cache the md5-per-shingle signature subtree runs twice
-    if stage_times is not None:
-        _t0 = _time.perf_counter()
-        band_rows.count()
-        stage_times["signature_bands"] = round(_time.perf_counter() - _t0, 3)
-    band_rows_cached = band_rows  # keep the handle: unpersist must hit
+        fused.count()
+        stage_times["shingle_sig_bands"] = round(_time.perf_counter() - _t0, 3)
+    sh = fused.select(id_col, "sh")
+    band_rows = fused.select(
+        F.col(id_col), F.posexplode("bands").alias("band_idx", "band")
+    )
+    band_rows_cached = fused  # keep the handle: unpersist must hit
     # the CACHED plan even after the skew-guard rebinds band_rows below
     if max_bucket_size is not None:
         sizes = band_rows.groupBy("band_idx", "band").agg(F.count("*").alias("__n"))
@@ -387,8 +458,7 @@ def minhash_lsh_pairs(
     out = out.localCheckpoint(eager=True)
     if stage_times is not None:
         stage_times["candidates_verify"] = round(_time.perf_counter() - _t0, 3)
-    sh.unpersist()
-    band_rows_cached.unpersist()
+    band_rows_cached.unpersist()  # the one fused cache (sh + bands)
     return out
 
 

@@ -325,5 +325,5 @@ def test_minhash_lsh_pairs_stage_times_decomposition(spark):
     )
     plain = sorted(map(tuple, minhash_lsh_pairs(docs).collect()))
     assert inst == plain and len(inst) > 0
-    assert set(st) == {"shingle", "signature_bands", "candidates_verify"}
+    assert set(st) == {"shingle_sig_bands", "candidates_verify"}
     assert all(isinstance(v, float) and v >= 0 for v in st.values())
