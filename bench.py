@@ -1616,8 +1616,11 @@ def main() -> None:
         # 41 s. One r9 full-suite child hit 163 s inside a severe host
         # wave (immediately re-measured 20.7/21.7 s, identical output) —
         # extreme waves are adjudicated by the auto-re-measure, not
-        # absorbed into the claim
-        "scale1m_dedup_minhash": (18.0, 60.0),
+        # absorbed into the claim. Floor lowered after the r9 fused
+        # shingle+signature kernel and semi-join verify prefilter:
+        # fresh children read 18.0-22.2 s under load 15-22, warm
+        # in-session 12.6 s — the fast-quiet end moved
+        "scale1m_dedup_minhash": (10.0, 60.0),
         "scale1m_dedup_simhash": (4.0, 18.0),
         "scale1m_dedup_components": (1.5, 10.0),  # r8 wave session 7.8 in-suite / 3.3 settled
         "scale1m_embedding_near_dup": (5.0, 75.0),
@@ -1635,13 +1638,17 @@ def main() -> None:
         # (pre-fix 146-185 s before decontaminate moved to the Arrow
         # shingle kernel); hi end = quiet × the documented 1.4-2.8×
         # CPU-wave factor on heavy dedup rows
-        "scale500k_curate": (45.0, 220.0),
+        # floor lowered for the r9 LSH fusion + semi-join verify (the
+        # LSH stage fell 28.8-34 -> ~19-29 s inside this row); best
+        # same-day total 58.1 s under residual load — quiet could dip
+        # below the old 45 floor
+        "scale500k_curate": (38.0, 220.0),
         # composed prepare_training_data over the same 500k corpus:
         # curate + budgets + BPE encode + chunk + pack + shard deal,
         # stage-isolated primary with full stage decomposition. r9
         # quiet isolated: 83.0 / 97.1 s back-to-back (identical volumes
         # both runs); hi = quiet × the 1.4-2.8× CPU-wave factor
-        "scale500k_prepare": (60.0, 280.0),
+        "scale500k_prepare": (55.0, 280.0),  # floor eased for the same r9 LSH work riding this row
         # GEMM-bound; the spread is the host's parallel-FP collapse
         # mechanism (quiet sgemm ~15 GF/thread, but ~13 GF AGGREGATE
         # when ~21 workers run concurrently at k=128 shapes — see the

@@ -423,6 +423,13 @@ def minhash_lsh_pairs(
         _t0 = _time.perf_counter()
         fused.count()
         stage_times["shingle_sig_bands"] = round(_time.perf_counter() - _t0, 3)
+    # candidates_verify timing starts HERE, not at the final
+    # materialization: under AQE, localCheckpoint(eager=False) executes
+    # the plan's upstream stages at call time (toRdd materializes AQE
+    # query stages), so the banded self-join below largely runs inside
+    # the "lazy" checkpoint statements — measured 6 s of a 12.6 s call
+    # at the 1M tier misattributed before this timer moved
+    _t_verify = _time.perf_counter()
     sh = fused.select(id_col, "sh")
     band_rows = fused.select(
         F.col(id_col), F.posexplode("bands").alias("band_idx", "band")
@@ -440,9 +447,25 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        # consumed twice below (the candidate-id spine and the final
+        # pair join) — checkpoint so the banded self-join runs once
+        .localCheckpoint(eager=False)
     )
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # verify reads the corpus's shingle arrays for CANDIDATE DOCS ONLY:
+    # one semi-join pass shrinks the fused cache to the ≤2·|cand| docs
+    # that appear in any pair, so the two array joins below deserialize
+    # candidate arrays, not the whole corpus twice — at 100 TB this is
+    # the difference between "verification is proportional to the
+    # near-dup fraction" (the documented contract) and two full-corpus
+    # array scans
+    ids_needed = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh_small = sh.join(ids_needed, id_col, "left_semi").localCheckpoint(eager=False)
+    sh_a = sh_small.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh_small.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     out = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
@@ -454,10 +477,9 @@ def minhash_lsh_pairs(
     # shingle/band caches can be RELEASED now — .cache() entries are
     # never auto-evicted in a long-lived session, while the checkpoint
     # RDD is context-cleaned once the result goes out of scope
-    _t0 = _time.perf_counter()
     out = out.localCheckpoint(eager=True)
     if stage_times is not None:
-        stage_times["candidates_verify"] = round(_time.perf_counter() - _t0, 3)
+        stage_times["candidates_verify"] = round(_time.perf_counter() - _t_verify, 3)
     band_rows_cached.unpersist()  # the one fused cache (sh + bands)
     return out
 
