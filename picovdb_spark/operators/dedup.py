@@ -249,6 +249,11 @@ def _sig_band_lists(lists, A, B, num_hashes: int, bands: int):
 
     import numpy as np
 
+    # NULL shingle arrays map to (None, None) exactly like empty ones —
+    # today's callers (_shingled / _shingled_for_index) always emit
+    # lists, but this kernel is the shared core for any future caller
+    # and the Catalyst form it replaced degraded NULLs gracefully
+    lists = [x if x is not None else [] for x in lists]
     rows = num_hashes // bands
     n_rows = len(lists)
     lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=n_rows)
@@ -1066,6 +1071,7 @@ def paragraph_dedup(
     text_col: str = "text",
     sep: str = "\n\n",
     min_chars: int = 1,
+    stage_times: dict | None = None,
 ) -> DataFrame:
     """Corpus-wide exact paragraph (span) dedup with removal — the
     RefinedWeb/FineWeb curation step the document-level ladder above
@@ -1107,6 +1113,16 @@ def paragraph_dedup(
     Reference contrast: the reference dedups whole payloads only via
     content-hash auto-ids (pico_vdb.py:54-55); sub-document spans are
     out of its model entirely.
+
+    `stage_times` (optional dict, diagnostic — the minhash_lsh_pairs
+    contract): eagerly materializes the narrow (id, keep-positions)
+    list via localCheckpoint with its wall recorded under
+    ``election`` (steps 1–3: explode, hash, winner election, keep-list
+    collapse), so the caller's final materialization times only step 4
+    (the text-reassembly join) — record it as the remainder under
+    ``reassembly``. The checkpoint also breaks lineage, so election
+    work never re-runs inside the reassembly action. Off (default):
+    fully lazy, identical values.
     """
     import re as _re
 
@@ -1128,6 +1144,15 @@ def paragraph_dedup(
     keeplist = keep.groupBy(id_col).agg(
         F.sort_array(F.collect_list("pos")).alias("__keep")
     )
+    if stage_times is not None:
+        import time as _time
+
+        # eager=True: the wall is the checkpoint statement itself (the
+        # AQE lazy-checkpoint misattribution can't occur), and the
+        # narrow (id, int-array) frame — never text — hits local disk
+        _t0 = _time.perf_counter()
+        keeplist = keeplist.localCheckpoint(eager=True)
+        stage_times["election"] = round(_time.perf_counter() - _t0, 3)
     karr = F.coalesce(F.col("__keep"), F.array().cast("array<int>"))
     kept_arr = F.filter(arr, lambda x, i: F.array_contains(karr, i))
     return docs.join(keeplist, on=id_col, how="left").select(

@@ -355,7 +355,16 @@ def _avi_parse(content: bytes) -> tuple[np.ndarray, float]:
             if stop > end:
                 raise ValueError(f"truncated AVI chunk {fourcc!r}")
             if fourcc == b"LIST":
+                list_type = b[start : start + 4]
                 walk(start + 4, stop)  # skip the 4-byte list type
+                if list_type == b"strl":
+                    # strf acceptance is scoped to the elected strh's
+                    # OWN strl: if a malformed file's 'vids' strh has no
+                    # following strf, the flag must not survive into a
+                    # later stream's strl, where e.g. a 40-byte audio
+                    # WAVEFORMATEXTENSIBLE would be parsed as the video
+                    # BITMAPINFOHEADER and yield garbage dimensions
+                    state["await_vid_strf"] = False
             elif fourcc == b"avih" and size >= 4:
                 (state["usec_per_frame"],) = struct.unpack("<I", b[start : start + 4])
             elif fourcc == b"strh" and size >= 32:
@@ -447,10 +456,24 @@ def avi_frames(content: bytes, meta) -> np.ndarray:
     """Frame-stack form of `avi_decode` for `frame_sample(frame_decode=)`:
     (n_frames, H*W, 3) float64 in [0, 1) — each sampled frame is a
     (pixels, channels) raster the per-frame feature reduces exactly like
-    the stub route's array."""
+    the stub route's array. Discards the container fps — rows sampled
+    through this form get ts_ms from ``meta.duration_ms`` only (ts_ms=0
+    when duration is NULL); use `avi_frames_timed` to keep container
+    timing as the fallback."""
     frames, _ = _avi_parse(content)
     n, h, w, c = frames.shape
     return frames.reshape(n, h * w, c).astype(np.float64) / 256.0
+
+
+def avi_frames_timed(content: bytes, meta) -> tuple:
+    """`avi_frames` plus container timing: returns (stack, fps) — the
+    two-tuple form of the `frame_sample(frame_decode=)` contract. When
+    ``meta.duration_ms`` is NULL, `frame_sample` falls back to the
+    container's fps (from the strh rate/scale or avih usec-per-frame)
+    for ts_ms instead of silently stamping every frame 0."""
+    frames, fps = _avi_parse(content)
+    n, h, w, c = frames.shape
+    return frames.reshape(n, h * w, c).astype(np.float64) / 256.0, fps
 
 
 def avi_bytes(rasters: np.ndarray, *, fps: int = 10) -> bytes:
@@ -562,9 +585,10 @@ def media_features(
     crawl-scale corpus where bad bytes are routine. ``"null"`` isolates
     per record: the row survives with feature=NULL (hash and size still
     computed from the bytes, so dedup identity is unaffected) and the
-    caller quarantines `feature IS NULL` rows downstream — count them
-    (``df.filter("feature IS NULL").count()``) and alert on the rate: a
-    systematically broken corpus shows up as a spike, not silence.
+    caller quarantines `feature IS NULL` rows downstream — run
+    `media_quarantine_report` on the output for the count/rate (one
+    small agg) and alert on it: a systematically broken corpus shows up
+    as a spike, not silence.
     Decoder PROGRAMMING errors (TypeError/NameError/AttributeError —
     wrong signature, typo'd attribute) always propagate, even under
     ``"null"``: a broken decoder would otherwise quarantine 100% of the
@@ -648,6 +672,36 @@ def media_features(
     return media.mapInPandas(f, schema=out_schema)
 
 
+def media_quarantine_report(features: DataFrame) -> dict:
+    """Aggregate `media_features(on_error="null")` output into the run
+    report a media-ingest job logs — the `curation_report` sibling for
+    the quarantine channel, so a systematically broken decoder is one
+    artifact read away instead of a downstream `feature IS NULL` count
+    someone has to remember to run. One small groupBy over the (narrow)
+    feature frame: overall total / quarantined / rate plus the same
+    split per modality (a broken IMAGE decoder shows as a modality-local
+    spike, not a diluted corpus-wide rate)."""
+    rows = (
+        features.groupBy("modality")
+        .agg(
+            F.count("*").alias("total"),
+            F.count(F.when(F.col("feature").isNull(), 1)).alias("quarantined"),
+        )
+        .collect()
+    )
+    total = sum(r["total"] for r in rows)
+    quarantined = sum(r["quarantined"] for r in rows)
+    return {
+        "total": total,
+        "quarantined": quarantined,
+        "rate": (quarantined / total) if total else 0.0,
+        "by_modality": {
+            r["modality"]: {"total": r["total"], "quarantined": r["quarantined"]}
+            for r in sorted(rows, key=lambda r: r["modality"])
+        },
+    }
+
+
 def media_exact_dedup(media: DataFrame, *, hex_hash: bool = False) -> DataFrame:
     """Byte-exact dedup over the binary column — pure JVM (md5 on
     binary), no Python: (media_id, content_hash, canonical_id, is_dup).
@@ -680,10 +734,14 @@ def frame_sample(
 
     - **Real codec** (``frame_decode=avi_frames`` or a pyav kernel with
       the same signature): the callable returns the decoded
-      (total_frames, pixels, channels) stack; `n_frames` positions are
-      sampled at linspace over the ACTUAL frame count, ts_ms is the
-      sampled frame's timestamp from ``meta.duration_ms`` spread over
-      the stack, and the per-frame feature is the WHOLE-frame
+      (total_frames, pixels, channels) stack — or a ``(stack, fps)``
+      two-tuple (``avi_frames_timed``) to carry container timing;
+      `n_frames` positions are sampled at linspace over the ACTUAL
+      frame count, ts_ms is the sampled frame's timestamp from
+      ``meta.duration_ms`` spread over the stack (falling back to the
+      decoder-reported fps when duration_ms is NULL, else ts_ms=0 —
+      the documented null-duration degradation for stack-only
+      decoders), and the per-frame feature is the WHOLE-frame
       per-channel mean (``frame.mean(axis=0)``, length = channels) —
       a content-bearing reduction over every pixel, not a corner
       sample, so black-frame/scene-change gating sees the full image.
@@ -721,7 +779,14 @@ def frame_sample(
             for mid, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
                 duration = int(meta["duration_ms"] or 0)
                 if frame_decode is not None:
-                    stack = frame_decode(bytes(content), meta)
+                    decoded = frame_decode(bytes(content), meta)
+                    # contract: a bare stack, or (stack, fps) from a
+                    # timed decoder (avi_frames_timed) — fps is the
+                    # ts_ms fallback when duration_ms is NULL
+                    if isinstance(decoded, tuple):
+                        stack, fps = decoded
+                    else:
+                        stack, fps = decoded, None
                     total = stack.shape[0]
                     if total == 0:
                         # a custom decoder may return an empty stack for
@@ -733,7 +798,12 @@ def frame_sample(
                     )
                     for j, fidx in enumerate(positions):
                         frame = stack[fidx]
-                        ts = int(round(fidx * duration / total))
+                        if duration > 0:
+                            ts = int(round(fidx * duration / total))
+                        elif fps:
+                            ts = int(round(fidx * 1000.0 / fps))
+                        else:
+                            ts = 0  # documented stack-only degradation
                         rows.append(
                             (mid, j, ts, [float(x) for x in frame.mean(axis=0)])
                         )

@@ -557,3 +557,125 @@ def test_avi_second_video_stream_strf_does_not_override_dims():
     frames, _ = _avi_parse(patched)
     assert frames.shape == (1, 4, 4, 3)  # elected stream's dims survive
     assert tuple(frames[0, 1, 2]) == (5, 6, 7)
+
+
+def test_avi_missing_video_strf_not_adopted_from_audio_strl():
+    """strf acceptance is scoped to the elected strh's own strl (round-9
+    advice): a malformed file whose 'vids' strh has NO strf, followed by
+    an audio strl whose strf is 40+ bytes (WAVEFORMATEXTENSIBLE-sized),
+    must fail with 'missing video stream header', not parse the audio
+    strf as a BITMAPINFOHEADER and report garbage dimensions."""
+    import struct
+
+    from picovdb_spark.operators.multimodal import _avi_parse
+
+    def _chunk(fourcc, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def _list(t, p):
+        return _chunk(b"LIST", t + p)
+
+    strh_vid = (
+        b"vids" + b"DIB "
+        + struct.pack("<IIIIIIIIII", 0, 0, 0, 1, 10, 0, 1, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, 4, 4)
+    )
+    strh_aud = (
+        b"auds" + b"\x00" * 4
+        + struct.pack("<IIIIIIIIII", 0, 0, 0, 1, 8000, 0, 8000, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, 0, 0)
+    )
+    # a 40-byte audio strf that WOULD decode as a plausible 8x8 24-bit
+    # BITMAPINFOHEADER if the stale await_vid_strf flag leaked into
+    # this strl — the exact garbage-dims failure the scoping prevents
+    strf_aud = struct.pack("<IiiHHIIiiII", 40, 8, 8, 1, 24, 0, 24 * 8, 0, 0, 0, 0)
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", struct.pack("<I", 100000) + b"\x00" * 52)
+        + _list(b"strl", _chunk(b"strh", strh_vid))  # vids strh, NO strf
+        + _list(b"strl", _chunk(b"strh", strh_aud) + _chunk(b"strf", strf_aud)),
+    )
+    movi = _list(b"movi", _chunk(b"00db", b"\x00" * 48))
+    payload = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+    with pytest.raises(ValueError, match="missing video stream"):
+        _avi_parse(avi)
+
+
+def test_frame_sample_timed_decoder_falls_back_to_container_fps(spark):
+    """ts_ms fallback chain (round-9 advice): when meta.duration_ms is
+    NULL, frame_decode=avi_frames_timed stamps ts_ms from the CONTAINER
+    fps the AVI headers carry, while the stack-only avi_frames route
+    degrades to the documented ts_ms=0 — features identical either way."""
+    from picovdb_spark.operators.multimodal import (
+        avi_frames,
+        avi_frames_timed,
+        synthetic_avi,
+    )
+
+    media = synthetic_avi(spark, n=1, seed=2, n_video_frames=10, fps=5)
+    null_dur = media.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime").alias("mime"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+        ),
+    )
+    timed = sorted(
+        frame_sample(null_dur, n_frames=4, frame_decode=avi_frames_timed).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    stack_only = sorted(
+        frame_sample(null_dur, n_frames=4, frame_decode=avi_frames).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    # linspace(0, 9, 4) -> frames 0, 3, 6, 9 at 5 fps -> 0/600/1200/1800 ms
+    assert [r["ts_ms"] for r in timed] == [0, 600, 1200, 1800]
+    assert [r["ts_ms"] for r in stack_only] == [0, 0, 0, 0]  # documented
+    for a, b in zip(timed, stack_only):
+        assert a["frame_feature"] == b["frame_feature"]
+    # with duration_ms present, meta stays authoritative for both forms
+    with_dur = sorted(
+        frame_sample(media, n_frames=4, frame_decode=avi_frames_timed).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [r["ts_ms"] for r in with_dur] == [0, 600, 1200, 1800]
+
+
+def test_media_quarantine_report(spark):
+    """media_quarantine_report turns the on_error='null' output into the
+    run-report dict (total / quarantined / rate, split per modality) so
+    a broken decoder is one artifact read away — round-9 verdict #6."""
+    from picovdb_spark.operators.multimodal import (
+        media_quarantine_report,
+        synthetic_wav,
+        wav_decode,
+    )
+
+    good = synthetic_wav(spark, n=3, seed=5)
+    bad = spark.createDataFrame(
+        [
+            (
+                "bad-0",
+                "audio",
+                bytearray(b"not a riff file"),
+                ("audio/wav", None, None, 0, 8000),
+            )
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    feats = media_features(
+        good.unionByName(bad), decode=wav_decode, on_error="null"
+    )
+    report = media_quarantine_report(feats)
+    assert report["total"] == 4
+    assert report["quarantined"] == 1
+    assert report["rate"] == pytest.approx(0.25)
+    assert report["by_modality"] == {
+        "audio": {"total": 4, "quarantined": 1}
+    }

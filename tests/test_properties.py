@@ -267,3 +267,26 @@ def test_window_hash_kernel_matches_catalyst_twin_on_arbitrary_text(sess, texts)
         for r in _window_hash_rows(docs, "doc_id", "text", window).collect()
     )
     assert ref == got
+
+
+def test_sig_band_lists_normalizes_null_arrays():
+    """The shared signature kernel maps NULL shingle arrays to
+    (None, None) exactly like empty ones (round-9 advice): today's
+    callers always emit lists, but the kernel is the shared core for
+    any future caller and the Catalyst form it replaced degraded NULLs
+    gracefully rather than raising TypeError('len(None)')."""
+    import numpy as np
+
+    from picovdb_spark.functions.text import _minhash_coeffs
+    from picovdb_spark.operators.dedup import _sig_band_lists
+
+    coeffs = _minhash_coeffs(16)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+    sig, bands = _sig_band_lists(
+        [["a b c", "b c d"], None, [], ["a b c", "b c d"]], A, B, 16, 4
+    )
+    assert sig[1] is None and bands[1] is None  # NULL == empty
+    assert sig[2] is None and bands[2] is None
+    assert sig[0] == sig[3] and bands[0] == bands[3]  # real rows intact
+    assert len(sig[0]) == 16 and len(bands[0]) == 4
