@@ -1601,8 +1601,8 @@ def main() -> None:
         "ann_ivf_query_1000": (0.6, 2.4),
         "chunk_pack": (0.55, 2.0),
         "pipeline_screen": (0.25, 1.1),
-        "pipeline_curate": (3.5, 30.0),  # r8: 6.3 after the decontaminate Arrow-kernel fix; r9: 4.46 after the signature kernel
-        "pipeline_prepare": (4.0, 30.0),  # r8: 7.2 after the decontaminate Arrow-kernel fix; r9: 5.07 after the signature kernel
+        "pipeline_curate": (2.5, 30.0),  # r8: 6.3 after the decontaminate Arrow-kernel fix; r9: 4.46 after the signature kernel; r10 floor lowered for the decontaminate token-overlap prefilter (interleaved A/B at 500k: 39.6/16.8/13.3 s -> 4.1/3.6/3.5 s, identical 1000 contaminated)
+        "pipeline_prepare": (3.0, 30.0),  # r8: 7.2 after the decontaminate Arrow-kernel fix; r9: 5.07 after the signature kernel; r10: decontaminate prefilter rides this row too
         # reference-scale tier (100k × 1024)
         "ref100k_batch_1000": (0.85, 1.5),  # r8: 0.896 in-suite / 0.975 settled
         "ref100k_batch_1000_resident": (0.9, 1.8),
@@ -1654,13 +1654,17 @@ def main() -> None:
         # LSH stage fell 28.8-34 -> ~19-29 s inside this row); best
         # same-day total 58.1 s under residual load — quiet could dip
         # below the old 45 floor
-        "scale500k_curate": (38.0, 220.0),
+        # r10 floor lowered for the decontaminate token-overlap prefilter
+        # (the ~10-14 s gate stage drops to ~3.5 s; interleaved A/B on the
+        # isolated call at 500k: 39.6/16.8/13.3 s no-prefilter vs
+        # 4.1/3.6/3.5 s prefilter, identical 1000 contaminated docs)
+        "scale500k_curate": (30.0, 220.0),
         # composed prepare_training_data over the same 500k corpus:
         # curate + budgets + BPE encode + chunk + pack + shard deal,
         # stage-isolated primary with full stage decomposition. r9
         # quiet isolated: 83.0 / 97.1 s back-to-back (identical volumes
         # both runs); hi = quiet × the 1.4-2.8× CPU-wave factor
-        "scale500k_prepare": (55.0, 280.0),  # floor eased for the same r9 LSH work riding this row
+        "scale500k_prepare": (45.0, 280.0),  # floor eased for the r9 LSH work + r10 decontaminate prefilter riding this row
         # GEMM-bound; the spread is the host's parallel-FP collapse
         # mechanism (quiet sgemm ~15 GF/thread, but ~13 GF AGGREGATE
         # when ~21 workers run concurrently at k=128 shapes — see the

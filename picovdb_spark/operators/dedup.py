@@ -106,6 +106,55 @@ def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     return docs.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
 
 
+def _shingled_overlapping(
+    docs: DataFrame, id_col: str, text_col: str, n: int, token_set
+) -> DataFrame:
+    """`_shingled` with a token-overlap prune for screens against a
+    SMALL reference set (decontaminate): docs whose token set is
+    disjoint from `token_set` emit no row at all — they can share no
+    n-gram with the reference, so building their gram strings (the
+    dominant kernel cost) and Arrow-shipping them is pure waste. The
+    disjointness check is O(tokens) frozenset lookups on the
+    already-tokenized doc, orders cheaper than gram construction.
+    Same SHARED `_tok_list`/`_shingle_set` helpers as `_shingled`
+    (tokenization cannot drift); `token_set=None` falls through to
+    plain `_shingled` (identical plan, no prune)."""
+    if token_set is None:
+        return _shingled(docs, id_col, text_col, n)
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType),
+            T.StructField("sh", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, out = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = _tok_list(text)
+                if token_set.isdisjoint(toks):
+                    continue
+                ids.append(did)
+                out.append(_shingle_set(toks, n))
+            if not ids:
+                # an all-pruned batch must yield NOTHING: an empty
+                # plain-list DataFrame infers float64 columns, which
+                # Arrow cannot cast to (id_type, list<string>)
+                continue
+            yield pd.DataFrame({id_col: ids, "sh": out})
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
+
+
 def _shingled_for_index(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """`_shingled` plus the short-route hash, in ONE Arrow pass:
     (id, sh, text_hash) where sub-shingle docs (fewer than `n` tokens)

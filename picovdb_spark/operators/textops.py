@@ -435,6 +435,8 @@ def decontaminate(
     broadcast_eval: bool = True,
     min_hits: int = 1,
     min_frac: float | None = None,
+    prefilter: bool = True,
+    prefilter_max_tokens: int = 1_000_000,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     word ``n``-gram with an evaluation set (the overlap screen run before
@@ -464,6 +466,23 @@ def decontaminate(
 
     Output: one row per CONTAMINATED train doc — (id, n_hits = distinct
     overlapping n-grams).
+
+    `prefilter` (default on): prune non-overlapping docs BEFORE they
+    build shingle arrays — the LSH-verify-prefilter pattern
+    (dedup.py `minhash_lsh_pairs`) applied to the corpus-side kernel.
+    A doc can share an n-gram with the eval set only if it contains at
+    least one eval TOKEN, so the kernel tokenizes each doc (cheap) and
+    checks set-disjointness against the collected eval token set before
+    constructing any gram strings; disjoint docs emit nothing. Entirely
+    map-side — zero new shuffles, and the prune lives inside the SAME
+    Arrow pass, so the plan downstream is unchanged. Values are
+    identical by the superset property (pruned docs can have no gram
+    hits); pinned by test. Worst case (every doc shares a stopword with
+    the eval set) the prune keeps everything and costs one extra
+    set-disjointness pass over already-tokenized docs — noise next to
+    gram construction. The token set ships in the kernel closure; if it
+    exceeds `prefilter_max_tokens` (closure-size guard, ~10s of MB) the
+    prune disables itself and the unfiltered kernel runs.
     """
     # the TRAIN side (the 100 TB side) shingles through the Arrow
     # kernel, not the Catalyst word_shingles HOF chain: the interpreted
@@ -473,17 +492,30 @@ def decontaminate(
     # eval side keeps the HOF form; both produce identical gram STRINGS
     # (order inside the per-doc set differs — no consumer observes it),
     # so the hash join semantics are unchanged.
-    from picovdb_spark.operators.dedup import _shingled
+    from picovdb_spark.operators.dedup import _shingled_overlapping
 
     grams = F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("__g")
-    e = (
-        eval_docs.select(grams)
-        .select(md5_hash32(F.col("__g")).alias("__gh"))
-        .distinct()
-    )
+    eval_grams = eval_docs.select(grams)
+    e = eval_grams.select(md5_hash32(F.col("__g")).alias("__gh")).distinct()
     if broadcast_eval:
         e = F.broadcast(e)
-    sh = _shingled(train, id_col, text_col, n).withColumnRenamed("sh", "__s")
+    eval_tokens: frozenset | None = None
+    if prefilter:
+        # the prune set derives from the eval GRAM STRINGS themselves
+        # (split on the same single space that joined them), so it is a
+        # provable superset of every token that can appear in a shared
+        # gram — independent of how either side tokenized
+        tok_rows = (
+            eval_grams.select(F.explode(F.split("__g", " ")).alias("__t"))
+            .distinct()
+            .limit(int(prefilter_max_tokens) + 1)
+            .collect()
+        )
+        if len(tok_rows) <= prefilter_max_tokens:
+            eval_tokens = frozenset(r["__t"] for r in tok_rows)
+    sh = _shingled_overlapping(
+        train, id_col, text_col, n, eval_tokens
+    ).withColumnRenamed("sh", "__s")
     if min_frac is None:
         t = sh.select(F.col(id_col), F.explode("__s").alias("__g")).select(
             F.col(id_col), md5_hash32(F.col("__g")).alias("__gh")

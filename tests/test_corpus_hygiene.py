@@ -373,3 +373,42 @@ def test_pii_redact_tag_with_regex_replacement_metachars(spark):
     assert dollar["text_redacted"] == "reach <$email$1> now"
     backslash = pii_redact(docs, tag_format="\\{name}\\").collect()[0]
     assert backslash["text_redacted"] == "reach \\email\\ now"
+
+
+def test_decontaminate_prefilter_identical_values(spark):
+    """The token-overlap prefilter (r9 verdict #4: the LSH-verify
+    prefilter pattern applied to the decontaminate gate) changes NO
+    values — it prunes only docs provably unable to share a gram.
+    Covers the tripwire cases: a doc sharing tokens but no full n-gram
+    (must survive the prune and still score 0 hits → absent either
+    way), a disjoint doc (pruned), contaminated docs (identical
+    hits/fractions), and min_frac mode (n_grams denominator comes from
+    the surviving doc's own shingles)."""
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),        # shares grams with eval
+            (2, "e a c b d f"),          # shares TOKENS only, no 5-gram
+            (3, "x y z w v u t"),        # token-disjoint: pruned
+            (4, "q r s a b c d e t u"),  # one shared gram, long doc
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(9, "a b c d e f")], "doc_id long, text string")
+    for kw in ({}, {"min_frac": 0.3}):
+        with_pf = {
+            r["doc_id"]: r.asDict()
+            for r in decontaminate(train, ev, n=5, prefilter=True, **kw).collect()
+        }
+        without = {
+            r["doc_id"]: r.asDict()
+            for r in decontaminate(train, ev, n=5, prefilter=False, **kw).collect()
+        }
+        assert with_pf == without, (kw, with_pf, without)
+    base = {r["doc_id"]: r["n_hits"] for r in decontaminate(train, ev, n=5).collect()}
+    assert base == {1: 2, 4: 1}
+    # cap guard: an over-cap eval token set disables the prune, values hold
+    capped = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(train, ev, n=5, prefilter_max_tokens=2).collect()
+    }
+    assert capped == base
