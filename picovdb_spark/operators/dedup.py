@@ -73,7 +73,9 @@ def _shingle_set(toks: list, n: int) -> list:
     return list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
 
 
-def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _shingled(
+    docs: DataFrame, id_col: str, text_col: str, n: int, token_set=None
+) -> DataFrame:
     """Distinct word n-gram shingles per doc, as an Arrow-batched kernel.
 
     Semantics identical to `functions.text.word_shingles` (and its DuckDB
@@ -82,7 +84,16 @@ def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     Catalyst expression chain (sequence→transform→element_at×n→concat_ws→
     array_distinct) allocates per-position; on long documents the Python
     set kernel is ~10× faster (bench history: 10.4s → ~1s for 5k docs of
-    ~2k words at sf0.1) and it is embarrassingly parallel — no shuffle."""
+    ~2k words at sf0.1) and it is embarrassingly parallel — no shuffle.
+
+    `token_set` (optional frozenset): token-overlap prune for screens
+    against a SMALL reference set (decontaminate) — docs whose token
+    set is disjoint emit NO row at all: they can share no n-gram with
+    the reference, so building their gram strings (the dominant kernel
+    cost) and Arrow-shipping them is pure waste. The disjointness check
+    is O(tokens) frozenset lookups on the already-tokenized doc, orders
+    cheaper than gram construction. ONE kernel serves both forms, so
+    tokenization/shingling cannot drift between them."""
     from collections.abc import Iterator
 
     from pyspark.sql import types as T
@@ -100,43 +111,9 @@ def _shingled(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = [_shingle_set(_tok_list(text), n) for text in pdf[text_col]]
-            yield pd.DataFrame({id_col: pdf[id_col], "sh": out})
-
-    return docs.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
-
-
-def _shingled_overlapping(
-    docs: DataFrame, id_col: str, text_col: str, n: int, token_set
-) -> DataFrame:
-    """`_shingled` with a token-overlap prune for screens against a
-    SMALL reference set (decontaminate): docs whose token set is
-    disjoint from `token_set` emit no row at all — they can share no
-    n-gram with the reference, so building their gram strings (the
-    dominant kernel cost) and Arrow-shipping them is pure waste. The
-    disjointness check is O(tokens) frozenset lookups on the
-    already-tokenized doc, orders cheaper than gram construction.
-    Same SHARED `_tok_list`/`_shingle_set` helpers as `_shingled`
-    (tokenization cannot drift); `token_set=None` falls through to
-    plain `_shingled` (identical plan, no prune)."""
-    if token_set is None:
-        return _shingled(docs, id_col, text_col, n)
-    from collections.abc import Iterator
-
-    from pyspark.sql import types as T
-
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, docs.schema[id_col].dataType),
-            T.StructField("sh", T.ArrayType(T.StringType())),
-        ]
-    )
-
-    def kernel(batches: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in batches:
-            if pdf.empty:
+            if token_set is None:
+                out = [_shingle_set(_tok_list(text), n) for text in pdf[text_col]]
+                yield pd.DataFrame({id_col: pdf[id_col], "sh": out})
                 continue
             ids, out = [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):

@@ -696,8 +696,10 @@ def media_quarantine_report(features: DataFrame) -> dict:
         "quarantined": quarantined,
         "rate": (quarantined / total) if total else 0.0,
         "by_modality": {
+            # NULL modality (quarantine-grade metadata from an untyped
+            # ingest) sorts last instead of TypeError-ing the report
             r["modality"]: {"total": r["total"], "quarantined": r["quarantined"]}
-            for r in sorted(rows, key=lambda r: r["modality"])
+            for r in sorted(rows, key=lambda r: (r["modality"] is None, r["modality"] or ""))
         },
     }
 

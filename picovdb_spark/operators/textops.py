@@ -436,7 +436,7 @@ def decontaminate(
     min_hits: int = 1,
     min_frac: float | None = None,
     prefilter: bool = True,
-    prefilter_max_tokens: int = 1_000_000,
+    prefilter_max_tokens: int = 200_000,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     word ``n``-gram with an evaluation set (the overlap screen run before
@@ -476,13 +476,23 @@ def decontaminate(
     constructing any gram strings; disjoint docs emit nothing. Entirely
     map-side — zero new shuffles, and the prune lives inside the SAME
     Arrow pass, so the plan downstream is unchanged. Values are
-    identical by the superset property (pruned docs can have no gram
-    hits); pinned by test. Worst case (every doc shares a stopword with
-    the eval set) the prune keeps everything and costs one extra
-    set-disjointness pass over already-tokenized docs — noise next to
-    gram construction. The token set ships in the kernel closure; if it
-    exceeds `prefilter_max_tokens` (closure-size guard, ~10s of MB) the
-    prune disables itself and the unfiltered kernel runs.
+    identical by the superset property (a shared gram is a space-join
+    of tokens, so any hash-MATCHED doc shares a token) up to the
+    operator's documented 2^-32 hash-collision tolerance: a collision
+    can only mint a PHANTOM hit, and only the unfiltered form can mint
+    one from a token-disjoint doc — the prune strictly reduces the
+    false-flag surface. Pinned identical by test on collision-free
+    data. Worst case (every doc shares a stopword with the eval set)
+    the prune keeps everything and costs one extra set-disjointness
+    pass over already-tokenized docs — noise next to gram construction.
+
+    Collecting the token set is one small EAGER job at call time (the
+    one deviation from lazy plan building), bounded by
+    `prefilter_max_tokens` rows on the driver; over the cap the prune
+    disables itself and the unfiltered kernel runs. The prune only arms
+    when `broadcast_eval=True` — `broadcast_eval=False` is the caller's
+    declaration that the eval set is too big to hold in one place, so
+    no token set is collected (and no eager job runs) on that path.
     """
     # the TRAIN side (the 100 TB side) shingles through the Arrow
     # kernel, not the Catalyst word_shingles HOF chain: the interpreted
@@ -492,7 +502,7 @@ def decontaminate(
     # eval side keeps the HOF form; both produce identical gram STRINGS
     # (order inside the per-doc set differs — no consumer observes it),
     # so the hash join semantics are unchanged.
-    from picovdb_spark.operators.dedup import _shingled_overlapping
+    from picovdb_spark.operators.dedup import _shingled
 
     grams = F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("__g")
     eval_grams = eval_docs.select(grams)
@@ -500,11 +510,14 @@ def decontaminate(
     if broadcast_eval:
         e = F.broadcast(e)
     eval_tokens: frozenset | None = None
-    if prefilter:
+    if prefilter and broadcast_eval:
         # the prune set derives from the eval GRAM STRINGS themselves
         # (split on the same single space that joined them), so it is a
         # provable superset of every token that can appear in a shared
-        # gram — independent of how either side tokenized
+        # gram — independent of how either side tokenized. This re-runs
+        # the eval-side explode (the broadcast hash set above is the
+        # other pass) — the eval side is MBs by the broadcast_eval=True
+        # contract, so the duplicate pass is cheaper than caching it
         tok_rows = (
             eval_grams.select(F.explode(F.split("__g", " ")).alias("__t"))
             .distinct()
@@ -513,8 +526,8 @@ def decontaminate(
         )
         if len(tok_rows) <= prefilter_max_tokens:
             eval_tokens = frozenset(r["__t"] for r in tok_rows)
-    sh = _shingled_overlapping(
-        train, id_col, text_col, n, eval_tokens
+    sh = _shingled(
+        train, id_col, text_col, n, token_set=eval_tokens
     ).withColumnRenamed("sh", "__s")
     if min_frac is None:
         t = sh.select(F.col(id_col), F.explode("__s").alias("__g")).select(

@@ -412,3 +412,10 @@ def test_decontaminate_prefilter_identical_values(spark):
         for r in decontaminate(train, ev, n=5, prefilter_max_tokens=2).collect()
     }
     assert capped == base
+    # broadcast_eval=False declares a too-big-to-collect eval set: the
+    # prune must not arm (no eager token job), values still identical
+    unbroadcast = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(train, ev, n=5, broadcast_eval=False).collect()
+    }
+    assert unbroadcast == base

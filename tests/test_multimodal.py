@@ -679,3 +679,17 @@ def test_media_quarantine_report(spark):
     assert report["by_modality"] == {
         "audio": {"total": 4, "quarantined": 1}
     }
+    # NULL modality (quarantine-grade metadata) must be reported, not
+    # TypeError the sort — the report function takes any features-shaped
+    # frame, not only media_features output
+    loose = spark.createDataFrame(
+        [("x-0", None, 3, "h", None), ("x-1", "image", 3, "h", [1.0])],
+        "media_id string, modality string, n_bytes int, "
+        "content_hash string, feature array<double>",
+    )
+    rep2 = media_quarantine_report(loose)
+    assert rep2["total"] == 2 and rep2["quarantined"] == 1
+    assert rep2["by_modality"] == {
+        "image": {"total": 1, "quarantined": 0},
+        None: {"total": 1, "quarantined": 1},
+    }
