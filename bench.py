@@ -1606,7 +1606,7 @@ def main() -> None:
         "bm25_query_batch": (1.7, 6.0),
         # r9 floor: 4.0 in-suite after the Arrow signature kernel
         # (pairs prep shares the cheaper signature path), settled 5.3
-        "dedup_components": (3.0, 16.0),
+        "dedup_components": (2.5, 16.0),  # r10 quiet full-suite 2.648 — fast side
         "sessionize": (0.4, 1.6),
         "ann_ivf_build": (0.45, 2.0),
         "ann_ivf_query_1000": (0.6, 2.4),
@@ -1621,13 +1621,13 @@ def main() -> None:
         "ref100k_batch_1000_resident_int8": (0.9, 1.9),
         "ref100k_ivf_resident_query_1000": (0.55, 1.3),
         "ref100k_ivf_resident_query_100": (0.4, 1.3),
-        "ref100k_ivf_resident_local_100": (0.03, 0.2),
-        # r10: int8-hostile host regime recurred (the r5 mechanism) — quiet
-        # solo median-of-5 read 0.119/0.221/0.339/1.054/1.432 s while the
-        # f32 control row stayed at its normal 0.059-0.121 s in the same
-        # paired children: int8-path-specific host throttle, not code (no
-        # resident.py change this round). hi covers the throttled regime;
-        # the quiet-day claim (0.4-0.8 ms/q, r7/r9) stands as regime-tagged
+        "ref100k_ivf_resident_local_100": (0.03, 0.3),  # r10: fresh-child cold regime reads 0.24; in-suite 0.059-0.155
+        # r10: quiet solo CHILDREN read 0.119-1.432 s while the f32 control
+        # stayed 0.059-0.121 in paired children AND the same-day in-suite
+        # int8 read 0.059 s (passes 0.058-0.070) — the cast-heavy path
+        # pays the fresh-JVM first-execution regime hardest (RUNBOOK
+        # §2.6; r5's 0.27-0.43 readings were this too). hi covers the
+        # cold regime; the 0.4-0.8 ms/q claim is in-suite/warm evidence
         "ref100k_ivf_resident_int8_local_100": (0.03, 1.6),
         "ref100k_pq_build": (6.0, 48.0),  # r8: 7.3 in-suite / 15.0 settled
         "ref100k_pq_query_1000": (1.8, 5.0),

@@ -9,6 +9,8 @@ Catalyst string/array functions; every one has an exact DuckDB oracle.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -46,9 +48,24 @@ def token_stats(
     )
 
 
-def _stopword_hits(t: Column, words: list[str]) -> Column:
-    arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+def _stopword_hits(text: Column, words: list[str]) -> Column:
+    """Token-equality stopword hit count as ONE compiled-regex pass.
+
+    ``regexp_count`` (JVM-native, pattern compiled once) replaces the
+    former ``size(filter(tokens, λ array_contains))`` form: HOF lambdas
+    evaluate INTERPRETED per token, so the old form paid |tokens| lambda
+    frames × an array scan per doc — at the 500k-doc tier that made the
+    quality gate the most expensive stage of both flagship rows (r10;
+    the same interpreted-HOF cost class r8/r9 removed from the dedup
+    kernels). Values identical: a "hit" is a token — a single-space
+    split piece of lower(text) — string-equal to a stopword, which the
+    pattern states directly (start-or-space before, space-or-end
+    after; consecutive hits resolve because the lookahead leaves the
+    boundary space for the next match). NULL text → NULL, as before."""
+    if not words:
+        return F.lit(0)
+    alts = "|".join(_re.escape(w) for w in words)
+    return F.regexp_count(F.lower(text), F.lit(f"(?:^| )(?:{alts})(?= |$)"))
 
 
 def lang_id(
@@ -57,10 +74,12 @@ def lang_id(
     """N-gram-heuristic language ID: count stopword hits per language
     profile; predict the argmax (ties broken by language code ascending,
     'und' when nothing matches)."""
-    t = tokens(F.col(text_col))
     scored = docs.select(
         F.col(id_col),
-        *[_stopword_hits(t, ws).alias(f"__s_{lang}") for lang, ws in sorted(STOPWORDS.items())],
+        *[
+            _stopword_hits(F.col(text_col), ws).alias(f"__s_{lang}")
+            for lang, ws in sorted(STOPWORDS.items())
+        ],
     )
     langs = sorted(STOPWORDS)
     best = F.greatest(*[F.col(f"__s_{lang}") for lang in langs])
@@ -86,9 +105,9 @@ def quality_score(
     distinct_ratio = F.when(
         n > 0, F.size(F.array_distinct(t)).cast("double") / n
     ).otherwise(F.lit(0.0))
-    sw = F.when(n > 0, _stopword_hits(t, STOPWORDS["en"]).cast("double") / n).otherwise(
-        F.lit(0.0)
-    )
+    sw = F.when(
+        n > 0, _stopword_hits(F.col(text_col), STOPWORDS["en"]).cast("double") / n
+    ).otherwise(F.lit(0.0))
     score = (
         F.lit(0.4) * F.least(n / F.lit(256.0), F.lit(1.0))
         + F.lit(0.4) * distinct_ratio
