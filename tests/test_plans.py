@@ -238,3 +238,26 @@ def test_window_hash_path_is_arrow_not_interpreted_hofs(spark):
     plan = explain_str(_window_hash_rows(docs, "doc_id", "text", 4))
     assert "MapInPandas" in plan, plan
     assert "array_join(slice(" not in plan, plan
+
+
+def test_quality_and_langid_paths_have_no_lambda_hofs(spark):
+    """r10 structural pin: quality_score and lang_id must stay on
+    native functions — array_remove for the empty-token drop (not a
+    filter() lambda) and regexp_count for stopword hits (not
+    size(filter(λ array_contains))). HOF lambdas evaluate INTERPRETED
+    per token; these two expressions sit under every Catalyst text path
+    and were the quality gate's dominant compute at 500k docs."""
+    from picovdb_spark.operators.textops import lang_id, quality_score
+
+    docs = spark.createDataFrame(
+        [("a", "the quick brown fox"), ("b", "der schnelle fuchs")],
+        "doc_id string, text string",
+    )
+    # extended mode prints full projection expressions; formatted
+    # abbreviates Project lists and would hide the markers
+    qplan = explain_str(quality_score(docs), mode="extended")
+    assert "lambdafunction" not in qplan.lower(), qplan
+    assert "array_remove" in qplan and "regexp_count" in qplan, qplan
+    lplan = explain_str(lang_id(docs), mode="extended")
+    assert "lambdafunction" not in lplan.lower(), lplan
+    assert "regexp_count" in lplan, lplan  # lang_id needs no token arrays at all
