@@ -796,10 +796,15 @@ cand AS (
     ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
 ),
 ver AS (
-  SELECT c.id_a, c.id_b, {_d_jaccard('sa.sh', 'sb.sh')} AS jaccard
+  -- r10 twin change, in lockstep with minhash_lsh_pairs: the verify
+  -- jaccard is |∩|/|∪| over DISTINCT md5_hash32 INTS (the `hashed`
+  -- CTE), not shingle strings — list_intersect / list_distinct have
+  -- the same distinct semantics as Spark's array_intersect/union, so
+  -- the comparison stays exact even if a 2^-32 hash collision fires
+  SELECT c.id_a, c.id_b, {_d_jaccard('sa.hs', 'sb.hs')} AS jaccard
   FROM cand c
-  JOIN shing sa ON sa.doc_id = c.id_a
-  JOIN shing sb ON sb.doc_id = c.id_b
+  JOIN hashed sa ON sa.doc_id = c.id_a
+  JOIN hashed sb ON sb.doc_id = c.id_b
 ){against_ctes}
 {final_select}
 """

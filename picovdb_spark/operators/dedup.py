@@ -271,29 +271,45 @@ def _sig_band_lists(lists, A, B, num_hashes: int, bands: int):
     (None, None). `A`/`B` are the `_minhash_coeffs` arrays as int64
     numpy vectors (hoisted by the caller so they're built once per
     kernel, not per batch)."""
-    import hashlib
-
-    import numpy as np
-
     # NULL shingle arrays map to (None, None) exactly like empty ones —
     # today's callers (_shingled / _shingled_for_index) always emit
     # lists, but this kernel is the shared core for any future caller
     # and the Catalyst form it replaced degraded NULLs gracefully
-    lists = [x if x is not None else [] for x in lists]
+    return _sig_band_lists_from_hashes(
+        _shingle_hash_lists(lists), A, B, num_hashes, bands
+    )
+
+
+def _shingle_hash_lists(lists) -> list:
+    """md5_hash32 int per shingle, per row (NULL rows → []) — one md5
+    per shingle; digest()[:4] big-endian == first 8 hex chars as int,
+    the md5_hash32 contract shared with the Catalyst/DuckDB twins."""
+    import hashlib
+
+    return [
+        [int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big") for s in lst]
+        if lst is not None
+        else []
+        for lst in lists
+    ]
+
+
+def _sig_band_lists_from_hashes(hlists: list, A, B, num_hashes: int, bands: int):
+    """`_sig_band_lists` after the hashing step: signature + banding
+    math over PRE-HASHED shingle lists, so a caller that also wants the
+    hash lists themselves (the fused LSH kernel, whose verify join now
+    rides int arrays instead of re-shipping shingle strings) hashes each
+    shingle exactly once."""
+    import hashlib
+
+    import numpy as np
+
     rows = num_hashes // bands
-    n_rows = len(lists)
-    lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=n_rows)
+    n_rows = len(hlists)
+    lens = np.fromiter((len(x) for x in hlists), dtype=np.int64, count=n_rows)
     total = int(lens.sum())
-    # one md5 per shingle (digest()[:4] big-endian == first 8 hex
-    # chars as int — the md5_hash32 contract)
     flat = np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
-            for lst in lists
-            for s in lst
-        ),
-        dtype=np.int64,
-        count=total,
+        (h for lst in hlists for h in lst), dtype=np.int64, count=total
     )
     starts = np.zeros(n_rows, dtype=np.int64)
     if n_rows > 1:
@@ -341,7 +357,7 @@ def _shingled_sig_bands(
     num_hashes: int,
     bands: int,
 ) -> DataFrame:
-    """(id, sh, bands) in ONE Arrow pass — tokenize, shingle, hash,
+    """(id, shh, bands) in ONE Arrow pass — tokenize, shingle, hash,
     min-perm, and band without ever materializing the shingle arrays
     back into the JVM between stages. This is `minhash_lsh_pairs`'
     fast path: the two-step form (`_shingled` cache → signature kernel)
@@ -349,11 +365,21 @@ def _shingled_sig_bands(
     (~hundreds of MB at the 1M tier) purely to hash them; here the
     signature rides the same kernel that built the shingles, and the
     one cached frame serves BOTH the banded self-join (posexplode of
-    `bands`, a cheap projection) and the Jaccard verify join (`sh`).
-    Values are the shared `_sig_band_lists` math — identical to
-    `_sig_bands_from_shingles` by construction. Empty shingle lists
-    keep their row with bands=NULL (posexplode skips them; they can
-    never be candidates)."""
+    `bands`, a cheap projection) and the Jaccard verify join.
+
+    `shh` is the md5_hash32 INT per shingle (r10) — the verify computes
+    |∩|/|∪| over distinct hash arrays, not shingle strings: the strings
+    averaged ~6× the bytes of the int64s, so the cached frame, the
+    semi-join, and the two verify joins all shrink, and the
+    intersect/union runs on longs. Values match the string form up to
+    the operator's documented 2^-32 md5_hash32 collision tolerance
+    (the DuckDB oracle twin hashes the same way, so the GATE comparison
+    is exact even when a collision fires). Signature values are the
+    shared `_sig_band_lists_from_hashes` math over the SAME hash lists
+    — identical to `_sig_bands_from_shingles` by construction, and the
+    shingles are hashed exactly once. Empty shingle lists keep their
+    row with bands=NULL (posexplode skips them; they can never be
+    candidates)."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"bands ({bands}) must divide num_hashes ({num_hashes}); "
@@ -368,7 +394,7 @@ def _shingled_sig_bands(
     out_schema = T.StructType(
         [
             docs.schema[id_col],
-            T.StructField("sh", T.ArrayType(T.StringType())),
+            T.StructField("shh", T.ArrayType(T.LongType())),
             T.StructField("bands", T.ArrayType(T.StringType())),
         ]
     )
@@ -380,9 +406,10 @@ def _shingled_sig_bands(
             if pdf.empty:
                 continue
             shingles = [_shingle_set(_tok_list(t), n) for t in pdf[text_col]]
-            _, band_out = _sig_band_lists(shingles, A, B, num_hashes, bands)
+            hlists = _shingle_hash_lists(shingles)
+            _, band_out = _sig_band_lists_from_hashes(hlists, A, B, num_hashes, bands)
             yield pd.DataFrame(
-                {id_col: pdf[id_col], "sh": shingles, "bands": band_out}
+                {id_col: pdf[id_col], "shh": hlists, "bands": band_out}
             )
 
     return docs.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
@@ -461,7 +488,7 @@ def minhash_lsh_pairs(
     # the "lazy" checkpoint statements — measured 6 s of a 12.6 s call
     # at the 1M tier misattributed before this timer moved
     _t_verify = _time.perf_counter()
-    sh = fused.select(id_col, "sh")
+    sh = fused.select(id_col, "shh")
     band_rows = fused.select(
         F.col(id_col), F.posexplode("bands").alias("band_idx", "band")
     )
@@ -495,8 +522,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
     sh_small = sh.join(ids_needed, id_col, "left_semi").localCheckpoint(eager=False)
-    sh_a = sh_small.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh_small.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    sh_a = sh_small.select(F.col(id_col).alias("id_a"), F.col("shh").alias("sh_a"))
+    sh_b = sh_small.select(F.col(id_col).alias("id_b"), F.col("shh").alias("sh_b"))
     out = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
