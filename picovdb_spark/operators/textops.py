@@ -65,7 +65,11 @@ def _stopword_hits(text: Column, words: list[str]) -> Column:
     if not words:
         return F.lit(0)
     alts = "|".join(_re.escape(w) for w in words)
-    return F.regexp_count(F.lower(text), F.lit(f"(?:^| )(?:{alts})(?= |$)"))
+    # \z (end of INPUT), not $: Java's $ matches before a trailing line
+    # terminator, which would count "...the\n" as a hit even though the
+    # token is "the\n" — diverging from token equality and the DuckDB
+    # twins on newline-terminated text
+    return F.regexp_count(F.lower(text), F.lit(rf"(?:^| )(?:{alts})(?= |\z)"))
 
 
 def lang_id(

@@ -419,3 +419,38 @@ def test_decontaminate_prefilter_identical_values(spark):
         for r in decontaminate(train, ev, n=5, broadcast_eval=False).collect()
     }
     assert unbroadcast == base
+
+
+def test_stopword_hits_token_equality_on_newline_terminated_text(spark):
+    """The regexp stopword counter must match TOKEN equality exactly —
+    Java's $ matches before a trailing line terminator, so '(?= |$)'
+    would count "...the\\n" as a hit even though the token is "the\\n"
+    (review catch, r10: the pattern must end with \\z). Pinned against
+    the filter-lambda reference form on newline/CRLF-terminated text."""
+    from pyspark.sql import functions as F
+
+    from picovdb_spark.functions.text import STOPWORDS
+    from picovdb_spark.operators.textops import _stopword_hits
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see the\n"),          # trailing \n glued to a stopword
+            (2, "the\r\nfox and the\r\n"),
+            (3, "the quick fox"),       # clean hits front and mid
+            (4, "of and to"),           # all hits, no terminator
+            (5, "cathedral offline"),   # substrings must not match
+        ],
+        "doc_id long, text string",
+    )
+    t = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    arr = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    reference = F.size(F.filter(t, lambda x: F.array_contains(arr, x)))
+    rows = docs.select(
+        "doc_id",
+        _stopword_hits(F.col("text"), STOPWORDS["en"]).alias("got"),
+        reference.alias("want"),
+    ).collect()
+    assert {r["doc_id"]: r["got"] for r in rows} == {
+        r["doc_id"]: r["want"] for r in rows
+    }
+    assert {r["doc_id"]: r["want"] for r in rows} == {1: 0, 2: 1, 3: 1, 4: 3, 5: 0}
