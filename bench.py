@@ -1653,17 +1653,19 @@ def main() -> None:
         "scale1m_dedup_simhash": (4.0, 18.0),
         "scale1m_dedup_components": (1.5, 10.0),  # r8 wave session 7.8 in-suite / 3.3 settled
         "scale1m_embedding_near_dup": (5.0, 75.0),
-        # r10: TWO-REGIME row, adjudicated by interleaved A/B in one quiet
-        # session — first execution in a session reads 15-85 s (the
-        # election shuffle moves ~31M (digest,id,pos) rows with no
-        # map-side collapse; machine write-state dependent), steady-state
-        # repeats read ~5 s on identical output (A/B reps: 38.9/84.8 then
-        # 7.0/5.9 then 4.8/5.0 s lazy-vs-staged — the stage_times
-        # checkpoint is neutral). The fresh-child protocol measures the
-        # first-execution regime, so the hi covers it; the stage walls
-        # (scale1m_dedup_paragraph_stages: election/reassembly) name
-        # where a high reading went
-        "scale1m_dedup_paragraph": (3.5, 90.0),
+        # r11: the election went HASH-aggregatable (decimal-encoded
+        # (id,pos) min instead of min(struct) — struct min planned
+        # SortAggregate on BOTH shuffle sides, a full per-partition sort
+        # of ~31M triplets by md5 string) and the r10 two-regime split
+        # collapsed: interleaved fresh-child A/B under load 5-14 read
+        # old elections 17.9/18.2/20.1 s vs new 5.7/6.9/8.5 s, old
+        # totals 24.1-34.4 s vs new 9.7-12.2 s, byte-identical volumes
+        # every run (np 31,425,000 / nk 2,000 / crc 493793860089). The
+        # 15-85 s first-execution band was the SortAggregate paying the
+        # machine's write state — the plan fix, not a protocol note,
+        # removed it. hi = 12.2 quiet fresh-child × the documented
+        # ~2.8x wave factor
+        "scale1m_dedup_paragraph": (3.0, 35.0),
         # hi raised on r9 evidence: 13.5 s with recorded external load
         # (loadavg 15.5 at run end; the companion reading under lighter
         # load was 10.9 s on identical output) — same mechanism as every

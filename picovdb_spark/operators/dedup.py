@@ -1117,6 +1117,12 @@ def keep_best_per_component(
     )
 
 
+# Diagnostic hook (interleaved A/B, RUNBOOK): forces the struct-min
+# SortAggregate election even for integral ids so old/new plans can be
+# compared running otherwise-identical code. Never set in production.
+_FORCE_STRUCT_ELECTION = False
+
+
 def paragraph_dedup(
     docs: DataFrame,
     *,
@@ -1145,9 +1151,18 @@ def paragraph_dedup(
 
     Scale shape — the decision never shuffles text:
       1. posexplode to (id, pos, para) and hash: map-side only.
-      2. Elect winners: groupBy(md5(para)) ⇒ min(struct(id, pos)) — a
-         partial-aggregating shuffle of (digest, id, pos) triplets; the
-         paragraph BYTES stay put.
+      2. Elect winners: groupBy(md5(para)) ⇒ min over (id, pos) encoded
+         as ONE decimal — id·10¹⁰ + pos, numerically identical to the
+         lexicographic (id, pos) order because pos ∈ [0, 10¹⁰). The
+         encoding matters for the physical plan: min(struct(id, pos))
+         plans as SortAggregate on BOTH sides of the shuffle (struct
+         buffers aren't UnsafeRow-mutable), i.e. a full per-partition
+         sort of every (digest, id, pos) triplet by its md5 string
+         before any combining — measured 15–85 s at 31M spans on first
+         execution. min(decimal) is HashAggregate with a map-side
+         partial (probe: same volume class, 2.6 s fresh). The paragraph
+         BYTES stay put either way; non-integral id types fall back to
+         the struct-min form (identical values, slower plan).
       3. Collapse winners + ineligible positions to one sorted int
          array per doc: a second narrow shuffle of (id, pos) only.
       4. Reassemble map-side: join the int keep-list back to `docs` on
@@ -1187,11 +1202,38 @@ def paragraph_dedup(
     elig = paras.filter(F.length("para") >= min_chars).select(
         F.col(id_col), F.col("pos"), F.md5(F.col("para")).alias("__h")
     )
-    win = (
-        elig.groupBy("__h")
-        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
-        .select(F.col(f"w.{id_col}").alias(id_col), F.col("w.pos").alias("pos"))
-    )
+    id_dtype = dict(docs.dtypes)[id_col]
+    if not _FORCE_STRUCT_ELECTION and id_dtype in (
+        "tinyint",
+        "smallint",
+        "int",
+        "bigint",
+    ):
+        # hash-aggregatable election: encode (id, pos) into one decimal
+        # whose numeric order IS the lexicographic (id, pos) order —
+        # pos ∈ [0, 2³¹) ⊂ [0, 10¹⁰), so id·10¹⁰ + pos is base-10¹⁰
+        # positional (exact for the full signed-long id range;
+        # decimal(33,0) never overflows: |id|·10¹⁰ < 10²⁹)
+        _K = F.lit(10_000_000_000).cast("decimal(11,0)")
+        enc = F.col(id_col).cast("decimal(20,0)") * _K + F.col("pos")
+        dec_id = F.floor(F.col("__e") / _K).cast("long")
+        win = (
+            elig.select("__h", enc.alias("__e"))
+            .groupBy("__h")
+            .agg(F.min("__e").alias("__e"))
+            .select(
+                dec_id.cast(id_dtype).alias(id_col),
+                (F.col("__e") - dec_id.cast("decimal(20,0)") * _K)
+                .cast("int")
+                .alias("pos"),
+            )
+        )
+    else:
+        win = (
+            elig.groupBy("__h")
+            .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
+            .select(F.col(f"w.{id_col}").alias(id_col), F.col("w.pos").alias("pos"))
+        )
     inelig = paras.filter(F.length("para") < min_chars).select(F.col(id_col), F.col("pos"))
     keep = win.unionByName(inelig)
     keeplist = keep.groupBy(id_col).agg(

@@ -63,7 +63,10 @@ def _stopword_hits(text: Column, words: list[str]) -> Column:
     after; consecutive hits resolve because the lookahead leaves the
     boundary space for the next match). NULL text → NULL, as before."""
     if not words:
-        return F.lit(0)
+        # preserve the NULL text -> NULL contract of the regex path
+        # (regexp_count NULL-propagates); an unconditional lit(0) would
+        # make the empty-list form the one caller-visible exception
+        return F.when(text.isNotNull(), F.lit(0))
     alts = "|".join(_re.escape(w) for w in words)
     # \z (end of INPUT), not $: Java's $ matches before a trailing line
     # terminator, which would count "...the\n" as a hit even though the

@@ -454,3 +454,21 @@ def test_stopword_hits_token_equality_on_newline_terminated_text(spark):
         r["doc_id"]: r["want"] for r in rows
     }
     assert {r["doc_id"]: r["want"] for r in rows} == {1: 0, 2: 1, 3: 1, 4: 3, 5: 0}
+
+
+def test_stopword_hits_empty_word_list_null_semantics(spark):
+    """_stopword_hits([]) must keep the non-empty path's NULL contract:
+    NULL text -> NULL, non-NULL text -> 0 (advisor catch, r10 — the old
+    unconditional lit(0) made the empty list the one exception)."""
+    from pyspark.sql import functions as F
+
+    from picovdb_spark.operators.textops import _stopword_hits
+
+    docs = spark.createDataFrame(
+        [(1, "some text"), (2, None)], "doc_id long, text string"
+    )
+    rows = docs.select(
+        "doc_id", _stopword_hits(F.col("text"), []).alias("hits")
+    ).collect()
+    got = {r["doc_id"]: r["hits"] for r in rows}
+    assert got == {1: 0, 2: None}
