@@ -1577,22 +1577,22 @@ def main() -> None:
         # sf0.1 operator rows (in-suite, steady-state)
         "batch_1000_gemm": (0.8, 2.2),
         "batch_100_sql": (2.5, 7.0),
-        # r10: the r9 "unhealed violations" on the two where-rows are
-        # adjudicated as the fresh-child FIRST-EXECUTION regime, not a
-        # cost shift — quiet in-session probe: the first where-shaped
-        # query in a session reads 2.5-4.1 s, every later one 0.58-0.78 s
-        # (one session: 4.14 -> 0.78/0.58/0.68 s; cross-child page cache
-        # ruled out — children minutes apart stay slow, in-session
-        # repeats are fast). Quiet fresh-child median-of-5:
-        # filtered_where 1.88-3.08 (median 2.23); profile_where_bt AFTER
-        # a where-row 0.86-1.12, solo-first 3.79. The hi now covers the
-        # first-execution regime the settled/fresh-child protocol
-        # actually measures; in-suite steady state is unchanged
-        "filtered_where": (0.5, 3.5),
+        # r11 (two-regime mechanization, r10 verdict #3 / advisor #4):
+        # these rows' claims are carried as TWO envelopes again — this
+        # dict holds the in-suite STEADY range (back to the r8-era
+        # widths, so a ~2x steady regression flags), and
+        # `settled_ranges` below holds the fresh-child FIRST-EXECUTION
+        # ceiling the r10 adjudication measured (first where-shaped
+        # query in a session 2.5-4.1 s, later ones 0.58-0.78 s; quiet
+        # fresh-child median-of-5: filtered_where 1.88-3.08,
+        # profile_where_bt solo-first 3.79). In-suite readings compare
+        # here; settled/fresh-child re-measures compare against the
+        # first-exec range.
+        "filtered_where": (0.5, 1.8),
         "better_than": (0.45, 1.8),
         "profile_ids_10pct": (0.6, 2.2),
         "profile_ids_1pct": (0.6, 2.2),
-        "profile_where_bt": (0.4, 4.2),
+        "profile_where_bt": (0.4, 1.6),
         "upsert_merge": (0.25, 1.1),
         "dedup_exact": (0.25, 1.1),
         # r9 floor re-earned: the Arrow signature+banding kernel
@@ -1622,13 +1622,14 @@ def main() -> None:
         "ref100k_ivf_resident_query_1000": (0.55, 1.3),
         "ref100k_ivf_resident_query_100": (0.4, 1.3),
         "ref100k_ivf_resident_local_100": (0.03, 0.3),  # r10: fresh-child cold regime reads 0.24; in-suite 0.059-0.155
-        # r10: quiet solo CHILDREN read 0.119-1.432 s while the f32 control
-        # stayed 0.059-0.121 in paired children AND the same-day in-suite
-        # int8 read 0.059 s (passes 0.058-0.070) — the cast-heavy path
-        # pays the fresh-JVM first-execution regime hardest (RUNBOOK
-        # §2.6; r5's 0.27-0.43 readings were this too). hi covers the
-        # cold regime; the 0.4-0.8 ms/q claim is in-suite/warm evidence
-        "ref100k_ivf_resident_int8_local_100": (0.03, 1.6),
+        # r11 two-regime split: this dict holds the in-suite/warm STEADY
+        # range the 0.4-0.8 ms/q claim quotes (r7 0.039, r9 0.053-0.063,
+        # r10 0.059/0.043 — in-suite passes 0.058-0.070); the fresh-JVM
+        # first-execution ceiling (r10 quiet solo children 0.119-1.432 s
+        # while the paired f32 control stayed 0.059-0.121 — the
+        # cast-heavy path pays cold start hardest, RUNBOOK §2.6) moved
+        # to `settled_ranges`
+        "ref100k_ivf_resident_int8_local_100": (0.03, 0.45),
         "ref100k_pq_build": (6.0, 48.0),  # r8: 7.3 in-suite / 15.0 settled
         "ref100k_pq_query_1000": (1.8, 5.0),
         "ref100k_ivfpq_build": (10.0, 60.0),  # r8: 11.8 in-suite / 16.2 settled
@@ -1711,16 +1712,32 @@ def main() -> None:
         "scale4m_disk_exact_1": (1.5, 10.0),  # r7 wave 9.0 in-suite / 6.3 isolated
         "scale4m_disk_ivfpq_1": (0.5, 6.0),  # r7 wave 5.3 in-suite / 1.1 isolated
     }
-    # Settled re-runs are COLD fresh-JVM medians-of-3 — some rows pay
-    # first-pass codegen/JIT the in-suite steady-state range deliberately
-    # excludes (README quotes both regimes). Where the two regimes'
-    # honest ranges differ, the settled check uses this override.
+    # Settled re-runs are COLD fresh-JVM medians-of-3 — they measure the
+    # FIRST-EXECUTION regime (RUNBOOK §2.6: per-session codegen/JIT +
+    # scan warm-up, 2-5x steady on query-shaped rows), which the in-suite
+    # steady-state ranges above deliberately exclude. Every two-regime
+    # row carries BOTH envelopes: in-suite readings check against
+    # `readme_ranges`, settled/fresh-child readings against this
+    # override — so a steady regression can't hide inside a widened
+    # first-execution allowance (r10 verdict #3 / advisor finding).
     settled_ranges = {
-        # README: fresh-JVM isolated medians 1.10 s quiet, up to ~3.97 s
-        # inside a host wave (r5 settled 2.59 s, r6 2.95 s; r9's severe
-        # wave session measured 5.6 s — cold JVM + codegen under a wave
-        # is the worst case this row sees)
-        "ref100k_upsert": (0.4, 7.0),
+        # r11 warm pin (RUNBOOK §2.6 instrument, two one-session
+        # median-of-5 runs): warm medians 0.969 s @ load 3.9 and
+        # 1.504 s @ load 5.1 (warm passes 0.42-1.76), first execution
+        # 1.84/2.50 s — the steady state is the r1-r9 in-suite band
+        # (0.74-1.06) and r10's 2.78 was suite-residency + wave, not a
+        # cost shift. Ceiling = quiet cold sessions (settled medians r5
+        # 2.59, r6 2.95, first-exec 2.50) with headroom; the r9
+        # severe-wave 5.6 s stays adjudicated by the auto re-measure,
+        # not absorbed (was (0.4, 7.0) — the suite's widest envelope)
+        "ref100k_upsert": (0.4, 3.2),
+        # first where-shaped query in a session 2.5-4.1 s (solo-first
+        # 4.14 observed); quiet fresh-child median-of-5 1.88-3.08
+        "filtered_where": (0.5, 4.5),
+        # solo-first 3.79 s; after another where-row 0.86-1.12
+        "profile_where_bt": (0.4, 4.2),
+        # fresh-JVM cold children 0.119-1.432 s (r10, paired f32 control)
+        "ref100k_ivf_resident_int8_local_100": (0.03, 1.6),
     }
     timings: dict[str, float] = {}
 

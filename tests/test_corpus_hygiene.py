@@ -472,3 +472,37 @@ def test_stopword_hits_empty_word_list_null_semantics(spark):
     ).collect()
     got = {r["doc_id"]: r["hits"] for r in rows}
     assert got == {1: 0, 2: None}
+
+
+def test_decontaminate_prefilter_no_eager_job_when_unbroadcast(spark):
+    """broadcast_eval=False is the caller's declaration that the eval
+    set can't be collected — decontaminate(prefilter=True) must build a
+    PURELY LAZY plan on that path: zero Spark jobs at call time (r10
+    verdict #7: the no-eager-job contract, pinned not just documented).
+    Positive control: the broadcast path DOES run its one bounded
+    collect job."""
+    from picovdb_spark.operators.textops import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "h i j k l m n")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    sc = spark.sparkContext
+
+    sc.setJobGroup("decon_lazy", "plan-only")
+    try:
+        df = decontaminate(train, ev, n=5, prefilter=True, broadcast_eval=False)
+        lazy_jobs = sc.statusTracker().getJobIdsForGroup("decon_lazy")
+    finally:
+        sc.setJobGroup(None, None)
+    assert lazy_jobs == [], f"plan construction launched jobs: {lazy_jobs}"
+    # the deferred plan still computes the right answer when acted on
+    assert {r["doc_id"]: r["n_hits"] for r in df.collect()} == {1: 1}
+
+    sc.setJobGroup("decon_eager", "prefilter-collect")
+    try:
+        decontaminate(train, ev, n=5, prefilter=True, broadcast_eval=True)
+        eager_jobs = sc.statusTracker().getJobIdsForGroup("decon_eager")
+    finally:
+        sc.setJobGroup(None, None)
+    assert eager_jobs != [], "broadcast prefilter should run its bounded collect"
