@@ -103,14 +103,27 @@ def quality_score(
     0.4·min(n_tokens/256, 1)  (length)  +
     0.4·(distinct/total tokens)  (lexical diversity)  +
     0.2·min(stopword_ratio·5, 1)  (natural-language prior).
-    """
-    t = tokens(F.col(text_col))
-    n = F.size(t).cast("double")
+
+    Tokenizes ONCE per doc: `__t` is a named projection the consumers
+    reference as a column, not an inlined expression — inlining
+    `tokens()` into every use re-expands split+array_remove 4× inside
+    the generated code, and the resulting giant method's JIT/warm-up
+    made the gate's FIRST execution ~3× slower (r11 interleaved A/B at
+    500k: first pass 16.1 s inlined vs 5.4 s tokens-once, steady
+    repeats equal at ~2.1 s, values checksum-identical). Fresh-child
+    stage walls — and a 100 TB run, where every execution is a first
+    execution — pay exactly that regime. CollapseProject leaves the
+    two-projection shape alone because `__t` is non-cheap and
+    multiply-referenced."""
+    base = docs.select(
+        F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("__t")
+    )
+    n = F.size("__t").cast("double")
     # 0-token docs score 0 on every ratio (worst quality) instead of
     # aborting under Spark 4's ANSI divide-by-zero default — empty and
     # whitespace-only rows are exactly what a quality screen must handle
     distinct_ratio = F.when(
-        n > 0, F.size(F.array_distinct(t)).cast("double") / n
+        n > 0, F.size(F.array_distinct("__t")).cast("double") / n
     ).otherwise(F.lit(0.0))
     sw = F.when(
         n > 0, _stopword_hits(F.col(text_col), STOPWORDS["en"]).cast("double") / n
@@ -120,9 +133,9 @@ def quality_score(
         + F.lit(0.4) * distinct_ratio
         + F.lit(0.2) * F.least(sw * 5.0, F.lit(1.0))
     )
-    return docs.select(
+    return base.select(
         F.col(id_col),
-        F.size(t).cast("long").alias("n_tokens"),
+        F.size("__t").cast("long").alias("n_tokens"),
         F.round(distinct_ratio, round_to).alias("distinct_ratio"),
         F.round(sw, round_to).alias("stopword_ratio"),
         F.round(score, round_to).alias("quality"),

@@ -27,6 +27,13 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+def optimized_plan_str(df: DataFrame) -> str:
+    """The Catalyst OPTIMIZED logical plan as a string — the level where
+    projection collapsing / expression inlining decisions are visible
+    (explain("extended") prints it too, but buried in four plans)."""
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
 def _split_top_level(s: str) -> list[str]:
     parts, depth, cur = [], 0, ""
     for ch in s:

@@ -258,6 +258,13 @@ def test_quality_and_langid_paths_have_no_lambda_hofs(spark):
     qplan = explain_str(quality_score(docs), mode="extended")
     assert "lambdafunction" not in qplan.lower(), qplan
     assert "array_remove" in qplan and "regexp_count" in qplan, qplan
+    # r11: tokenize ONCE — the optimized plan must carry exactly one
+    # split() (the named __t projection); inlining it into every
+    # consumer re-expands it 4x in codegen and tripled the gate's
+    # first-execution wall (interleaved A/B at 500k: 16.1 -> 5.4 s)
+    from picovdb_spark.plans import optimized_plan_str
+    opt = optimized_plan_str(quality_score(docs))
+    assert opt.count("split(") == 1, opt
     lplan = explain_str(lang_id(docs), mode="extended")
     assert "lambdafunction" not in lplan.lower(), lplan
     assert "regexp_count" in lplan, lplan  # lang_id needs no token arrays at all
