@@ -1344,7 +1344,15 @@ def window_dedup(
          md5-of-window is kept because DuckDB computes the identical
          digest for the oracle twin.)
       2. Winner election shuffles (digest, id, start) triplets only —
-         window TEXT never leaves the mapper.
+         window TEXT never leaves the mapper. Since r11 the election
+         uses the same decimal-encoded HashAggregate shape as
+         paragraph_dedup (min(struct) planned SortAggregate on both
+         shuffle sides). Honest perf note: unlike the paragraph row
+         (2-3.5x), the interleaved A/B on THIS row was neutral at 1M
+         docs — its wall is the O(tokens x window) Arrow md5 kernel,
+         not the election — so the change is kept for the plan shape
+         (no per-partition sort of 31M triplets at larger scale), not a
+         measured local win.
       3. Loser windows explode to covered token positions: O(dup_bytes
          x window) rows, proportional to the duplicated portion of the
          corpus only, then collapse to one sorted int array per doc
@@ -1376,15 +1384,49 @@ def window_dedup(
         # text stays out of it.
         .localCheckpoint(eager=False)
     )
-    agg = wins.groupBy("__h").agg(
-        F.min(F.struct(F.col(id_col), F.col("s"))).alias("w"),
-        F.count("*").alias("__c"),
-    )
+    # winner election: same hash-aggregatable decimal encoding as
+    # paragraph_dedup's election — min(struct) plans SortAggregate on
+    # both shuffle sides (struct buffers aren't UnsafeRow-mutable),
+    # i.e. a per-partition sort of every (digest,id,start) triplet by
+    # md5 string; min(decimal) + count are HashAggregate with a
+    # map-side partial. Numeric order of id*10^10 + s IS the
+    # lexicographic (id, s) order (s ∈ [0, 2^31) ⊂ [0, 10^10)).
+    id_dtype = dict(docs.dtypes)[id_col]
+    if not _FORCE_STRUCT_ELECTION and id_dtype in (
+        "tinyint",
+        "smallint",
+        "int",
+        "bigint",
+    ):
+        _K = F.lit(10_000_000_000).cast("decimal(11,0)")
+        enc = F.col(id_col).cast("decimal(20,0)") * _K + F.col("s")
+        dec_id = F.floor(F.col("__e") / _K).cast("long")
+        agg = (
+            wins.select("__h", enc.alias("__e"))
+            .groupBy("__h")
+            .agg(F.min("__e").alias("__e"), F.count("*").alias("__c"))
+            .select(
+                "__h",
+                "__c",
+                dec_id.cast(id_dtype).alias("__wid"),
+                (F.col("__e") - dec_id.cast("decimal(20,0)") * _K)
+                .cast("int")
+                .alias("__ws"),
+            )
+        )
+    else:
+        agg = wins.groupBy("__h").agg(
+            F.min(F.struct(F.col(id_col), F.col("s"))).alias("w"),
+            F.count("*").alias("__c"),
+        ).select(
+            "__h",
+            "__c",
+            F.col(f"w.{id_col}").alias("__wid"),
+            F.col("w.s").alias("__ws"),
+        )
     losers = (
         wins.join(agg.filter(F.col("__c") > 1), on="__h")
-        .filter(
-            ~((F.col(id_col) == F.col(f"w.{id_col}")) & (F.col("s") == F.col("w.s")))
-        )
+        .filter(~((F.col(id_col) == F.col("__wid")) & (F.col("s") == F.col("__ws"))))
         .select(F.col(id_col), F.col("s"))
     )
     removal = (

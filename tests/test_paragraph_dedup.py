@@ -199,3 +199,19 @@ def test_string_id_fallback_matches_long_id_results(spark):
         for r in paragraph_dedup(df_str, sep="\n\n").collect()
     }
     assert got_long == got_str
+
+
+def test_window_election_is_hash_aggregated_for_integral_ids(spark):
+    """window_dedup's winner election must plan HashAggregate for the
+    same reason as paragraph_dedup's (min(struct) ⇒ SortAggregate ⇒
+    per-partition sort of every (digest,id,start) triplet)."""
+    from picovdb_spark.operators.dedup import window_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "c d e f g h i j k l")],
+        "doc_id long, text string",
+    )
+    plan = (
+        window_dedup(df, window=5)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortAggregate" not in plan
