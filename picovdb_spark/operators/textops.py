@@ -27,12 +27,19 @@ def token_stats(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", round_to: int = 6
 ) -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, a BPE-ish
-    regex token count, chars, and mean token length."""
-    t = tokens(F.col(text_col))
-    return docs.select(
+    regex token count, chars, and mean token length.
+
+    Tokenizes ONCE via a named `__t` projection — the same
+    codegen-expansion fix as quality_score (inlining re-expands
+    split+array_remove into every consumer; see that docstring for the
+    measured 3× first-execution cost)."""
+    base = docs.select(
+        F.col(id_col), F.col(text_col), tokens(F.col(text_col)).alias("__t")
+    )
+    return base.select(
         F.col(id_col),
-        F.size(t).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        F.size("__t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("__t")).cast("long").alias("n_distinct"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)).cast("long").alias("n_bpe_tokens"),
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
         # CASE-guarded: a 0-token doc is a legal input (blank/boilerplate
@@ -40,8 +47,8 @@ def token_stats(
         # default makes an unguarded /0 abort the whole job
         F.round(
             F.when(
-                F.size(t) > 0,
-                F.length(F.col(text_col)).cast("double") / F.size(t).cast("double"),
+                F.size("__t") > 0,
+                F.length(F.col(text_col)).cast("double") / F.size("__t").cast("double"),
             ).otherwise(F.lit(0.0)),
             round_to,
         ).alias("chars_per_token"),
