@@ -1665,7 +1665,9 @@ def main() -> None:
         # 15-85 s first-execution band was the SortAggregate paying the
         # machine's write state — the plan fix, not a protocol note,
         # removed it. hi = 12.2 quiet fresh-child × the documented
-        # ~2.8x wave factor
+        # ~2.8x wave factor; an r11 child under a forming wave (load
+        # 0.06→12) read 30.4 (election 26.0) — inside. Beyond-wave
+        # readings get adjudicated by the auto re-measure, not absorbed
         "scale1m_dedup_paragraph": (3.0, 35.0),
         # hi raised on r9 evidence: 13.5 s with recorded external load
         # (loadavg 15.5 at run end; the companion reading under lighter
