@@ -215,3 +215,37 @@ def test_window_election_is_hash_aggregated_for_integral_ids(spark):
         window_dedup(df, window=5)._jdf.queryExecution().executedPlan().toString()
     )
     assert "SortAggregate" not in plan
+
+
+def test_decimal_vs_struct_election_randomized_parity(spark):
+    """Seeded random corpus (mixed-sign ids, heavy paragraph sharing):
+    the decimal-encoded election must reproduce the struct-min form's
+    output row-for-row — same winners under ties on digest, same
+    reassembled text."""
+    import random
+
+    from picovdb_spark.operators import dedup as D
+
+    rng = random.Random(411)
+    vocab = [f"p{j}" for j in range(30)]  # few distinct paragraphs => many collisions
+    rows = []
+    ids = rng.sample(range(-(10**12), 10**12), 200)
+    for did in ids:
+        paras = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(1, 6))]
+        rows.append((did, "\n\n".join(paras)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run():
+        return {
+            r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_clean"])
+            for r in D.paragraph_dedup(df, sep="\n\n").collect()
+        }
+
+    fast = run()
+    old_flag = D._FORCE_STRUCT_ELECTION
+    D._FORCE_STRUCT_ELECTION = True
+    try:
+        ref = run()
+    finally:
+        D._FORCE_STRUCT_ELECTION = old_flag
+    assert fast == ref
