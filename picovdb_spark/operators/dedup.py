@@ -1199,8 +1199,11 @@ def paragraph_dedup(
     # phantom span_empty husk (n_kept 0 with no spans at all)
     arr = F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep), -1)
     paras = docs.select(F.col(id_col), F.posexplode(arr).alias("pos", "para"))
+    # 16-byte binary digest as the election key (r11): equality over
+    # unhex(md5) ≡ equality over the hex string, and every shuffled
+    # (digest,id,pos) triplet is 16 B lighter
     elig = paras.filter(F.length("para") >= min_chars).select(
-        F.col(id_col), F.col("pos"), F.md5(F.col("para")).alias("__h")
+        F.col(id_col), F.col("pos"), F.unhex(F.md5(F.col("para"))).alias("__h")
     )
     id_dtype = dict(docs.dtypes)[id_col]
     if not _FORCE_STRUCT_ELECTION and id_dtype in (
@@ -1273,14 +1276,25 @@ def _window_hash_rows(
     Catalyst form and the DuckDB oracle twin compute (split(' ') keeps
     empty tokens on both sides; property-test-pinned against the
     Catalyst twin on arbitrary text). Docs with fewer than `window`
-    tokens contribute no rows."""
+    tokens contribute no rows.
+
+    Digests travel as 16-byte BINARY md5, not 32-char hex (r11):
+    equality over the raw digest is equality over the hex form, so the
+    election/probe semantics — and the bit-exact DuckDB twin, which
+    only sees reassembled text — are unchanged, while every shuffled
+    row is 16 B lighter and the Arrow transfer ~30% smaller. The
+    kernel also hashes windows as SLICES of one pre-encoded buffer
+    (token byte offsets into " ".join(tokens).encode()) instead of
+    re-joining O(window) tokens per window — identical bytes by
+    construction (single-space join ⇒ every window is a contiguous
+    byte range)."""
     from pyspark.sql import types as _T
 
     win_schema = _T.StructType(
         [
             docs.schema[id_col],
             _T.StructField("s", _T.IntegerType()),
-            _T.StructField("__h", _T.StringType()),
+            _T.StructField("__h", _T.BinaryType()),
         ]
     )
 
@@ -1289,6 +1303,7 @@ def _window_hash_rows(
 
         import pandas as pd
 
+        md5 = hashlib.md5
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -1300,10 +1315,16 @@ def _window_hash_rows(
                 nw = len(tk) - window + 1
                 if nw <= 0:
                     continue
+                enc = " ".join(tk).encode()
+                # byte offset of token i's start within enc
+                off = [0]
+                pos = 0
+                for t in tk:
+                    pos += len(t.encode()) + 1
+                    off.append(pos)
+                mv = memoryview(enc)
                 for s in range(nw):
-                    digs.append(
-                        hashlib.md5(" ".join(tk[s : s + window]).encode()).hexdigest()
-                    )
+                    digs.append(md5(mv[off[s] : off[s + window] - 1]).digest())
                 ids_out.extend([did] * nw)
                 starts.extend(range(nw))
             yield pd.DataFrame(

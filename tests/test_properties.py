@@ -252,9 +252,13 @@ def test_window_hash_kernel_matches_catalyst_twin_on_arbitrary_text(sess, texts)
     arr = F.split(F.coalesce(F.col("text"), F.lit("")), " ", -1)
     toks = docs.select(F.col("doc_id"), arr.alias("__arr"))
     n = F.size("__arr")
+    # kernel emits 16-byte binary digests since r11; unhex the Catalyst
+    # md5 so both sides compare raw digest bytes
     hashes = F.transform(
         F.sequence(F.lit(0), n - F.lit(window)),
-        lambda s: F.md5(F.array_join(F.slice(F.col("__arr"), s + 1, window), " ")),
+        lambda s: F.unhex(
+            F.md5(F.array_join(F.slice(F.col("__arr"), s + 1, window), " "))
+        ),
     )
     ref = sorted(
         (r["doc_id"], r["s"], r["__h"])
