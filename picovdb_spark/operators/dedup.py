@@ -44,8 +44,11 @@ def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "tex
 
     One hash-shuffle on the 128-bit digest; at 100 TB this is the classic
     map-side-combine groupBy — no row ever carries the full text through
-    the shuffle, only (digest, id)."""
-    hashed = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+    the shuffle, only (digest, id). The digest ships as 16-byte binary
+    (unhex) — same equality, half the key bytes of the hex form."""
+    hashed = docs.select(
+        F.col(id_col), F.unhex(F.md5(F.col(text_col))).alias("__h")
+    )
     w = Window.partitionBy("__h")
     return (
         hashed.withColumn("canonical_id", F.min(id_col).over(w))
