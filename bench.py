@@ -1674,7 +1674,11 @@ def main() -> None:
         # load was 10.9 s on identical output) — same mechanism as every
         # wave-widened bound, documented not absorbed
         "scale1m_dedup_incremental": (7.0, 16.0),
-        "scale1m_dedup_window": (25.0, 90.0),  # r7 in-suite 83.5, settled 68.6
+        # floor lowered r11: binary-digest slice-hash kernel + hash-agg
+        # election — interleaved fresh children read 12.3/17.8 s on the
+        # quiet side (three of four pairs 1.8-2.5x vs old; volumes and
+        # output crc identical). hi unchanged (r7 wave 83.5 in-suite)
+        "scale1m_dedup_window": (10.0, 90.0),
         "scale1m_semantic_dedup": (15.0, 80.0),  # r7 in-suite 73.8, settled 59.9; r9 in-suite 17.5 (fast side)
         # composed curate chain over 500k paragraph-structured docs,
         # stage-isolated primary (fresh child, corpus build untimed).
