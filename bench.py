@@ -1668,7 +1668,10 @@ def main() -> None:
         # ~2.8x wave factor; an r11 child under a forming wave (load
         # 0.06→12) read 30.4 (election 26.0) — inside. Beyond-wave
         # readings get adjudicated by the auto re-measure, not absorbed
-        "scale1m_dedup_paragraph": (3.0, 35.0),
+        # floor 2.0: the r11 full-suite in-suite reading was 3.009
+        # (election 1.85 / reassembly 1.16) — a marginally quieter run
+        # legitimately lands ~2.5
+        "scale1m_dedup_paragraph": (2.0, 35.0),
         # hi raised on r9 evidence: 13.5 s with recorded external load
         # (loadavg 15.5 at run end; the companion reading under lighter
         # load was 10.9 s on identical output) — same mechanism as every
