@@ -268,3 +268,38 @@ def test_quality_and_langid_paths_have_no_lambda_hofs(spark):
     lplan = explain_str(lang_id(docs), mode="extended")
     assert "lambdafunction" not in lplan.lower(), lplan
     assert "regexp_count" in lplan, lplan  # lang_id needs no token arrays at all
+
+
+def test_no_hot_path_plans_sort_aggregate(spark):
+    """r11 structural sweep, institutionalized: no corpus-scale Catalyst
+    path may plan a SortAggregate — the paragraph/window elections'
+    min(struct) did (struct agg buffers aren't UnsafeRow-mutable, so
+    the whole aggregate falls to sort-based with a per-partition sort
+    of every shuffled row by its md5 key), and that single plan shape
+    was the 15-85 s first-execution band at 31M spans. Every operator
+    here must stay HashAggregate/ObjectHashAggregate-only."""
+    from picovdb_spark.operators import dedup as D
+    from picovdb_spark.operators import textops as X
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(6)], "doc_id long, text string"
+    )
+    cases = {
+        "exact_dedup": D.exact_dedup(docs),
+        "paragraph_dedup": D.paragraph_dedup(docs, sep=" "),
+        "window_dedup": D.window_dedup(docs, window=4),
+        "minhash_lsh_pairs": D.minhash_lsh_pairs(docs),
+        "simhash_pairs": D.simhash_pairs(docs),
+        "quality_score": X.quality_score(docs),
+        "token_stats": X.token_stats(docs),
+        "lang_id": X.lang_id(docs),
+        "repeated_ngram_stats": X.repeated_ngram_stats(docs, n=3),
+        "top_ngrams": X.top_ngrams(docs, n=2, k=3),
+        "doc_fingerprint": X.doc_fingerprint(docs),
+    }
+    offenders = {
+        name: df._jdf.queryExecution().executedPlan().toString().count("SortAggregate")
+        for name, df in cases.items()
+    }
+    offenders = {k: v for k, v in offenders.items() if v}
+    assert not offenders, f"sort-based aggregation crept in: {offenders}"
