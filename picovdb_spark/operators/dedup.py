@@ -1152,6 +1152,12 @@ def paragraph_dedup(
     formatting, not content, and deduping them corpus-wide would delete
     every blank line after the first document.
 
+    NULL ids are out of contract (every source table here has non-null
+    ids): a NULL-id doc can never be reassembled (the keep-list join is
+    not null-safe), and which election form lets it win spans differs —
+    the decimal form's min() skips NULL encodings. Filter NULL ids
+    upstream if the input can contain them.
+
     Scale shape — the decision never shuffles text:
       1. posexplode to (id, pos, para) and hash: map-side only.
       2. Elect winners: groupBy(md5(para)) ⇒ min over (id, pos) encoded
