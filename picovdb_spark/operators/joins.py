@@ -270,8 +270,18 @@ def _asof_join_bucketed(
         F.struct(*r_payload).alias("__rpay"),
     ).withColumn("__bkt", F.floor(F.col("__us") / F.lit(width)))
 
-    # (1) latest right row per (key, bucket): algebraic max_by — partial
-    # aggregation combines map-side, so the hot key costs no single task
+    # (1) latest right row per (key, bucket): max_by — partial
+    # aggregation combines map-side, so the hot key costs no single
+    # task. Known plan shape (r11 sweep): this is the package's ONE
+    # remaining SortAggregate — max_by's buffer carries the payload
+    # struct, which isn't UnsafeRow-mutable, so the hash-agg form the
+    # dedup elections moved to (decimal-encoded min) can't apply: the
+    # payload can't ride a primitive. A hash-agg rewrite needs a
+    # max(encoded ts) + join-back (second shuffle of the right side +
+    # tie re-resolution); not worth it here because the downstream
+    # as-of window (3) sorts by the same (key, bucket) anyway — the
+    # partial SortAggregate's sort is not incremental cost in this
+    # plan, unlike the elections where it was the whole wall.
     rl = r2.groupBy("__k", "__bkt").agg(
         F.max_by("__rpay", F.struct(F.col("__us"), F.col("__tie"))).alias("__last")
     )
