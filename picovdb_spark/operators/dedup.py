@@ -1121,9 +1121,130 @@ def keep_best_per_component(
 
 
 # Diagnostic hook (interleaved A/B, RUNBOOK): forces the struct-min
-# SortAggregate election even for integral ids so old/new plans can be
-# compared running otherwise-identical code. Never set in production.
+# SortAggregate election even for integral/string ids so old/new plans
+# can be compared running otherwise-identical code. Never set in
+# production.
 _FORCE_STRUCT_ELECTION = False
+
+
+def _min_first_election(
+    spans: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    pos_col: str,
+    *,
+    with_count: bool = False,
+    ids_source: DataFrame | None = None,
+) -> DataFrame:
+    """Per key-group winner election — the lexicographically-FIRST
+    (id, pos) in each group — shared by `paragraph_dedup` and
+    `window_dedup` so the encoding invariants live in one place (r11
+    advisor). Returns one row per distinct key:
+    (*key_cols, id_col, pos_col[, __c = group count]).
+
+    Physical-plan contract (the r11 finding this helper preserves):
+    ``min(struct(id, pos))`` plans SortAggregate on BOTH shuffle sides
+    (struct agg buffers aren't UnsafeRow-mutable) — a full per-partition
+    sort of every shuffled (key, id, pos) triplet by its digest key,
+    measured 15-85 s at 31M spans on first execution. The election is
+    therefore rewritten per id dtype:
+
+    - INTEGRAL ids: encode (id, pos) as ONE decimal id*10^10 + pos —
+      base-10^10 positional, so numeric order IS the lexicographic
+      (id, pos) order (pos in [0, 2^31) which is a subset of
+      [0, 10^10); decimal(33,0) cannot overflow: |id|*10^10 < 10^29).
+      ``min(decimal)`` plans HashAggregate with a map-side partial.
+      Decode is INTEGRAL (r12, advisor finding): pos = pmod(e, 10^10)
+      — the non-negative remainder, exact for negative ids — and
+      id = (e - pmod(e, 10^10)) / 10^10, a division of an EXACT
+      multiple of the divisor, so Spark's scale-6 decimal-division
+      HALF_UP rounding cannot perturb it. (The former floor(e/K)
+      decode leaned on a subtle rounding-safety bound — pos < 2^31
+      keeps the quotient's fraction <= 0.215, under the 0.5 rounding
+      threshold — correct, but a precondition the code couldn't see.)
+
+    - STRING ids (r11 verdict #1 — URLs/UUIDs/WARC record ids, the
+      common production key type at 100 TB): build a dense long
+      SURROGATE once per call. Rank the distinct ids ascending via
+      ``ordering.global_rank`` (the distributed zipWithIndex shape —
+      rank order is string order, so the winner under the surrogate IS
+      the winner under the contract), hash-join spans -> surrogate,
+      elect on the surrogate through the decimal path above, and map
+      winners back through the same tiny map. Cost: one rank of the
+      distinct ids plus one extra hash-join shuffle of the narrow
+      triplets — measured cheaper than the struct form's per-partition
+      sorts at 1M docs (see the operator docstrings for the A/B). The
+      surrogate map is frozen with localCheckpoint(eager=True) —
+      bounded, one narrow (id, long) row per distinct id — both
+      because it is consumed twice (forward + back join) and because
+      global_rank's offsets are only stable while its source stays
+      pinned; the checkpoint lets the rank cache be released
+      immediately. NOTE: this path launches the ranking jobs EAGERLY
+      at plan-construction time (global_rank's contract); integral-id
+      inputs stay fully lazy.
+
+    - OTHER id types: the struct-min form — identical values, the slow
+      SortAggregate plan — as an honest fallback (also forced by
+      `_FORCE_STRUCT_ELECTION` for tests and A/B harnesses).
+    """
+    id_dtype = dict(spans.dtypes)[id_col]
+    integral = id_dtype in ("tinyint", "smallint", "int", "bigint")
+    count_cols = ["__c"] if with_count else []
+
+    if _FORCE_STRUCT_ELECTION or not (integral or id_dtype == "string"):
+        aggs = [F.min(F.struct(F.col(id_col), F.col(pos_col))).alias("__w")]
+        if with_count:
+            aggs.append(F.count("*").alias("__c"))
+        return (
+            spans.groupBy(*key_cols)
+            .agg(*aggs)
+            .select(
+                *key_cols,
+                F.col(f"__w.{id_col}").alias(id_col),
+                F.col(f"__w.{pos_col}").alias(pos_col),
+                *count_cols,
+            )
+        )
+
+    if not integral:  # string ids: order-preserving dense-long surrogate
+        from picovdb_spark.operators.ordering import (
+            global_rank,
+            release_global_rank,
+        )
+
+        ids = (ids_source if ids_source is not None else spans).select(id_col)
+        ranked = global_rank(ids.distinct(), [(id_col, "asc")], rank_col="__sid")
+        smap = ranked.localCheckpoint(eager=True)
+        release_global_rank(ranked)
+        elected = _min_first_election(
+            spans.select(*key_cols, id_col, pos_col).join(smap, on=id_col),
+            key_cols,
+            "__sid",
+            pos_col,
+            with_count=with_count,
+        )
+        return elected.join(smap, on="__sid").select(
+            *key_cols, id_col, pos_col, *count_cols
+        )
+
+    _K = F.lit(10_000_000_000).cast("decimal(11,0)")
+    enc = F.col(id_col).cast("decimal(20,0)") * _K + F.col(pos_col)
+    aggs = [F.min("__e").alias("__e")]
+    if with_count:
+        aggs.append(F.count("*").alias("__c"))
+    rem = F.pmod(F.col("__e"), _K)
+    dec_id = ((F.col("__e") - rem) / _K).cast("long")
+    return (
+        spans.select(*key_cols, enc.alias("__e"))
+        .groupBy(*key_cols)
+        .agg(*aggs)
+        .select(
+            *key_cols,
+            dec_id.cast(id_dtype).alias(id_col),
+            rem.cast("int").alias(pos_col),
+            *count_cols,
+        )
+    )
 
 
 def paragraph_dedup(
@@ -1170,8 +1291,13 @@ def paragraph_dedup(
          before any combining — measured 15–85 s at 31M spans on first
          execution. min(decimal) is HashAggregate with a map-side
          partial (probe: same volume class, 2.6 s fresh). The paragraph
-         BYTES stay put either way; non-integral id types fall back to
-         the struct-min form (identical values, slower plan).
+         BYTES stay put either way. String ids (URLs/UUIDs — the common
+         production key) elect through an order-preserving dense-long
+         surrogate (r12) so they get the SAME HashAggregate plan at the
+         cost of one rank of the distinct ids + one narrow triplet
+         join; only exotic id types fall back to the struct-min
+         SortAggregate form (identical values, slower plan). See
+         `_min_first_election` for all three paths.
       3. Collapse winners + ineligible positions to one sorted int
          array per doc: a second narrow shuffle of (id, pos) only.
       4. Reassemble map-side: join the int keep-list back to `docs` on
@@ -1214,38 +1340,15 @@ def paragraph_dedup(
     elig = paras.filter(F.length("para") >= min_chars).select(
         F.col(id_col), F.col("pos"), F.unhex(F.md5(F.col("para"))).alias("__h")
     )
-    id_dtype = dict(docs.dtypes)[id_col]
-    if not _FORCE_STRUCT_ELECTION and id_dtype in (
-        "tinyint",
-        "smallint",
-        "int",
-        "bigint",
-    ):
-        # hash-aggregatable election: encode (id, pos) into one decimal
-        # whose numeric order IS the lexicographic (id, pos) order —
-        # pos ∈ [0, 2³¹) ⊂ [0, 10¹⁰), so id·10¹⁰ + pos is base-10¹⁰
-        # positional (exact for the full signed-long id range;
-        # decimal(33,0) never overflows: |id|·10¹⁰ < 10²⁹)
-        _K = F.lit(10_000_000_000).cast("decimal(11,0)")
-        enc = F.col(id_col).cast("decimal(20,0)") * _K + F.col("pos")
-        dec_id = F.floor(F.col("__e") / _K).cast("long")
-        win = (
-            elig.select("__h", enc.alias("__e"))
-            .groupBy("__h")
-            .agg(F.min("__e").alias("__e"))
-            .select(
-                dec_id.cast(id_dtype).alias(id_col),
-                (F.col("__e") - dec_id.cast("decimal(20,0)") * _K)
-                .cast("int")
-                .alias("pos"),
-            )
-        )
-    else:
-        win = (
-            elig.groupBy("__h")
-            .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w"))
-            .select(F.col(f"w.{id_col}").alias(id_col), F.col("w.pos").alias("pos"))
-        )
+    # winner election — HashAggregate-planned for integral AND string
+    # ids (decimal encode / dense-long surrogate), struct-min
+    # SortAggregate only for exotic id types; all invariants live in
+    # `_min_first_election`. `ids_source=docs` keeps the string-path
+    # surrogate rank off the exploded paragraphs (a column-pruned scan
+    # of doc ids, not a re-run of posexplode+md5).
+    win = _min_first_election(
+        elig, ["__h"], id_col, "pos", ids_source=docs.select(id_col)
+    ).select(id_col, "pos")
     inelig = paras.filter(F.length("para") < min_chars).select(F.col(id_col), F.col("pos"))
     keep = win.unionByName(inelig)
     keeplist = keep.groupBy(id_col).agg(
@@ -1270,44 +1373,78 @@ def paragraph_dedup(
     )
 
 
+# Diagnostic hook (parity tests + interleaved A/B, RUNBOOK): forces the
+# per-window Python-md5 compat kernel instead of the vectorized
+# polynomial kernel. Identical GROUPING (and therefore identical
+# window_dedup output) — pinned by
+# test_window_dedup_poly_kernel_matches_md5_kernel. Never set in
+# production.
+_FORCE_MD5_WINDOW_HASH = False
+
+# Two odd 64-bit polynomial bases (odd => invertible mod 2^64) and
+# their modular inverses, module-level so both kernel paths and the
+# tests see one definition.
+_POLY_B1 = 0x9E3779B97F4A7C15
+_POLY_B2 = 0xC2B2AE3D27D4EB4F
+_POLY_INV1 = pow(_POLY_B1, -1, 1 << 64)
+_POLY_INV2 = pow(_POLY_B2, -1, 1 << 64)
+
+
 def _window_hash_rows(
     docs: DataFrame, id_col: str, text_col: str, window: int
 ) -> DataFrame:
-    """One (id, start, digest) row per sliding token window — the
-    `window_dedup` hash pass as an ARROW kernel, not the former
-    `transform(sequence, md5(array_join(slice)))` Catalyst HOF: that
-    chain runs INTERPRETED per window (the same cost class the
-    signature kernel and the r8 shingle kernels eliminated), and at the
-    1M-doc tier the window-hash pass dominated the row's wall.
-    Values are bit-identical: md5 over the UTF-8 of
-    " ".join(tokens[s:s+window]) with tokens from a literal
-    single-space split of coalesce(text, '') — exactly what the
-    Catalyst form and the DuckDB oracle twin compute (split(' ') keeps
-    empty tokens on both sides; property-test-pinned against the
-    Catalyst twin on arbitrary text). Docs with fewer than `window`
-    tokens contribute no rows.
+    """One (id, start, __h1, __h2) row per sliding token window — the
+    `window_dedup` hash pass as an ARROW kernel. Tokens come from a
+    literal single-space split of coalesce(text, ''), keeping empty
+    tokens — exactly the Catalyst/DuckDB-twin tokenization; docs with
+    fewer than `window` tokens contribute no rows.
 
-    Digests travel as 16-byte BINARY md5, not 32-char hex (r11):
-    equality over the raw digest is equality over the hex form, so the
-    election/probe semantics — and the bit-exact DuckDB twin, which
-    only sees reassembled text — are unchanged, while every shuffled
-    row is 16 B lighter and the Arrow transfer ~30% smaller. The
-    kernel also hashes windows as SLICES of one pre-encoded buffer
-    (token byte offsets into " ".join(tokens).encode()) instead of
-    re-joining O(window) tokens per window — identical bytes by
-    construction (single-space join ⇒ every window is a contiguous
-    byte range)."""
+    The window key is a 128-bit NON-CRYPTOGRAPHIC fingerprint (r12,
+    replacing per-window md5): two independent 64-bit polynomial
+    rolling hashes over the window's UTF-8 bytes, carried as two LONG
+    columns. Rationale: the r11 md5 kernel made one Python
+    `hashlib.md5` call per window (~30M at 1M docs, ~10^13 at 100 TB) —
+    after the r11 election fix this interpreter-bound loop WAS the
+    row's whole wall. The polynomial form vectorizes: per Arrow chunk,
+    ONE numpy pass builds prefix sums S[i] = sum(b[j]*B^j) over a
+    single concatenated byte buffer, and every window hash is
+    (S[end]-S[start]) * B^{-start} — all uint64 wraparound arithmetic,
+    no per-window Python. Correctness contract: window_dedup's election
+    needs only hash EQUALITY <=> window-byte equality. Equal windows
+    always collide (the hash is a pure function of the bytes); unequal
+    windows collide with ~2^-128 probability per pair (two independent
+    odd bases). That is a BIRTHDAY bound of ~10^-20 at 10^13 windows —
+    but unlike md5 it is not adversarially collision-resistant (known
+    Thue-Morse-style constructions defeat single mod-2^64 lanes);
+    corpora deliberately crafted to collide could fuse distinct
+    windows. For dedup of natural training data this is the standard
+    trade (MinHash/SimHash upstream are far coarser); the md5 kernel
+    remains behind `_FORCE_MD5_WINDOW_HASH` (same two-long schema, md5
+    digest split into two big-endian int64 lanes) and the DuckDB oracle
+    twin compares reassembled TEXT, so the gate verifies output, not
+    digests.
+
+    Token offsets are found VECTORIZED too: tokens contain no 0x20
+    bytes (split removes them, and UTF-8 multi-byte sequences use only
+    bytes >= 0x80), so every space byte in the concatenated buffer is a
+    token boundary. Docs are joined with single spaces into one buffer
+    per ~4 MB sub-chunk; window starts never cross doc boundaries
+    because each doc's window count is bounded by its own token count,
+    and the byte before the next token start is always a space (or the
+    end sentinel), reproducing md5-kernel byte ranges exactly."""
     from pyspark.sql import types as _T
 
     win_schema = _T.StructType(
         [
             docs.schema[id_col],
             _T.StructField("s", _T.IntegerType()),
-            _T.StructField("__h", _T.BinaryType()),
+            _T.StructField("__h1", _T.LongType()),
+            _T.StructField("__h2", _T.LongType()),
         ]
     )
+    use_md5 = _FORCE_MD5_WINDOW_HASH
 
-    def _win_kernel(batches):
+    def _md5_kernel(batches):
         import hashlib
 
         import pandas as pd
@@ -1318,14 +1455,14 @@ def _window_hash_rows(
                 continue
             ids_out: list = []
             starts: list = []
-            digs: list = []
+            h1: list = []
+            h2: list = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 tk = ("" if text is None else text).split(" ")
                 nw = len(tk) - window + 1
                 if nw <= 0:
                     continue
                 enc = " ".join(tk).encode()
-                # byte offset of token i's start within enc
                 off = [0]
                 pos = 0
                 for t in tk:
@@ -1333,14 +1470,112 @@ def _window_hash_rows(
                     off.append(pos)
                 mv = memoryview(enc)
                 for s in range(nw):
-                    digs.append(md5(mv[off[s] : off[s + window] - 1]).digest())
+                    d = md5(mv[off[s] : off[s + window] - 1]).digest()
+                    h1.append(int.from_bytes(d[:8], "big", signed=True))
+                    h2.append(int.from_bytes(d[8:], "big", signed=True))
                 ids_out.extend([did] * nw)
                 starts.extend(range(nw))
             yield pd.DataFrame(
-                {id_col: ids_out, "s": pd.array(starts, dtype="int32"), "__h": digs}
+                {
+                    id_col: ids_out,
+                    "s": pd.array(starts, dtype="int32"),
+                    "__h1": pd.array(h1, dtype="int64"),
+                    "__h2": pd.array(h2, dtype="int64"),
+                }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(_win_kernel, schema=win_schema)
+    def _poly_kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        B1 = np.uint64(_POLY_B1)
+        B2 = np.uint64(_POLY_B2)
+        I1 = np.uint64(_POLY_INV1)
+        I2 = np.uint64(_POLY_INV2)
+        CHUNK = 4 << 20  # bytes of encoded text per vector pass
+
+        def _lane(u, pws, base_inv_pws, a, c):
+            # S[i] = sum_{j<i} u[j] * B^j  (mod 2^64, wraparound)
+            S = np.zeros(len(u) + 1, np.uint64)
+            np.cumsum(u * pws, out=S[1:])
+            # hash [a, c) normalized to position 0: (S[c]-S[a]) * B^-a
+            return (S[c] - S[a]) * base_inv_pws[a]
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids_all = pdf[id_col].to_numpy()
+            encs = [
+                ("" if t is None else t).encode() for t in pdf[text_col]
+            ]
+            n_docs = len(encs)
+            start = 0
+            while start < n_docs:
+                end, total = start, 0
+                while end < n_docs and (
+                    total == 0 or total + len(encs[end]) + 1 <= CHUNK
+                ):
+                    total += len(encs[end]) + 1
+                    end += 1
+                chunk = encs[start:end]
+                big = b" ".join(chunk)
+                b = np.frombuffer(big, dtype=np.uint8)
+                N = len(b)
+                lens = np.fromiter(
+                    (len(e) for e in chunk), dtype=np.int64, count=end - start
+                )
+                dstart = np.zeros(len(lens), np.int64)
+                np.cumsum(lens[:-1] + 1, out=dstart[1:])
+                sp = np.flatnonzero(b == 0x20)
+                # global token starts: 0 and every byte after a space
+                # (doc-separator spaces start the next doc's token 0)
+                T = np.empty(len(sp) + 2, np.int64)
+                T[0] = 0
+                T[1:-1] = sp + 1
+                T[-1] = N + 1  # end sentinel: last token ends at N
+                # tokens per doc = spaces strictly inside the doc + 1
+                ntok = (
+                    np.searchsorted(sp, dstart + lens)
+                    - np.searchsorted(sp, dstart)
+                    + 1
+                )
+                nw = np.maximum(ntok - window + 1, 0)
+                total_nw = int(nw.sum())
+                if total_nw == 0:
+                    start = end
+                    continue
+                tok0 = np.zeros(len(lens), np.int64)
+                np.cumsum(ntok[:-1], out=tok0[1:])
+                doc_rep = np.repeat(np.arange(len(lens)), nw)
+                cum_nw = np.zeros(len(lens), np.int64)
+                np.cumsum(nw[:-1], out=cum_nw[1:])
+                s = np.arange(total_nw, dtype=np.int64) - cum_nw[doc_rep]
+                t0 = tok0[doc_rep]
+                a = T[t0 + s]
+                c = T[t0 + s + window] - 1  # byte before next token start
+                u = b.astype(np.uint64)
+                pw1 = np.full(N, B1, np.uint64)
+                pw2 = np.full(N, B2, np.uint64)
+                ip1 = np.full(N, I1, np.uint64)
+                ip2 = np.full(N, I2, np.uint64)
+                for arr in (pw1, pw2, ip1, ip2):
+                    if N:
+                        arr[0] = 1
+                        np.multiply.accumulate(arr, out=arr)
+                h1 = _lane(u, pw1, ip1, a, c)
+                h2 = _lane(u, pw2, ip2, a, c)
+                yield pd.DataFrame(
+                    {
+                        id_col: ids_all[start:end][doc_rep],
+                        "s": pd.array(s.astype(np.int32), dtype="int32"),
+                        "__h1": h1.view(np.int64),
+                        "__h2": h2.view(np.int64),
+                    }
+                )
+                start = end
+
+    kernel = _md5_kernel if use_md5 else _poly_kernel
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema=win_schema)
 
 
 def window_dedup(
@@ -1368,21 +1603,19 @@ def window_dedup(
 
     Scale shape — the same text-moves-once discipline as
     `paragraph_dedup`:
-      1. Window hashes are built MAP-SIDE in an Arrow kernel
-         (`_window_hash_rows`): O(n_tokens x window) local work, no
-         shuffle. (A rolling hash would make it O(n_tokens);
-         md5-of-window is kept because DuckDB computes the identical
-         digest for the oracle twin.)
-      2. Winner election shuffles (digest, id, start) triplets only —
-         window TEXT never leaves the mapper. Since r11 the election
-         uses the same decimal-encoded HashAggregate shape as
-         paragraph_dedup (min(struct) planned SortAggregate on both
-         shuffle sides). Honest perf note: unlike the paragraph row
-         (2-3.5x), the interleaved A/B on THIS row was neutral at 1M
-         docs — its wall is the O(tokens x window) Arrow md5 kernel,
-         not the election — so the change is kept for the plan shape
-         (no per-partition sort of 31M triplets at larger scale), not a
-         measured local win.
+      1. Window fingerprints are built MAP-SIDE in an Arrow kernel
+         (`_window_hash_rows`): since r12 a numpy-vectorized two-lane
+         64-bit polynomial rolling hash — O(n_tokens) wraparound
+         arithmetic per doc with NO per-window Python (the r11 kernel's
+         one `hashlib.md5` call per window was this row's entire wall
+         after the election fix: ~30M interpreter-bound calls at 1M
+         docs, ~10^13 at 100 TB). Collision contract and the md5 compat
+         path are documented on the kernel.
+      2. Winner election shuffles (lane1, lane2, id, start) rows only —
+         window TEXT never leaves the mapper. The election is the
+         shared HashAggregate shape of `_min_first_election` (decimal
+         encode / string-id surrogate; min(struct) planned
+         SortAggregate on both shuffle sides).
       3. Loser windows explode to covered token positions: O(dup_bytes
          x window) rows, proportional to the duplicated portion of the
          corpus only, then collapse to one sorted int array per doc
@@ -1408,54 +1641,24 @@ def window_dedup(
         _window_hash_rows(docs, id_col, text_col, window)
         # consumed twice (winner election + loser probe) with DIFFERENT
         # payloads, so the exchanges can't be reused — without this
-        # checkpoint the O(tokens x window) md5 pass AND the corpus text
-        # read run twice (verified: two md5 projections, 0 ReusedExchange).
-        # The materialized frame is narrow (id, start, 32-char digest);
-        # text stays out of it.
+        # checkpoint the window-hash pass AND the corpus text read run
+        # twice (verified: two kernel projections, 0 ReusedExchange).
+        # The materialized frame is narrow (id, start, two long hash
+        # lanes); text stays out of it.
         .localCheckpoint(eager=False)
     )
-    # winner election: same hash-aggregatable decimal encoding as
-    # paragraph_dedup's election — min(struct) plans SortAggregate on
-    # both shuffle sides (struct buffers aren't UnsafeRow-mutable),
-    # i.e. a per-partition sort of every (digest,id,start) triplet by
-    # md5 string; min(decimal) + count are HashAggregate with a
-    # map-side partial. Numeric order of id*10^10 + s IS the
-    # lexicographic (id, s) order (s ∈ [0, 2^31) ⊂ [0, 10^10)).
-    id_dtype = dict(docs.dtypes)[id_col]
-    if not _FORCE_STRUCT_ELECTION and id_dtype in (
-        "tinyint",
-        "smallint",
-        "int",
-        "bigint",
-    ):
-        _K = F.lit(10_000_000_000).cast("decimal(11,0)")
-        enc = F.col(id_col).cast("decimal(20,0)") * _K + F.col("s")
-        dec_id = F.floor(F.col("__e") / _K).cast("long")
-        agg = (
-            wins.select("__h", enc.alias("__e"))
-            .groupBy("__h")
-            .agg(F.min("__e").alias("__e"), F.count("*").alias("__c"))
-            .select(
-                "__h",
-                "__c",
-                dec_id.cast(id_dtype).alias("__wid"),
-                (F.col("__e") - dec_id.cast("decimal(20,0)") * _K)
-                .cast("int")
-                .alias("__ws"),
-            )
-        )
-    else:
-        agg = wins.groupBy("__h").agg(
-            F.min(F.struct(F.col(id_col), F.col("s"))).alias("w"),
-            F.count("*").alias("__c"),
-        ).select(
-            "__h",
-            "__c",
-            F.col(f"w.{id_col}").alias("__wid"),
-            F.col("w.s").alias("__ws"),
-        )
+    # winner election: the shared HashAggregate-planned shape —
+    # decimal-encoded (id, s) min for integral ids, dense-long
+    # surrogate for string ids, struct-min SortAggregate only for
+    # exotic id types. All encoding invariants live in
+    # `_min_first_election` (shared with paragraph_dedup, r11 advisor).
+    agg = (
+        _min_first_election(wins, ["__h1", "__h2"], id_col, "s", with_count=True)
+        .withColumnRenamed(id_col, "__wid")
+        .withColumnRenamed("s", "__ws")
+    )
     losers = (
-        wins.join(agg.filter(F.col("__c") > 1), on="__h")
+        wins.join(agg.filter(F.col("__c") > 1), on=["__h1", "__h2"])
         .filter(~((F.col(id_col) == F.col("__wid")) & (F.col("s") == F.col("__ws"))))
         .select(F.col(id_col), F.col("s"))
     )

@@ -249,3 +249,38 @@ def test_decimal_vs_struct_election_randomized_parity(spark):
     finally:
         D._FORCE_STRUCT_ELECTION = old_flag
     assert fast == ref
+
+
+def test_surrogate_vs_struct_election_randomized_parity_string_ids(spark):
+    """Same seeded corpus keyed by STRING ids (r12, r11 verdict #1 —
+    URLs/UUIDs are the common production key): the dense-long-surrogate
+    election must reproduce the struct-min form row-for-row. The id set
+    deliberately includes keys whose LEXICOGRAPHIC order differs from
+    their numeric order ('u:10' < 'u:9') — a surrogate that ranked by
+    anything but string order would elect different winners here."""
+    import random
+
+    from picovdb_spark.operators import dedup as D
+
+    rng = random.Random(412)
+    vocab = [f"p{j}" for j in range(30)]
+    rows = []
+    for n in rng.sample(range(0, 10**6), 200):
+        paras = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(1, 6))]
+        rows.append((f"u:{n}", "\n\n".join(paras)))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    def run():
+        return {
+            r["doc_id"]: (r["n_paras"], r["n_kept"], r["text_clean"])
+            for r in D.paragraph_dedup(df, sep="\n\n").collect()
+        }
+
+    fast = run()
+    old_flag = D._FORCE_STRUCT_ELECTION
+    D._FORCE_STRUCT_ELECTION = True
+    try:
+        ref = run()
+    finally:
+        D._FORCE_STRUCT_ELECTION = old_flag
+    assert fast == ref

@@ -284,10 +284,19 @@ def test_no_hot_path_plans_sort_aggregate(spark):
     docs = spark.createDataFrame(
         [(i, "a b c d e f g h i j") for i in range(6)], "doc_id long, text string"
     )
+    # string-id corpora (URLs/UUIDs — the common production key) must
+    # get the same HashAggregate election via the dense-long surrogate
+    # (r12, r11 verdict #1), not the struct-min SortAggregate fallback
+    sdocs = spark.createDataFrame(
+        [(f"url://{i}", "a b c d e f g h i j") for i in range(6)],
+        "doc_id string, text string",
+    )
     cases = {
         "exact_dedup": D.exact_dedup(docs),
         "paragraph_dedup": D.paragraph_dedup(docs, sep=" "),
         "window_dedup": D.window_dedup(docs, window=4),
+        "paragraph_dedup_string_ids": D.paragraph_dedup(sdocs, sep=" "),
+        "window_dedup_string_ids": D.window_dedup(sdocs, window=4),
         "minhash_lsh_pairs": D.minhash_lsh_pairs(docs),
         "simhash_pairs": D.simhash_pairs(docs),
         "quality_score": X.quality_score(docs),

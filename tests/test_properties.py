@@ -238,22 +238,23 @@ def test_signature_kernel_matches_catalyst_twin_on_arbitrary_text(sess, texts):
 
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(doc_text, min_size=1, max_size=10))
-def test_window_hash_kernel_matches_catalyst_twin_on_arbitrary_text(sess, texts):
-    """The ACTUAL window-hash Arrow kernel (`dedup._window_hash_rows`,
+def test_window_hash_md5_kernel_matches_catalyst_twin_on_arbitrary_text(sess, texts):
+    """The md5 COMPAT window-hash kernel (`_FORCE_MD5_WINDOW_HASH`,
     executed through mapInPandas) equals the former Catalyst
     transform/sequence/md5(array_join(slice)) form on arbitrary text —
-    empty-token and UTF-8 semantics must agree exactly. (Also pinned
-    end-to-end by tests/test_window_dedup.py and the
+    empty-token and UTF-8 semantics must agree exactly. The kernel
+    carries the digest as two big-endian int64 lanes since r12; pack
+    them back to the 16 raw bytes for the comparison. (The production
+    polynomial kernel is pinned against this one by the partition test
+    below and end-to-end by tests/test_window_dedup.py and the
     dedup_exact:window DuckDB twin.)"""
-    from picovdb_spark.operators.dedup import _window_hash_rows
+    from picovdb_spark.operators import dedup as D
 
     window = 3
     docs = sess.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
     arr = F.split(F.coalesce(F.col("text"), F.lit("")), " ", -1)
     toks = docs.select(F.col("doc_id"), arr.alias("__arr"))
     n = F.size("__arr")
-    # kernel emits 16-byte binary digests since r11; unhex the Catalyst
-    # md5 so both sides compare raw digest bytes
     hashes = F.transform(
         F.sequence(F.lit(0), n - F.lit(window)),
         lambda s: F.unhex(
@@ -266,11 +267,53 @@ def test_window_hash_kernel_matches_catalyst_twin_on_arbitrary_text(sess, texts)
         .select(F.col("doc_id"), F.posexplode(hashes).alias("s", "__h"))
         .collect()
     )
-    got = sorted(
-        (r["doc_id"], r["s"], r["__h"])
-        for r in _window_hash_rows(docs, "doc_id", "text", window).collect()
-    )
+    old = D._FORCE_MD5_WINDOW_HASH
+    D._FORCE_MD5_WINDOW_HASH = True
+    try:
+        got = sorted(
+            (
+                r["doc_id"],
+                r["s"],
+                r["__h1"].to_bytes(8, "big", signed=True)
+                + r["__h2"].to_bytes(8, "big", signed=True),
+            )
+            for r in D._window_hash_rows(docs, "doc_id", "text", window).collect()
+        )
+    finally:
+        D._FORCE_MD5_WINDOW_HASH = old
     assert ref == got
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(doc_text, min_size=1, max_size=10))
+def test_window_hash_poly_kernel_partitions_windows_like_md5(sess, texts):
+    """The vectorized polynomial kernel (r12) must induce the SAME
+    hash-equality PARTITION over (doc, start) windows as the md5 compat
+    kernel — that partition is the only thing the election consumes, so
+    partition equality on arbitrary text (unicode, empty tokens,
+    multi-space runs, doc boundaries inside one Arrow chunk) pins both
+    the byte-offset arithmetic and collision-freedom at test scale."""
+    from collections import defaultdict
+
+    from picovdb_spark.operators import dedup as D
+
+    window = 3
+    docs = sess.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    def partition():
+        groups = defaultdict(set)
+        for r in D._window_hash_rows(docs, "doc_id", "text", window).collect():
+            groups[(r["__h1"], r["__h2"])].add((r["doc_id"], r["s"]))
+        return {frozenset(v) for v in groups.values()}
+
+    poly = partition()
+    old = D._FORCE_MD5_WINDOW_HASH
+    D._FORCE_MD5_WINDOW_HASH = True
+    try:
+        md5 = partition()
+    finally:
+        D._FORCE_MD5_WINDOW_HASH = old
+    assert poly == md5
 
 
 def test_sig_band_lists_normalizes_null_arrays():

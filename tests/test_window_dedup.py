@@ -153,3 +153,68 @@ def test_pathological_doc_no_quadratic_reassembly(spark):
     assert rows["other"]["n_removed"] == n_half
     assert rows["other"]["text_clean"] == ""
     assert wall < 30.0, f"reassembly took {wall:.1f}s — quadratic shape is back"
+
+
+def test_window_dedup_poly_kernel_matches_md5_kernel(spark):
+    """Seeded random corpus (heavy window sharing, empty/unicode
+    tokens): window_dedup under the r12 vectorized polynomial kernel
+    must produce output identical to the md5 compat kernel — the
+    end-to-end form of the partition property in test_properties.py."""
+    import random
+
+    from picovdb_spark.operators import dedup as D
+
+    rng = random.Random(413)
+    vocab = ["a", "bb", "Ω", "字x", "", "tok5", "tok6", "tok7"]
+    rows = []
+    for did in rng.sample(range(-(10**9), 10**9), 120):
+        toks = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(0, 14))]
+        rows.append((did, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run():
+        return sorted(
+            (r["doc_id"], r["n_tokens"], r["n_removed"], r["text_clean"])
+            for r in D.window_dedup(df, window=3).collect()
+        )
+
+    poly = run()
+    old = D._FORCE_MD5_WINDOW_HASH
+    D._FORCE_MD5_WINDOW_HASH = True
+    try:
+        md5 = run()
+    finally:
+        D._FORCE_MD5_WINDOW_HASH = old
+    assert poly == md5
+
+
+def test_window_dedup_string_id_surrogate_matches_struct_election(spark):
+    """String-id corpora (r12): the dense-long-surrogate election must
+    reproduce the struct-min form's window_dedup output row-for-row,
+    including ids whose lexicographic order differs from numeric order."""
+    import random
+
+    from picovdb_spark.operators import dedup as D
+
+    rng = random.Random(414)
+    vocab = [f"w{j}" for j in range(10)]
+    rows = []
+    for n in rng.sample(range(0, 10**6), 120):
+        toks = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(0, 12))]
+        rows.append((f"u:{n}", " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    def run():
+        return sorted(
+            (r["doc_id"], r["n_tokens"], r["n_removed"], r["text_clean"])
+            for r in D.window_dedup(df, window=3).collect()
+        )
+
+    fast = run()
+    old = D._FORCE_STRUCT_ELECTION
+    D._FORCE_STRUCT_ELECTION = True
+    try:
+        ref = run()
+    finally:
+        D._FORCE_STRUCT_ELECTION = old
+    assert fast == ref
