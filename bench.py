@@ -1044,6 +1044,12 @@ def bench_queries(spark):
             stage_times=st,
             eager_gates=True,
         )
+        # `finalize` = the row's output consumption, sub-decomposed
+        # (r11 verdict #5: the lump doubled to 10.0 s with nothing
+        # naming which read grew). Four independent actions: the volume
+        # agg over the checkpointed sequences, the kept count over the
+        # checkpointed curate output, and the two leakage joins riding
+        # the one checkpointed pair list.
         t0 = time.perf_counter()
         row = seqs.agg(
             F.count("*").alias("chunks"),
@@ -1051,15 +1057,22 @@ def bench_queries(spark):
             F.countDistinct("split", "pack_group", "bin_idx").alias("bins"),
             F.countDistinct("shard").alias("shards"),
         ).collect()[0]
+        st["finalize_seq_agg"] = round(time.perf_counter() - t0, 3)
+        t1 = time.perf_counter()
         kept = curated.filter("keep").count()
+        st["finalize_kept_count"] = round(time.perf_counter() - t1, 3)
         # component-hash splits: leakage empty BY CONSTRUCTION; the
         # id-hash split of the same corpus shows what it prevented
         # (both ride the one checkpointed pair list — no new sweeps)
+        t1 = time.perf_counter()
         leak_component = leakage.count()
+        st["finalize_leak_component"] = round(time.perf_counter() - t1, 3)
+        t1 = time.perf_counter()
         id_split = dataset_split(docs.select("doc_id")).select("doc_id", "split")
         leak_id = leakage_from_pairs(
             curated._near_dup_pairs, id_split, id_col="doc_id"
         ).count()
+        st["finalize_leak_id"] = round(time.perf_counter() - t1, 3)
         st["finalize"] = round(time.perf_counter() - t0, 3)
         release_global_rank(seqs)
         EXTRA_STATS["scale500k_prepare_volume"] = {
@@ -1653,7 +1666,13 @@ def main() -> None:
         "scale1m_dedup_minhash": (10.0, 60.0),
         "scale1m_dedup_simhash": (4.0, 18.0),
         "scale1m_dedup_components": (1.5, 10.0),  # r8 wave session 7.8 in-suite / 3.3 settled
-        "scale1m_embedding_near_dup": (5.0, 75.0),
+        # r12 two-regime split (r11 verdict #4): this is the in-suite
+        # STEADY range — quiet evidence r10 13.6-18.4, r11 in-suite
+        # 18.4 / settled 13.55; the old 75.0 ceiling blended the
+        # first-exec/wave regime into one 15x span and a 2x steady
+        # regression could hide inside it. Wave/first-exec readings
+        # compare against `settled_ranges` below.
+        "scale1m_embedding_near_dup": (5.0, 28.0),
         # r11: the election went HASH-aggregatable (decimal-encoded
         # (id,pos) min instead of min(struct) — struct min planned
         # SortAggregate on BOTH shuffle sides, a full per-partition sort
@@ -1703,7 +1722,15 @@ def main() -> None:
         # stage-isolated primary with full stage decomposition. r9
         # quiet isolated: 83.0 / 97.1 s back-to-back (identical volumes
         # both runs); hi = quiet × the 1.4-2.8× CPU-wave factor
-        "scale500k_prepare": (45.0, 280.0),  # floor eased for the r9 LSH work + r10 decontaminate prefilter riding this row
+        # r12 two-regime split (r11 verdict #3/#4): this is the QUIET
+        # fresh-child band (r9 83.0/97.1, r10 97.9, r11 89.9 — the
+        # primary is stage-isolated, so readings here ARE fresh
+        # children); the old 280 ceiling absorbed wave children like
+        # r11's 125.9 with no same-round re-measure. hi = quiet ×
+        # ~1.3 headroom; beyond it the range check auto-attaches a
+        # second fresh child (stage-isolated rows re-isolate when
+        # flagged), and the wave band lives in `settled_ranges`.
+        "scale500k_prepare": (45.0, 120.0),
         # GEMM-bound; the spread is the host's parallel-FP collapse
         # mechanism (quiet sgemm ~15 GF/thread, but ~13 GF AGGREGATE
         # when ~21 workers run concurrently at k=128 shapes — see the
@@ -1712,7 +1739,11 @@ def main() -> None:
         # quiet) ↔ 54–165 s (r7 local runs inside waves). The envelope
         # covers BOTH regimes; the row's own evidence is the published
         # pass/settled pair, not a narrower nominal number.
-        "scale1m_knn_join_blocked": (15.0, 200.0),
+        # r12 two-regime split (r11 verdict #4): STEADY = quiet GEMM
+        # sessions (r7 17.4 in-suite / 24.5 settled, r10 18.1, r11
+        # 25.0); the 54-165 s parallel-FP-collapse band moved to
+        # `settled_ranges` so a steady regression flags here first.
+        "scale1m_knn_join_blocked": (15.0, 45.0),
         # disk tier (4M × 256, parquet-only): byte-volume claims are the
         # stable ones; time envelopes are wide because device-level I/O
         # waves hit whichever row is reading when they land (README)
@@ -1747,6 +1778,16 @@ def main() -> None:
         "profile_where_bt": (0.4, 4.2),
         # fresh-JVM cold children 0.119-1.432 s (r10, paired f32 control)
         "ref100k_ivf_resident_int8_local_100": (0.03, 1.6),
+        # r12 two-regime splits for the wide scale rows (r11 verdict
+        # #4): fresh-child/settled readings measure first-execution +
+        # wave; ceilings are the documented wave bands the old blended
+        # envelopes carried (near_dup: r7-era settled to ~60s inside
+        # waves; knn: the 54-165 s parallel-FP collapse; window: r7
+        # wave 83.5; prepare: wave children to ~126-180 s)
+        "scale1m_embedding_near_dup": (5.0, 75.0),
+        "scale1m_knn_join_blocked": (15.0, 200.0),
+        "scale1m_dedup_window": (3.0, 90.0),
+        "scale500k_prepare": (45.0, 280.0),
     }
     timings: dict[str, float] = {}
 

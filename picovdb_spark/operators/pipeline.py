@@ -185,14 +185,27 @@ def curate_corpus(
 
     if paragraph_sep is not None:
         _t0 = _time.perf_counter()
+        # stage_times mode also decomposes span_removal into its two
+        # halves (r11 verdict #6 — this was curate's largest stage with
+        # no instrument naming which half): `span_election` = explode/
+        # hash/winner/keep-list (paragraph_dedup's own eager checkpoint)
+        # and `span_reassembly` = the remainder (text joined back,
+        # rebuilt, and checkpointed here)
+        _pst: dict | None = {} if stage_times is not None else None
         spans = paragraph_dedup(
             docs,
             id_col=id_col,
             text_col=text_col,
             sep=paragraph_sep,
             min_chars=paragraph_min_chars,
+            stage_times=_pst,
         ).localCheckpoint(eager=True)
         _staged("span_removal", _t0)
+        if stage_times is not None and "election" in _pst:
+            stage_times["span_election"] = _pst["election"]
+            stage_times["span_reassembly"] = round(
+                stage_times["span_removal"] - _pst["election"], 3
+            )
         span_cols = spans.select(id_col, "n_paras", "n_kept")
         # The output spine keeps EVERY input id (one row per input
         # document), but husks (every span seen earlier, n_kept==0) are
