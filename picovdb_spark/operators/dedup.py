@@ -1389,6 +1389,44 @@ _POLY_B2 = 0xC2B2AE3D27D4EB4F
 _POLY_INV1 = pow(_POLY_B1, -1, 1 << 64)
 _POLY_INV2 = pow(_POLY_B2, -1, 1 << 64)
 
+# Per-process cache of the four geometric power tables (B1^i, B2^i,
+# B1^-i, B2^-i). They depend only on length, and `multiply.accumulate`
+# over uint64 is a sequential ~20 ns/elem loop — rebuilding them per
+# Arrow chunk was 57% of the poly kernel's single-thread wall and the
+# bulk of its memory traffic (the r12 in-process profile; under 32
+# concurrent workers the extra traffic made the "vectorized" kernel
+# LOSE to the md5 loop on memory bandwidth). Built once per Python
+# worker, grown geometrically, sliced by view. Spark Python workers are
+# single-threaded, so no lock.
+_POLY_POW_TABLES: tuple | None = None
+
+
+def _poly_powers(n: int):
+    global _POLY_POW_TABLES
+    import numpy as np
+
+    if _POLY_POW_TABLES is None or len(_POLY_POW_TABLES[0]) < n:
+        m = 1 << max(n - 1, 1).bit_length()
+        m = max(m, 1 << 20)
+        arrs = []
+        for base in (_POLY_B1, _POLY_B2, _POLY_INV1, _POLY_INV2):
+            # log-doubling build: a[k:2k] = a[:k] * B^k. ONE write pass
+            # over the array — np.full + multiply.accumulate was ~100x
+            # slower here because np.full's slow uint64-scalar fill
+            # path multiplied with this host's expensive first-touch
+            # faults (~60 us/page in a microVM)
+            a = np.empty(m, np.uint64)
+            a[0] = 1
+            k = 1
+            while k < m:
+                j = min(k, m - k)
+                bk = np.uint64(pow(base, k, 1 << 64))
+                np.multiply(a[:j], bk, out=a[k : k + j])
+                k += j
+            arrs.append(a)
+        _POLY_POW_TABLES = tuple(arrs)
+    return tuple(a[:n] for a in _POLY_POW_TABLES)
+
 
 def _window_hash_rows(
     docs: DataFrame, id_col: str, text_col: str, window: int
@@ -1409,7 +1447,15 @@ def _window_hash_rows(
     ONE numpy pass builds prefix sums S[i] = sum(b[j]*B^j) over a
     single concatenated byte buffer, and every window hash is
     (S[end]-S[start]) * B^{-start} — all uint64 wraparound arithmetic,
-    no per-window Python. Correctness contract: window_dedup's election
+    no per-window Python. Vectorization ALONE is not enough on the
+    target hosts: a first draft that allocated its power tables and
+    prefix buffers fresh per chunk LOST to the md5 loop under 32
+    concurrent workers (interleaved A/B ratio 0.27x) because guest
+    memory is provisioned lazily and first-touch faults on fresh large
+    allocations cost ~100x a warm write; the kernel therefore reuses a
+    per-task scratch arena and per-process cached power tables
+    (`_poly_powers`), after which the same A/B reads 5.1x in the poly
+    kernel's favor (three order-balanced pairs, n identical). Correctness contract: window_dedup's election
     needs only hash EQUALITY <=> window-byte equality. Equal windows
     always collide (the hash is a pure function of the bytes); unequal
     windows collide with ~2^-128 probability per pair (two independent
@@ -1488,16 +1534,30 @@ def _window_hash_rows(
         import numpy as np
         import pandas as pd
 
-        B1 = np.uint64(_POLY_B1)
-        B2 = np.uint64(_POLY_B2)
-        I1 = np.uint64(_POLY_INV1)
-        I2 = np.uint64(_POLY_INV2)
-        CHUNK = 4 << 20  # bytes of encoded text per vector pass
+        # 1 MB chunks: small enough that every per-chunk allocation
+        # (output gathers, the joined byte buffer, pandas columns) stays
+        # under glibc's adapted mmap threshold and reuses touched heap
+        # pages instead of paying fresh mmap first-touch faults
+        CHUNK = 1 << 20  # bytes of encoded text per vector pass
 
-        def _lane(u, pws, base_inv_pws, a, c):
+        # Reused scratch buffers, allocated ONCE per task and touched
+        # once: on this class of host the dominant kernel cost is not
+        # arithmetic but FIRST-TOUCH page faults on fresh large numpy
+        # allocations (~100x a pre-touched fill in the r12 profile, and
+        # the fault storms serialize across the 32 concurrent workers).
+        # Fresh per-chunk transients made the vectorized kernel LOSE to
+        # the md5 loop, which allocates almost nothing.
+        u_buf = np.empty(CHUNK + 1, np.uint64)
+        t_buf = np.empty(CHUNK + 1, np.uint64)
+        S_buf = np.empty(CHUNK + 2, np.uint64)
+
+        def _lane(u, pws, base_inv_pws, a, c, N):
             # S[i] = sum_{j<i} u[j] * B^j  (mod 2^64, wraparound)
-            S = np.zeros(len(u) + 1, np.uint64)
-            np.cumsum(u * pws, out=S[1:])
+            t = t_buf[:N]
+            np.multiply(u, pws, out=t)
+            S = S_buf[: N + 1]
+            S[0] = 0
+            np.cumsum(t, out=S[1:])
             # hash [a, c) normalized to position 0: (S[c]-S[a]) * B^-a
             return (S[c] - S[a]) * base_inv_pws[a]
 
@@ -1553,17 +1613,17 @@ def _window_hash_rows(
                 t0 = tok0[doc_rep]
                 a = T[t0 + s]
                 c = T[t0 + s + window] - 1  # byte before next token start
-                u = b.astype(np.uint64)
-                pw1 = np.full(N, B1, np.uint64)
-                pw2 = np.full(N, B2, np.uint64)
-                ip1 = np.full(N, I1, np.uint64)
-                ip2 = np.full(N, I2, np.uint64)
-                for arr in (pw1, pw2, ip1, ip2):
-                    if N:
-                        arr[0] = 1
-                        np.multiply.accumulate(arr, out=arr)
-                h1 = _lane(u, pw1, ip1, a, c)
-                h2 = _lane(u, pw2, ip2, a, c)
+                if N + 2 > len(S_buf):
+                    # one oversized doc (> CHUNK bytes) forms its own
+                    # chunk; grow the scratch arena to fit it
+                    u_buf = np.empty(N + 1, np.uint64)
+                    t_buf = np.empty(N + 1, np.uint64)
+                    S_buf = np.empty(N + 2, np.uint64)
+                u = u_buf[:N]
+                u[:] = b  # widening cast into the reused buffer
+                pw1, pw2, ip1, ip2 = _poly_powers(N)
+                h1 = _lane(u, pw1, ip1, a, c, N)
+                h2 = _lane(u, pw2, ip2, a, c, N)
                 yield pd.DataFrame(
                     {
                         id_col: ids_all[start:end][doc_rep],

@@ -105,12 +105,55 @@ def driver_blas_threads(n: int | None = None):
         set_fn(prev)
 
 
+_MALLOC_TUNED = False
+
+
+def _tune_malloc() -> None:
+    """Raise glibc's mmap/trim thresholds, in this process (mallopt)
+    and for every descendant (env vars, read by the JVM's Python
+    workers at startup).
+
+    Why: the target hosts provision guest memory lazily — the first
+    touch of a never-before-provisioned page costs tens of
+    microseconds, ~100x a normal minor fault. glibc serves any
+    allocation above its mmap threshold (dynamic, capped at 32 MB) with
+    a FRESH mmap and returns it on free, so every >=32 MB numpy buffer
+    (GEMM chunk outputs, Arrow batch transposes, kernel scratch) pays
+    first-touch provisioning again and again, and concurrent faults
+    from 32 workers serialize. Raising M_MMAP_THRESHOLD keeps those
+    buffers on the heap, and raising M_TRIM_THRESHOLD stops the heap
+    from being returned to the OS between batches — pages are
+    provisioned once per high-water mark instead of once per
+    allocation. Measured on a 64 MB touch-every-page loop: first touch
+    5.7 s -> 0.3 s, steady 0.010 s -> 0.001 s. Standard, documented
+    glibc tunables (mallopt(3)); silently skipped on non-glibc hosts.
+    """
+    global _MALLOC_TUNED
+    if _MALLOC_TUNED:
+        return
+    _MALLOC_TUNED = True
+    threshold = str(1 << 30)
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", threshold)
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", threshold)
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        # mallopt constants from malloc.h: M_TRIM_THRESHOLD=-1,
+        # M_MMAP_THRESHOLD=-3
+        libc.mallopt(-3, int(os.environ["MALLOC_MMAP_THRESHOLD_"]))
+        libc.mallopt(-1, int(os.environ["MALLOC_TRIM_THRESHOLD_"]))
+    except Exception:  # pragma: no cover - non-glibc platform
+        pass
+
+
 def get_spark(app_name: str = "picovdb_spark", **confs: str) -> SparkSession:
     # one BLAS thread per Python worker: tasks already saturate the cores,
     # and 32 workers × multi-threaded OpenBLAS oversubscribes (workers
     # inherit the env from the local JVM, so set it before startup)
     os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
     os.environ.setdefault("OMP_NUM_THREADS", "1")
+    _tune_malloc()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
     merged = {**_DEFAULT_CONFS, **confs}
