@@ -1126,6 +1126,19 @@ def keep_best_per_component(
 # production.
 _FORCE_STRUCT_ELECTION = False
 
+# String-id election strategy. "struct" (default): one shuffle +
+# per-partition SortAggregate — the ADJUDICATED winner (r12 interleaved
+# A/B at 1M docs, 4 order-balanced pairs each, identical checksums:
+# struct beat the dense-long-surrogate election 1.37x with 15-byte ids
+# and 6x with ~100-byte URL ids; the surrogate's forward join re-
+# shuffles every wide id it was meant to avoid shuffling, then pays a
+# second 30M-row back-join). "surrogate": rank distinct ids to a dense
+# long, elect through the HashAggregate decimal path, map back — kept
+# selectable because its plan shape (all-narrow shuffles, no
+# per-partition sort of wide keys) is the one to prefer if a profile
+# ever shows election SORT SPILL dominating, and for the A/B harness.
+_STRING_ID_ELECTION = "struct"
+
 
 def _min_first_election(
     spans: DataFrame,
@@ -1164,34 +1177,43 @@ def _min_first_election(
       threshold — correct, but a precondition the code couldn't see.)
 
     - STRING ids (r11 verdict #1 — URLs/UUIDs/WARC record ids, the
-      common production key type at 100 TB): build a dense long
-      SURROGATE once per call. Rank the distinct ids ascending via
-      ``ordering.global_rank`` (the distributed zipWithIndex shape —
-      rank order is string order, so the winner under the surrogate IS
-      the winner under the contract), hash-join spans -> surrogate,
-      elect on the surrogate through the decimal path above, and map
-      winners back through the same tiny map. Cost: one rank of the
-      distinct ids plus one extra hash-join shuffle of the narrow
-      triplets — measured cheaper than the struct form's per-partition
-      sorts at 1M docs (see the operator docstrings for the A/B). The
-      surrogate map is frozen with localCheckpoint(eager=True) —
-      bounded, one narrow (id, long) row per distinct id — both
-      because it is consumed twice (forward + back join) and because
-      global_rank's offsets are only stable while its source stays
-      pinned; the checkpoint lets the rank cache be released
-      immediately. NOTE: this path launches the ranking jobs EAGERLY
-      at plan-construction time (global_rank's contract); integral-id
-      inputs stay fully lazy.
+      common production key type at 100 TB): the struct-min form, BY
+      MEASUREMENT. min(string)-keyed aggregation cannot HashAggregate
+      (variable-length agg buffers aren't UnsafeRow-mutable), so the
+      only hash-agg route is a numeric surrogate — implemented below
+      (rank the distinct ids ascending via ``ordering.global_rank``,
+      hash-join spans -> surrogate, elect through the decimal path,
+      map winners back) and selectable via
+      ``_STRING_ID_ELECTION = "surrogate"`` — but the r12 interleaved
+      A/B at 1M docs (4 order-balanced pairs per width, identical
+      output checksums every rep) read struct 1.37x FASTER with
+      15-byte ids and 6x with ~100-byte URL ids: the surrogate's
+      forward join re-shuffles every wide id it was meant to keep out
+      of the election shuffle, then pays a ~30M-row back-join, while
+      the 16-byte binary digest election keys (r11) already removed
+      most of the sort's width. The struct election is ONE shuffle +
+      per-partition sorts; at cluster scale sorts scale with
+      partitioning while the surrogate's two extra whole-data shuffles
+      scale with network — the same adjudication, documented in
+      ``tests/test_plans.py`` as the package's second reasoned
+      SortAggregate (with asof_join's max_by).
+      When the surrogate path IS selected: the map is frozen with
+      localCheckpoint(eager=True) — bounded, one narrow (id, long) row
+      per distinct id — both because it is consumed twice (forward +
+      back join) and because global_rank's offsets are only stable
+      while its source stays pinned; that path launches the ranking
+      jobs EAGERLY at plan-construction time (global_rank's contract).
 
-    - OTHER id types: the struct-min form — identical values, the slow
-      SortAggregate plan — as an honest fallback (also forced by
-      `_FORCE_STRUCT_ELECTION` for tests and A/B harnesses).
+    - OTHER id types: the struct-min form — identical values — as an
+      honest fallback (also forced by `_FORCE_STRUCT_ELECTION` for
+      tests and A/B harnesses).
     """
     id_dtype = dict(spans.dtypes)[id_col]
     integral = id_dtype in ("tinyint", "smallint", "int", "bigint")
     count_cols = ["__c"] if with_count else []
 
-    if _FORCE_STRUCT_ELECTION or not (integral or id_dtype == "string"):
+    use_surrogate = id_dtype == "string" and _STRING_ID_ELECTION == "surrogate"
+    if _FORCE_STRUCT_ELECTION or not (integral or use_surrogate):
         aggs = [F.min(F.struct(F.col(id_col), F.col(pos_col))).alias("__w")]
         if with_count:
             aggs.append(F.count("*").alias("__c"))
@@ -1292,12 +1314,14 @@ def paragraph_dedup(
          execution. min(decimal) is HashAggregate with a map-side
          partial (probe: same volume class, 2.6 s fresh). The paragraph
          BYTES stay put either way. String ids (URLs/UUIDs — the common
-         production key) elect through an order-preserving dense-long
-         surrogate (r12) so they get the SAME HashAggregate plan at the
-         cost of one rank of the distinct ids + one narrow triplet
-         join; only exotic id types fall back to the struct-min
-         SortAggregate form (identical values, slower plan). See
-         `_min_first_election` for all three paths.
+         production key) elect through min(struct) — the r12
+         interleaved A/B adjudicated it over the order-preserving
+         dense-long surrogate (struct won every order-balanced pair:
+         1.37x with 15-byte ids, 6x with ~100-byte URLs; the
+         surrogate's forward join re-shuffles every wide id before the
+         election even starts). The surrogate stays selectable; see
+         `_min_first_election` for all three paths and the full
+         adjudication.
       3. Collapse winners + ineligible positions to one sorted int
          array per doc: a second narrow shuffle of (id, pos) only.
       4. Reassemble map-side: join the int keep-list back to `docs` on
@@ -1340,12 +1364,13 @@ def paragraph_dedup(
     elig = paras.filter(F.length("para") >= min_chars).select(
         F.col(id_col), F.col("pos"), F.unhex(F.md5(F.col("para"))).alias("__h")
     )
-    # winner election — HashAggregate-planned for integral AND string
-    # ids (decimal encode / dense-long surrogate), struct-min
-    # SortAggregate only for exotic id types; all invariants live in
-    # `_min_first_election`. `ids_source=docs` keeps the string-path
-    # surrogate rank off the exploded paragraphs (a column-pruned scan
-    # of doc ids, not a re-run of posexplode+md5).
+    # winner election — HashAggregate-planned (decimal encode) for
+    # integral ids; string ids take the struct-min SortAggregate, the
+    # r12 A/B-adjudicated winner (the surrogate alternative stays
+    # selectable — all invariants and the adjudication live in
+    # `_min_first_election`). `ids_source=docs` keeps the surrogate
+    # path's rank (when selected) off the exploded paragraphs (a
+    # column-pruned scan of doc ids, not a re-run of posexplode+md5).
     win = _min_first_election(
         elig, ["__h"], id_col, "pos", ids_source=docs.select(id_col)
     ).select(id_col, "pos")
@@ -1390,13 +1415,13 @@ _POLY_INV1 = pow(_POLY_B1, -1, 1 << 64)
 _POLY_INV2 = pow(_POLY_B2, -1, 1 << 64)
 
 # Per-process cache of the four geometric power tables (B1^i, B2^i,
-# B1^-i, B2^-i). They depend only on length, and `multiply.accumulate`
-# over uint64 is a sequential ~20 ns/elem loop — rebuilding them per
-# Arrow chunk was 57% of the poly kernel's single-thread wall and the
-# bulk of its memory traffic (the r12 in-process profile; under 32
-# concurrent workers the extra traffic made the "vectorized" kernel
-# LOSE to the md5 loop on memory bandwidth). Built once per Python
-# worker, grown geometrically, sliced by view. Spark Python workers are
+# B1^-i, B2^-i). They depend only on length; rebuilding them per Arrow
+# chunk was 57% of the poly kernel's single-thread wall, and the fresh
+# allocations behind them paid this host's lazy-provisioning
+# first-touch fault cost on every chunk (the r12 profile; under 32
+# concurrent workers those fault storms made the "vectorized" kernel
+# LOSE to the md5 loop). Built once per Python worker, grown
+# geometrically, sliced by view. Spark Python workers are
 # single-threaded, so no lock.
 _POLY_POW_TABLES: tuple | None = None
 
@@ -1673,9 +1698,9 @@ def window_dedup(
          path are documented on the kernel.
       2. Winner election shuffles (lane1, lane2, id, start) rows only —
          window TEXT never leaves the mapper. The election is the
-         shared HashAggregate shape of `_min_first_election` (decimal
-         encode / string-id surrogate; min(struct) planned
-         SortAggregate on both shuffle sides).
+         shared shape of `_min_first_election`: HashAggregate via
+         decimal encode for integral ids; struct-min for string ids
+         (the r12 A/B-adjudicated default — see the helper).
       3. Loser windows explode to covered token positions: O(dup_bytes
          x window) rows, proportional to the duplicated portion of the
          corpus only, then collapse to one sorted int array per doc
@@ -1707,11 +1732,10 @@ def window_dedup(
         # lanes); text stays out of it.
         .localCheckpoint(eager=False)
     )
-    # winner election: the shared HashAggregate-planned shape —
-    # decimal-encoded (id, s) min for integral ids, dense-long
-    # surrogate for string ids, struct-min SortAggregate only for
-    # exotic id types. All encoding invariants live in
-    # `_min_first_election` (shared with paragraph_dedup, r11 advisor).
+    # winner election: the shared `_min_first_election` shape —
+    # HashAggregate via decimal-encoded (id, s) min for integral ids,
+    # struct-min for string ids (r12 A/B-adjudicated). All invariants
+    # live in the helper (shared with paragraph_dedup, r11 advisor).
     agg = (
         _min_first_election(wins, ["__h1", "__h2"], id_col, "s", with_count=True)
         .withColumnRenamed(id_col, "__wid")

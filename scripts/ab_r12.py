@@ -67,13 +67,22 @@ def build_docs1m(spark, string_ids: bool):
     docs = spark.range(n_docs).repartition(parts).mapInPandas(gen, schema=schema)
     if string_ids:
         # URL-shaped keys whose lexicographic order differs from the
-        # numeric order — the surrogate must reproduce string order
-        docs = docs.select(
-            F.concat(F.lit("url://d/"), F.col("doc_id").cast("string")).alias(
-                "doc_id"
-            ),
-            "text",
-        )
+        # numeric order — the surrogate must reproduce string order.
+        # id_bytes ~ production URL width: the struct-vs-surrogate
+        # trade depends on how many id bytes ride the election shuffle
+        # and its sort comparisons
+        import os
+
+        pad = int(os.environ.get("AB_ID_BYTES", "0"))
+        key = F.concat(F.lit("url://d/"), F.col("doc_id").cast("string"))
+        if pad:
+            key = F.concat(
+                F.lit("url://example.com/"),
+                F.lpad(F.sha2(F.col("doc_id").cast("string"), 256), pad, "x"),
+                F.lit("/d/"),
+                F.col("doc_id").cast("string"),
+            )
+        docs = docs.select(key.alias("doc_id"), "text")
     docs = docs.cache()
     docs.count()
     return docs

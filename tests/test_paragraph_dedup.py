@@ -257,7 +257,10 @@ def test_surrogate_vs_struct_election_randomized_parity_string_ids(spark):
     election must reproduce the struct-min form row-for-row. The id set
     deliberately includes keys whose LEXICOGRAPHIC order differs from
     their numeric order ('u:10' < 'u:9') — a surrogate that ranked by
-    anything but string order would elect different winners here."""
+    anything but string order would elect different winners here.
+    (Since the r12 A/B adjudication struct-min IS the string-id
+    default; the surrogate stays a selectable strategy, so this parity
+    pin selects it explicitly.)"""
     import random
 
     from picovdb_spark.operators import dedup as D
@@ -276,11 +279,11 @@ def test_surrogate_vs_struct_election_randomized_parity_string_ids(spark):
             for r in D.paragraph_dedup(df, sep="\n\n").collect()
         }
 
-    fast = run()
-    old_flag = D._FORCE_STRUCT_ELECTION
-    D._FORCE_STRUCT_ELECTION = True
+    prev = D._STRING_ID_ELECTION
+    D._STRING_ID_ELECTION = "surrogate"
     try:
-        ref = run()
+        fast = run()
     finally:
-        D._FORCE_STRUCT_ELECTION = old_flag
+        D._STRING_ID_ELECTION = prev
+    ref = run()  # default since r12: struct-min
     assert fast == ref

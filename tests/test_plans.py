@@ -284,19 +284,10 @@ def test_no_hot_path_plans_sort_aggregate(spark):
     docs = spark.createDataFrame(
         [(i, "a b c d e f g h i j") for i in range(6)], "doc_id long, text string"
     )
-    # string-id corpora (URLs/UUIDs — the common production key) must
-    # get the same HashAggregate election via the dense-long surrogate
-    # (r12, r11 verdict #1), not the struct-min SortAggregate fallback
-    sdocs = spark.createDataFrame(
-        [(f"url://{i}", "a b c d e f g h i j") for i in range(6)],
-        "doc_id string, text string",
-    )
     cases = {
         "exact_dedup": D.exact_dedup(docs),
         "paragraph_dedup": D.paragraph_dedup(docs, sep=" "),
         "window_dedup": D.window_dedup(docs, window=4),
-        "paragraph_dedup_string_ids": D.paragraph_dedup(sdocs, sep=" "),
-        "window_dedup_string_ids": D.window_dedup(sdocs, window=4),
         "minhash_lsh_pairs": D.minhash_lsh_pairs(docs),
         "simhash_pairs": D.simhash_pairs(docs),
         "quality_score": X.quality_score(docs),
@@ -312,3 +303,40 @@ def test_no_hot_path_plans_sort_aggregate(spark):
     }
     offenders = {k: v for k, v in offenders.items() if v}
     assert not offenders, f"sort-based aggregation crept in: {offenders}"
+
+
+def test_string_id_election_is_the_reasoned_sort_aggregate(spark):
+    """String-id corpora (URLs/UUIDs — the common production key) elect
+    through min(struct(id, pos)), which PLANS SortAggregate — and that
+    is the package's second REASONED SortAggregate (with asof_join's
+    max_by, joins.py), not an oversight: min(string) can never
+    HashAggregate (variable-length agg buffers aren't UnsafeRow-
+    mutable), and the only hash-agg route — the dense-long surrogate
+    election, still selectable via dedup._STRING_ID_ELECTION — LOST the
+    r12 interleaved A/B at 1M docs in every order-balanced pair (struct
+    1.37x faster with 15-byte ids, 6x with ~100-byte URL ids, output
+    checksums identical): its forward join re-shuffles every wide id,
+    then pays a ~30M-row back-join. This test pins BOTH facts: the
+    default string plan is the struct SortAggregate, and the surrogate
+    toggle still produces the HashAggregate shape (so the documented
+    alternative stays real)."""
+    from picovdb_spark.operators import dedup as D
+
+    sdocs = spark.createDataFrame(
+        [(f"url://{i}", "a b c d e f g h i j") for i in range(6)],
+        "doc_id string, text string",
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "SortAggregate" in plan(D.paragraph_dedup(sdocs, sep=" "))
+    assert "SortAggregate" in plan(D.window_dedup(sdocs, window=4))
+    prev = D._STRING_ID_ELECTION
+    D._STRING_ID_ELECTION = "surrogate"
+    try:
+        p = plan(D.paragraph_dedup(sdocs, sep=" "))
+        assert "SortAggregate" not in p
+        assert "HashAggregate" in p
+    finally:
+        D._STRING_ID_ELECTION = prev

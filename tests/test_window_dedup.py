@@ -210,11 +210,11 @@ def test_window_dedup_string_id_surrogate_matches_struct_election(spark):
             for r in D.window_dedup(df, window=3).collect()
         )
 
-    fast = run()
-    old = D._FORCE_STRUCT_ELECTION
-    D._FORCE_STRUCT_ELECTION = True
+    prev = D._STRING_ID_ELECTION
+    D._STRING_ID_ELECTION = "surrogate"
     try:
-        ref = run()
+        fast = run()
     finally:
-        D._FORCE_STRUCT_ELECTION = old
+        D._STRING_ID_ELECTION = prev
+    ref = run()  # default since r12: struct-min
     assert fast == ref
