@@ -1696,11 +1696,13 @@ def main() -> None:
         # load was 10.9 s on identical output) — same mechanism as every
         # wave-widened bound, documented not absorbed
         "scale1m_dedup_incremental": (7.0, 16.0),
-        # floor lowered r11: binary-digest slice-hash kernel + hash-agg
-        # election — interleaved fresh children read 12.3/17.8 s on the
-        # quiet side (three of four pairs 1.8-2.5x vs old; volumes and
-        # output crc identical). hi unchanged (r7 wave 83.5 in-suite)
-        "scale1m_dedup_window": (10.0, 90.0),
+        # r12 two-regime split + new floor: the polynomial window-hash
+        # kernel (cached power tables + scratch arena) reads 7.2/7.6 s
+        # in interleaved children even under load 25; this is the
+        # STEADY range (r11 quiet children 12.3-17.8 are its ceiling
+        # era). Wave/first-exec readings (r7 83.5 in-suite) compare
+        # against `settled_ranges`.
+        "scale1m_dedup_window": (4.0, 35.0),
         "scale1m_semantic_dedup": (15.0, 80.0),  # r7 in-suite 73.8, settled 59.9; r9 in-suite 17.5 (fast side)
         # composed curate chain over 500k paragraph-structured docs,
         # stage-isolated primary (fresh child, corpus build untimed).
