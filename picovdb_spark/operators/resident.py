@@ -927,7 +927,12 @@ class ResidentIvfStore:
         """Routed batch top-k over the probed clusters only. Output shape
         matches `ResidentGemmStore.query` / `batch_query(method="gemm")`:
         (query_id, _id_, _metrics_, rank); with `nprobe >= n_centroids`
-        the result equals exact top-k bit-for-bit."""
+        the result equals exact top-k (identical ids and ranks; scores
+        can differ by one final-rounding quantum in float32 mode, where
+        BLAS kernel dispatch is shape-dependent and the per-cluster
+        segment GEMMs use different shapes than a whole-block scan —
+        see tests/test_resident.py::test_resident_ivf_full_probe_equals_exact;
+        float64 mode is equal after round_to for any practical input)."""
         from picovdb_spark.operators.similarity import collect_normalized_queries
         from picovdb_spark.operators.topk import topk_per_query
 

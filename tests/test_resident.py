@@ -88,7 +88,18 @@ def test_resident_empty_queries(store, queries):
 
 def test_resident_ivf_full_probe_equals_exact(store, queries):
     """nprobe >= n_centroids routes every query everywhere: the routed
-    kernel must reproduce the exact float32 GEMM result bit-for-bit."""
+    kernel must reproduce the exact float32 GEMM result — identical
+    (query, id, rank) triples, scores equal up to ONE final-rounding
+    quantum.  Why not bit-for-bit: the routed kernel scores per-cluster
+    SEGMENTS while the exact path scores whole partition blocks, and
+    OpenBLAS dispatches different sgemm kernels by matrix shape, so the
+    same float32 dot can differ in the last ulp between the two shapes
+    (measured on this harness: (8,64)@(64,500) vs (1,64)@(64,31) give
+    0.00063222466 vs 0.0006322209 for the same row).  A score whose
+    true value sits within an ulp of a 0.5e-6 boundary then rounds to
+    adjacent 6-decimal values — result-identity holds, the 6th decimal
+    of one score may not.  (The float64 gate entry ann_ivf_resident_topk
+    is immune: f64 ulp ~1e-16 against the same 1e-6 quantum.)"""
     from picovdb_spark.operators.resident import ResidentIvfStore
 
     with ResidentIvfStore(store.select(K_ID, "_vector_"), n_centroids=16, seed=42) as rs:
@@ -96,7 +107,14 @@ def test_resident_ivf_full_probe_equals_exact(store, queries):
     b = batch_query(
         store, queries, top_k=10, method="gemm", score_dtype="float32"
     ).select("query_id", K_ID, K_METRICS, "rank").collect()
-    assert _key(a) == _key(b)
+    ka = {(r["query_id"], r[K_ID]): (r[K_METRICS], r["rank"]) for r in a}
+    kb = {(r["query_id"], r[K_ID]): (r[K_METRICS], r["rank"]) for r in b}
+    assert sorted(ka) == sorted(kb)
+    quantum = 1.000001e-6  # one round(., 6) step, with float slack
+    for key, (score_a, rank_a) in ka.items():
+        score_b, rank_b = kb[key]
+        assert rank_a == rank_b, (key, rank_a, rank_b)
+        assert abs(score_a - score_b) <= quantum, (key, score_a, score_b)
 
 
 def test_resident_ivf_partial_probe_recall_band(store, queries):
