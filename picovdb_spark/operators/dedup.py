@@ -297,6 +297,69 @@ def _shingle_hash_lists(lists) -> list:
     ]
 
 
+def _hashed_shingle_lists(texts, n: int) -> list:
+    """`_shingle_hash_lists(_shingled-style shingle sets)` fused into one
+    slice-hash pass: per row, the distinct-shingle md5_hash32 int list,
+    WITHOUT ever constructing the per-position shingle strings.
+
+    Equivalence (pinned by test_hashed_shingle_lists_matches_string_form):
+    the shingle string for positions i..i+n-1 is ``" ".join(toks[i:i+n])``,
+    and the whole token list joined once —``" ".join(toks)`` — contains
+    every shingle as the byte SLICE between token-start offsets, because
+    tokens are space-free by construction (split(" ") + empty filter) and
+    UTF-8 multi-byte sequences never contain 0x20. So one encode + one
+    vectorized space-scan yields every shingle's bytes as a memoryview
+    slice, and ``md5(slice)`` equals ``md5(shingle.encode())`` exactly.
+    Distinctness moves from string space to full-digest space — identical
+    (a 128-bit digest collision is the only divergence), so the output is
+    the same multiset of md5_hash32 ints as the string form, in arbitrary
+    set order (every consumer is order-insensitive: min-perm signatures,
+    array_intersect/array_union verify, and the DuckDB twins all carry
+    set semantics).
+
+    Why: the string form's per-position ``" ".join`` + string-set insert +
+    per-distinct encode dominated the LSH kernel wall (r12 profile:
+    tokenize+shingle ~15 s of an 18.4 s per-partition wall at the 1M
+    tier, the join itself the largest term). Here the per-position work
+    is one C md5 over a borrowed slice + one set insert of the digest —
+    the same allocation-frugal recipe as the window poly kernel's
+    slice scan (no per-position Python string materializes at all)."""
+    import hashlib
+
+    md5 = hashlib.md5
+    from_bytes = int.from_bytes
+    out: list = []
+    for text in texts:
+        toks = _tok_list(text)
+        nw = len(toks) - n + 1
+        if nw <= 0:
+            out.append([])
+            continue
+        joined = " ".join(toks)
+        enc = joined.encode()
+        # token-start byte offsets: for pure-ASCII text (the common
+        # case) char lengths ARE byte lengths; otherwise re-measure each
+        # token in bytes (tokens are space-free, so offsets fully
+        # determine every shingle slice either way)
+        off = [0] * (len(toks) + 1)
+        k = 0
+        p = 0
+        if len(enc) == len(joined):
+            for t in toks:
+                p += len(t) + 1
+                k += 1
+                off[k] = p
+        else:
+            for t in toks:
+                p += len(t.encode()) + 1
+                k += 1
+                off[k] = p
+        mv = memoryview(enc)
+        seen = {md5(mv[off[i] : off[i + n] - 1]).digest() for i in range(nw)}
+        out.append([from_bytes(d[:4], "big") for d in seen])
+    return out
+
+
 def _sig_band_lists_from_hashes(hlists: list, A, B, num_hashes: int, bands: int):
     """`_sig_band_lists` after the hashing step: signature + banding
     math over PRE-HASHED shingle lists, so a caller that also wants the
@@ -408,8 +471,10 @@ def _shingled_sig_bands(
         for pdf in batches:
             if pdf.empty:
                 continue
-            shingles = [_shingle_set(_tok_list(t), n) for t in pdf[text_col]]
-            hlists = _shingle_hash_lists(shingles)
+            # slice-md5 fused form (r12): same md5_hash32 multiset as
+            # _shingle_hash_lists(_shingle_set(...)) without building a
+            # single shingle string — see _hashed_shingle_lists
+            hlists = _hashed_shingle_lists(pdf[text_col], n)
             _, band_out = _sig_band_lists_from_hashes(hlists, A, B, num_hashes, bands)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "shh": hlists, "bands": band_out}
@@ -1825,17 +1890,89 @@ def minhash_index(
     indexed), or read the partitioned layout with
     ``spark.read.option("mergeSchema", "true")``; a read that samples
     only an old file's schema would silently drop the short route."""
-    if not include_short:
-        return _sig_bands_from_shingles(
-            _shingled(docs, id_col, text_col, shingle_n), id_col, num_hashes, bands
+    # ONE fused Arrow pass (r12): tokenize → slice-md5 shingle hashes →
+    # signatures/bands (+ the short-route hash), without materializing
+    # shingle STRINGS into the JVM between two Python kernels — the
+    # two-kernel form (`_shingled_for_index` → `_sig_bands_from_shingles`)
+    # shipped every shingle string JVM→Python→JVM purely to hash it,
+    # exactly the boundary cost §4 of the optimization playbook says to
+    # collapse. Values are unchanged by construction: hashes come from
+    # the shared `_hashed_shingle_lists` (multiset-identical to the
+    # string form), signature/band math is the shared
+    # `_sig_band_lists_from_hashes`, and the short-route hash is the
+    # same md5-of-normalized-token-join.
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); "
+            f"got remainder {num_hashes % bands}"
         )
-    return _sig_bands_from_shingles(
-        _shingled_for_index(docs, id_col, text_col, shingle_n),
-        id_col,
-        num_hashes,
-        bands,
-        short_col="text_hash",
+    coeffs = _minhash_coeffs(num_hashes)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+    out_schema = T.StructType(
+        [
+            docs.schema[id_col],
+            T.StructField("sig", T.ArrayType(T.LongType())),
+            T.StructField("bands", T.ArrayType(T.StringType())),
+            *(
+                [T.StructField("text_hash", T.StringType())]
+                if include_short
+                else []
+            ),
+        ]
     )
+    n = shingle_n
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            hlists = _hashed_shingle_lists(pdf[text_col], n)
+            if include_short:
+                sig, band = _sig_band_lists_from_hashes(
+                    hlists, A, B, num_hashes, bands
+                )
+                short = [
+                    None
+                    if h
+                    else hashlib.md5(
+                        " ".join(_tok_list(t)).encode()
+                    ).hexdigest()
+                    for h, t in zip(hlists, pdf[text_col])
+                ]
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "sig": sig,
+                        "bands": band,
+                        "text_hash": short,
+                    }
+                )
+                continue
+            # signature-only schema: sub-shingle docs are dropped (the
+            # `_shingled` route's size>0 filter), not carried as NULLs
+            keep = [i for i, h in enumerate(hlists) if h]
+            if not keep:
+                continue
+            sig, band = _sig_band_lists_from_hashes(
+                [hlists[i] for i in keep], A, B, num_hashes, bands
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].iloc[keep],
+                    "sig": sig,
+                    "bands": band,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
 
 
 def minhash_dedup_against(

@@ -337,3 +337,39 @@ def test_sig_band_lists_normalizes_null_arrays():
     assert sig[2] is None and bands[2] is None
     assert sig[0] == sig[3] and bands[0] == bands[3]  # real rows intact
     assert len(sig[0]) == 16 and len(bands[0]) == 4
+
+
+def test_hashed_shingle_lists_matches_string_form():
+    """The r12 slice-md5 fused shingle hasher must emit the SAME
+    md5_hash32 multiset per row as the string-space form
+    (`_shingle_hash_lists` over `_shingle_set(_tok_list(...))`) — order
+    excepted (both are set-derived; every consumer is order-free). The
+    randomized corpus covers the byte-offset edge cases: non-ASCII
+    (multi-byte UTF-8 tokens), repeated shingles, multi-space runs
+    (empty-token filtering), None/NaN/empty text, sub-shingle docs, and
+    numeric ids coming through pandas object columns."""
+    import random
+
+    from picovdb_spark.operators.dedup import (
+        _hashed_shingle_lists,
+        _shingle_hash_lists,
+        _shingle_set,
+        _tok_list,
+    )
+
+    rng = random.Random(1207)
+    vocab = ["the", "café", "naïve", "δ", "tok", "x", "reißverschluss", "日本語", "a"]
+    texts: list = [None, "", " ", float("nan"), "one two", "one  two   three"]
+    for _ in range(200):
+        n_tok = rng.randint(0, 12)
+        toks = [rng.choice(vocab) for _ in range(n_tok)]
+        if rng.random() < 0.3 and toks:
+            toks = toks + toks  # force repeated shingles
+        sep = "  " if rng.random() < 0.2 else " "
+        texts.append(sep.join(toks).upper() if rng.random() < 0.2 else sep.join(toks))
+    for n in (1, 2, 3, 5):
+        fused = _hashed_shingle_lists(texts, n)
+        strings = _shingle_hash_lists(
+            [_shingle_set(_tok_list(t), n) for t in texts]
+        )
+        assert [sorted(x) for x in fused] == [sorted(x) for x in strings], n
