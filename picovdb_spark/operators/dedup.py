@@ -297,7 +297,7 @@ def _shingle_hash_lists(lists) -> list:
     ]
 
 
-def _hashed_shingle_lists(texts, n: int) -> list:
+def _hashed_shingle_lists(texts, n: int, *, tokenized: bool = False) -> list:
     """`_shingle_hash_lists(_shingled-style shingle sets)` fused into one
     slice-hash pass: per row, the distinct-shingle md5_hash32 int list,
     WITHOUT ever constructing the per-position shingle strings.
@@ -323,14 +323,18 @@ def _hashed_shingle_lists(texts, n: int) -> list:
     tier, the join itself the largest term). Here the per-position work
     is one C md5 over a borrowed slice + one set insert of the digest —
     the same allocation-frugal recipe as the window poly kernel's
-    slice scan (no per-position Python string materializes at all)."""
+    slice scan (no per-position Python string materializes at all).
+
+    `tokenized=True`: `texts` are already `_tok_list`-shaped token
+    lists (the pruned decontaminate path, which must tokenize before
+    its disjointness check) — skips re-tokenization, same output."""
     import hashlib
 
     md5 = hashlib.md5
     from_bytes = int.from_bytes
     out: list = []
     for text in texts:
-        toks = _tok_list(text)
+        toks = text if tokenized else _tok_list(text)
         nw = len(toks) - n + 1
         if nw <= 0:
             out.append([])
@@ -358,6 +362,62 @@ def _hashed_shingle_lists(texts, n: int) -> list:
         seen = {md5(mv[off[i] : off[i + n] - 1]).digest() for i in range(nw)}
         out.append([from_bytes(d[:4], "big") for d in seen])
     return out
+
+
+def _shingled_hashed(
+    docs: DataFrame, id_col: str, text_col: str, n: int, token_set=None
+) -> DataFrame:
+    """`_shingled` with the hashing fused in: (id, sh: array<long>) of
+    distinct-shingle md5_hash32 ints per doc, via the slice-md5 kernel
+    (`_hashed_shingle_lists`) — for consumers that only ever HASH the
+    gram strings (decontaminate joins on md5_hash32(gram)), shipping the
+    strings JVM→Python→JVM just to re-hash them in Catalyst was pure
+    boundary cost. Same `token_set` prune contract as `_shingled`:
+    docs token-disjoint from the reference set emit NO row."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType),
+            T.StructField("sh", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if token_set is None:
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "sh": _hashed_shingle_lists(pdf[text_col], n),
+                    }
+                )
+                continue
+            ids, toks_kept = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = _tok_list(text)
+                if token_set.isdisjoint(toks):
+                    continue
+                ids.append(did)
+                toks_kept.append(toks)
+            if not ids:
+                # an all-pruned batch must yield NOTHING (empty
+                # plain-list frames infer float64 — the _shingled rule)
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "sh": _hashed_shingle_lists(toks_kept, n, tokenized=True),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
 
 
 def _sig_band_lists_from_hashes(hlists: list, A, B, num_hashes: int, bands: int):

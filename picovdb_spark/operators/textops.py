@@ -548,7 +548,7 @@ def decontaminate(
     # eval side keeps the HOF form; both produce identical gram STRINGS
     # (order inside the per-doc set differs — no consumer observes it),
     # so the hash join semantics are unchanged.
-    from picovdb_spark.operators.dedup import _shingled
+    from picovdb_spark.operators.dedup import _shingled_hashed
 
     grams = F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("__g")
     eval_grams = eval_docs.select(grams)
@@ -572,13 +572,18 @@ def decontaminate(
         )
         if len(tok_rows) <= prefilter_max_tokens:
             eval_tokens = frozenset(r["__t"] for r in tok_rows)
-    sh = _shingled(
+    # the kernel emits the gram HASHES directly (r12, `_shingled_hashed`):
+    # the join below is on md5_hash32(gram) either way, so shipping the
+    # gram strings JVM→Python→JVM and re-hashing them in Catalyst was
+    # pure boundary cost — the explode now carries longs, not strings,
+    # and the per-gram Catalyst md5 disappears. Values are identical:
+    # same md5_hash32 ints, same distinct-count semantics (the kernel
+    # dedups in digest space — the operator's documented 2^-32 tolerance)
+    sh = _shingled_hashed(
         train, id_col, text_col, n, token_set=eval_tokens
     ).withColumnRenamed("sh", "__s")
     if min_frac is None:
-        t = sh.select(F.col(id_col), F.explode("__s").alias("__g")).select(
-            F.col(id_col), md5_hash32(F.col("__g")).alias("__gh")
-        )
+        t = sh.select(F.col(id_col), F.explode("__s").alias("__gh"))
         hits = (
             t.join(e, "__gh")
             .groupBy(id_col)
@@ -593,8 +598,8 @@ def decontaminate(
     t = sh.select(
         F.col(id_col),
         F.size("__s").cast("long").alias("__ng"),
-        F.explode("__s").alias("__g"),
-    ).select(F.col(id_col), "__ng", md5_hash32(F.col("__g")).alias("__gh"))
+        F.explode("__s").alias("__gh"),
+    )
     hits = (
         t.join(e, "__gh")
         .groupBy(id_col)
@@ -719,13 +724,13 @@ def repeated_ngram_stats(
     # shingles via the Arrow kernel, not the interpreted word_shingles
     # HOF chain (same swap, same reasoning, as decontaminate — the HOF
     # allocates per position and is ~10× slower on a corpus-sized
-    # side); md5_hash32 on the EXPLODED column stays whole-stage codegen
-    from picovdb_spark.operators.dedup import _shingled
+    # side); the kernel emits the md5_hash32 ints directly (r12,
+    # `_shingled_hashed`) — every consumer below keys on the hash, so
+    # gram strings crossed the Python boundary purely to be re-hashed
+    from picovdb_spark.operators.dedup import _shingled_hashed
 
-    g = (
-        _shingled(docs, id_col, text_col, n)
-        .select(F.col(id_col), F.explode("sh").alias("__g"))
-        .select(F.col(id_col), md5_hash32(F.col("__g")).alias("__gh"))
+    g = _shingled_hashed(docs, id_col, text_col, n).select(
+        F.col(id_col), F.explode("sh").alias("__gh")
     )
     df_counts = g.groupBy("__gh").agg(F.count("*").alias("__df"))
     rep = df_counts.filter(F.col("__df") >= min_df).select("__gh")
