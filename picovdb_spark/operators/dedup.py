@@ -1457,10 +1457,11 @@ def paragraph_dedup(
          paragraph text back per doc — shuffles every text byte through
          the aggregate; this plan moves each doc's text at most once.
 
-    The per-element `array_contains` in the reassembly filter is O(k)
-    per paragraph (k = kept count) — fine for web documents (k ≤ 10³);
-    for pathological million-paragraph docs pre-chunk first
-    (operators/chunking.py).
+    Reassembly is O(kept) per doc: `__keep` is already the sorted kept
+    positions, so each surviving paragraph is one O(1) `element_at`
+    into the once-materialized split array (the former per-element
+    `array_contains` filter probed O(paras × kept) per doc, and the
+    inlined split re-expanded 4× in codegen — r12).
 
     Reference contrast: the reference dedups whole payloads only via
     content-hash auto-ids (pico_vdb.py:54-55); sub-document spans are
@@ -1483,11 +1484,35 @@ def paragraph_dedup(
     # phantom span_empty husk (n_kept 0 with no spans at all)
     arr = F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep), -1)
     paras = docs.select(F.col(id_col), F.posexplode(arr).alias("pos", "para"))
-    # 16-byte binary digest as the election key (r11): equality over
-    # unhex(md5) ≡ equality over the hex string, and every shuffled
-    # (digest,id,pos) triplet is 16 B lighter
-    elig = paras.filter(F.length("para") >= min_chars).select(
-        F.col(id_col), F.col("pos"), F.unhex(F.md5(F.col("para"))).alias("__h")
+    # ONE election pass over ALL spans (r12): the former
+    # eligible/ineligible filter split evaluated the corpus scan +
+    # split + posexplode TWICE (one subtree per branch) before
+    # unioning the kept positions back together. Instead every span
+    # gets a single binary election key with prefix-disjoint domains:
+    #   eligible  → 0x01 ‖ unhex(md5(para))   (17 B; r11's 16-byte
+    #               digest — equality over unhex(md5) ≡ equality over
+    #               the hex string — behind a 1-byte domain tag)
+    #   ineligible→ 0x00 ‖ utf8(id ':' pos)   (unique per span)
+    # An ineligible span is its own singleton group, so it always wins
+    # itself — exactly the old unconditional keep — and the two key
+    # domains can never collide (different first byte), so the kept
+    # set is identical by construction. The paragraph text still never
+    # shuffles; the only new bytes are the tag byte plus the
+    # ineligible rows now riding the election shuffle they previously
+    # bypassed via the second corpus scan.
+    key = F.when(
+        F.length("para") >= min_chars,
+        F.concat(F.lit(bytes([1])), F.unhex(F.md5(F.col("para")))),
+    ).otherwise(
+        F.concat(
+            F.lit(bytes([0])),
+            F.encode(
+                F.concat_ws(
+                    ":", F.col(id_col).cast("string"), F.col("pos").cast("string")
+                ),
+                "UTF-8",
+            ),
+        )
     )
     # winner election — HashAggregate-planned (decimal encode) for
     # integral ids; string ids take the struct-min SortAggregate, the
@@ -1496,11 +1521,13 @@ def paragraph_dedup(
     # `_min_first_election`). `ids_source=docs` keeps the surrogate
     # path's rank (when selected) off the exploded paragraphs (a
     # column-pruned scan of doc ids, not a re-run of posexplode+md5).
-    win = _min_first_election(
-        elig, ["__h"], id_col, "pos", ids_source=docs.select(id_col)
+    keep = _min_first_election(
+        paras.select(F.col(id_col), F.col("pos"), key.alias("__h")),
+        ["__h"],
+        id_col,
+        "pos",
+        ids_source=docs.select(id_col),
     ).select(id_col, "pos")
-    inelig = paras.filter(F.length("para") < min_chars).select(F.col(id_col), F.col("pos"))
-    keep = win.unionByName(inelig)
     keeplist = keep.groupBy(id_col).agg(
         F.sort_array(F.collect_list("pos")).alias("__keep")
     )
@@ -1513,13 +1540,29 @@ def paragraph_dedup(
         _t0 = _time.perf_counter()
         keeplist = keeplist.localCheckpoint(eager=True)
         stage_times["election"] = round(_time.perf_counter() - _t0, 3)
-    karr = F.coalesce(F.col("__keep"), F.array().cast("array<int>"))
-    kept_arr = F.filter(arr, lambda x, i: F.array_contains(karr, i))
-    return docs.join(keeplist, on=id_col, how="left").select(
+    # Reassembly (r12): materialize the split ONCE as a named `__arr`
+    # attribute below the join — the inlined form re-evaluated the
+    # split 4x in the generated code (size, filter, array_join all
+    # re-expanded it; the quality_score tokenize-once lesson), and the
+    # per-element array_contains probe was O(paras x kept) per doc.
+    # `__keep` is already the SORTED kept positions, so each kept
+    # paragraph is one O(1) element_at — O(kept) total, same order,
+    # byte-identical text_clean (window_dedup's reassembly shape).
+    # CollapseProject leaves the two-projection form alone because
+    # `__arr` is non-cheap and multiply-referenced.
+    base = docs.join(keeplist, on=id_col, how="left").select(
         F.col(id_col),
-        F.size(arr).cast("long").alias("n_paras"),
-        F.size(karr).cast("long").alias("n_kept"),
-        F.array_join(kept_arr, sep).alias("text_clean"),
+        arr.alias("__arr"),
+        F.coalesce(F.col("__keep"), F.array().cast("array<int>")).alias("__k"),
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("__arr").cast("long").alias("n_paras"),
+        F.size("__k").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform("__k", lambda p: F.element_at(F.col("__arr"), p + F.lit(1))),
+            sep,
+        ).alias("text_clean"),
     )
 
 
