@@ -2399,14 +2399,39 @@ def semantic_dedup_pairs(
         ids = pdf["id"].to_numpy()
         cl = int(pdf["cluster"].iloc[0])
         chunk_rows = max(1, chunk_elems // s)
+        # float32 prefilter + float64 refine (r12): the full s²·d scan
+        # runs in SINGLE precision (this host's sgemm measured 11-18×
+        # dgemm — knn_join_blocked docstring), and only the sparse
+        # candidate set is re-scored exactly in double. No pair can be
+        # missed: for unit vectors the float32 dot's total error
+        # (cast + accumulation) is bounded by (d+4)·u with u = 2⁻²⁴,
+        # and a true cosine just below `threshold` can still ROUND up
+        # to it from half a rounding quantum below — the margin covers
+        # both, with a 4× safety factor on the error term. Emitted
+        # values are float64 np.round exactly as before (f64 dot error
+        # ~1e-14 against the 0.5·10⁻ʳᵒᵘⁿᵈ quantum — no boundary risk,
+        # unlike float32 where this class of flip is real; see
+        # operators/resident.py).
+        m32 = np.ascontiguousarray(m, dtype=np.float32)
+        d = m.shape[1]
+        margin = 4.0 * (d + 4) * 2.0**-24 + 10.0**-round_to
+        pre_thr = threshold - margin
         outs = []
         for lo in range(0, s, chunk_rows):
-            scores = np.round(m[lo : lo + chunk_rows] @ m.T, round_to)
-            bi, bj = np.nonzero(scores >= threshold)
+            s32 = m32[lo : lo + chunk_rows] @ m32.T
+            bi, bj = np.nonzero(s32 >= pre_thr)
             if len(bi) == 0:
                 continue
             left, right = ids[bi + lo], ids[bj]
-            keep = left < right
+            ordered = left < right
+            if not ordered.any():
+                continue
+            bi, bj = bi[ordered], bj[ordered]
+            left, right = left[ordered], right[ordered]
+            vals = np.round(
+                np.einsum("ij,ij->i", m[bi + lo], m[bj]), round_to
+            )
+            keep = vals >= threshold
             if not keep.any():
                 continue
             outs.append(
@@ -2414,7 +2439,7 @@ def semantic_dedup_pairs(
                     {
                         "id_a": left[keep],
                         "id_b": right[keep],
-                        "cosine": scores[bi, bj][keep],
+                        "cosine": vals[keep],
                         "cluster": cl,
                     }
                 )
