@@ -126,3 +126,68 @@ def test_zero_vector_and_fitted_centroids(spark):
     ids = {r["id_a"] for r in out} | {r["id_b"] for r in out}
     assert "z" not in ids  # zero vector pairs with nothing
     assert len(out) > 0  # the replicated basis vectors do pair up
+
+
+def test_f32_prefilter_boundary_pairs_survive(spark):
+    """r12 float32-prefilter boundary contract: a true cosine BELOW the
+    threshold that ROUNDS up to it must still be emitted (the f32
+    prefilter may score it under the threshold, but never under
+    threshold - margin), and a cosine that rounds just below must not.
+    Both cases sit within float32 noise of the boundary — exactly the
+    regime the margin exists for."""
+    thr, r = 0.9, 6
+
+    def pair(c):
+        # unit vectors at exact cosine c (float64)
+        return [1.0, 0.0, 0.0, 0.0], [c, float(np.sqrt(1 - c * c)), 0.0, 0.0]
+
+    keep_c = 0.8999996  # rounds to 0.900000 >= thr -> kept
+    drop_c = 0.8999993  # rounds to 0.899999 <  thr -> dropped
+    va, vb = pair(keep_c)
+    vc, vd = pair(drop_c)
+    emb = spark.createDataFrame(
+        [("k1", va), ("k2", vb), ("d1", [0.0, 0.0, 1.0, 0.0]), ("d2", [0.0, float(np.sqrt(1 - drop_c**2)), drop_c, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    # one cluster so every pair is scanned; centroids on e0/e2 split them
+    out = semantic_dedup_pairs(
+        emb, centroids=np.eye(1, 4), threshold=thr, round_to=r,
+        max_cluster_size=10,
+    ).collect()
+    got = {(x["id_a"], x["id_b"]): x["cosine"] for x in out}
+    assert ("k1", "k2") in got, got
+    assert got[("k1", "k2")] == pytest.approx(0.9, abs=1e-12)
+    assert ("d1", "d2") not in got, got
+
+
+def test_f32_prefilter_randomized_parity_vs_f64_bruteforce(spark):
+    """Randomized parity: operator pairs == float64 brute force with the
+    identical round/threshold rule, at a threshold slicing through the
+    cosine distribution (so the prefilter margin is exercised on both
+    sides across many near-boundary values)."""
+    rng = np.random.default_rng(7)
+    n, d = 240, 16
+    base = rng.standard_normal((8, d))
+    vecs = base[rng.integers(0, 8, n)] + 0.35 * rng.standard_normal((n, d))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    thr, r = 0.8, 6
+    emb = spark.createDataFrame(
+        [(f"v{i:03d}", [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id string, embedding array<double>",
+    )
+    out = semantic_dedup_pairs(
+        emb, centroids=np.eye(1, d), threshold=thr, round_to=r,
+        max_cluster_size=n + 1,
+    ).collect()
+    got = {(x["id_a"], x["id_b"]): x["cosine"] for x in out}
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    scores = np.round(unit @ unit.T, r)
+    want = {}
+    ids = [f"v{i:03d}" for i in range(n)]
+    for i in range(n):
+        for j in range(n):
+            if ids[i] < ids[j] and scores[i, j] >= thr:
+                want[(ids[i], ids[j])] = scores[i, j]
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=0.0), k
