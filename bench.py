@@ -149,6 +149,17 @@ def bench_queries(spark):
         bm25_state["idx"] = build_bm25_index(docs, storage="memory")
         bm25_state["idx"].postings.count()  # materialize the cache
 
+    def _prepare_bm25():
+        # subset-run guard, same contract as _prepare_ivf: a settled/
+        # BENCH_ONLY child selecting only the query row skips the build
+        # ROW (it's timed, not a setup step), so the index must be
+        # built untimed here. No-op in the full suite. (r12: the first
+        # settled re-run of bm25_query_batch ever taken crashed on the
+        # missing key — the range audit had never pushed this row to a
+        # child before.)
+        if "idx" not in bm25_state:
+            q_bm25_build()
+
     def q_bm25_query():
         queries = spark.createDataFrame(
             [("q1", "hash join table"), ("q2", "fast scan slow"), ("q3", "merge batch value")],
@@ -172,6 +183,11 @@ def bench_queries(spark):
         from picovdb_spark.operators.ann import IvfIndex
 
         ann_state["idx"] = IvfIndex.build(store, n_centroids=64, seed=42)
+
+    def _prepare_ann_ivf():
+        # subset-run guard (see _prepare_bm25)
+        if "idx" not in ann_state:
+            q_ann_build()
 
     def q_ann_query_1000():
         from picovdb_spark.operators.ann import ann_query
@@ -1399,10 +1415,12 @@ def bench_queries(spark):
         "embedding_near_dup": q_embedding_near_dup,
         "text_analysis": q_text_analysis,
         "bm25_index_build": q_bm25_build,
+        "_prepare_bm25": _prepare_bm25,
         "bm25_query_batch": q_bm25_query,
         "dedup_components": q_dedup_components,
         "sessionize": q_sessionize,
         "ann_ivf_build": q_ann_build,
+        "_prepare_ann_ivf": _prepare_ann_ivf,
         "ann_ivf_query_1000": q_ann_query_1000,
         "chunk_pack": q_chunk_pack,
         "pipeline_screen": q_pipeline_screen,
@@ -1522,6 +1540,8 @@ def main() -> None:
         "_prepare_pq": ("ref100k_pq_query",),
         "_prepare_ivfpq": ("ref100k_ivfpq_query",),
         "_prepare_ivf": ("ref100k_ivf_query",),
+        "_prepare_bm25": ("bm25_query_batch",),
+        "_prepare_ann_ivf": ("ann_ivf_query_1000",),
         "_prepare_scale1m_ivfpq": ("scale1m_ivfpq_query",),
         "_prepare_resident": ("ref100k_batch_1000_resident", "ref100k_exact_local_100"),
         "_prepare_resident_int8": ("ref100k_batch_1000_resident_int8",),
