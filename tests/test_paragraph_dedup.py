@@ -163,6 +163,24 @@ def test_election_is_hash_aggregated_for_integral_ids(spark):
     assert "HashAggregate" in plan
 
 
+def test_election_scans_corpus_once(spark):
+    """r12: every span takes a SINGLE election pass under a
+    prefix-disjoint binary key (0x01||digest for eligible spans,
+    0x00||id:pos singletons for unconditional keeps). The previous form
+    evaluated the corpus scan + split + posexplode TWICE — one subtree
+    electing eligible spans, a second re-deriving the ineligible spans
+    it unioned back — so the plan carried two scans of the source and a
+    Union. Pin the optimized shape: exactly one scan of the corpus
+    relation feeding the election side (the reassembly join re-reads
+    the source once more by design — text moves once), and no Union."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = paragraph_dedup(df, sep="\n\n")._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    # the whole pipeline touches the source exactly twice: once for the
+    # election (keep-list), once for the reassembly text rewrite
+    assert plan.count("LocalTableScan") <= 2
+
+
 def test_decimal_election_parity_negative_and_extreme_ids(spark):
     """The id*10^10+pos decimal encoding must reproduce lexicographic
     (id,pos) min for NEGATIVE and near-Long.MAX ids (base-10^10
