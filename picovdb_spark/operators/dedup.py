@@ -1037,13 +1037,13 @@ def _near_dup_lsh(
     def _cos(va, vb):
         import numpy as np
 
-        from picovdb_spark.operators.ann import _normalize_rows
+        from picovdb_spark.operators.ann import _normalize_rows, stack_vectors
 
         # _normalize_rows applies the store's zero→e₀ invariant, so a
         # pair of zero vectors scores 1.0 exactly like the gemm/sql
         # paths (which normalize via l2_normalize) — not 0.0
-        ma = _normalize_rows(np.asarray([np.asarray(x, dtype=np.float64) for x in va]))
-        mb = _normalize_rows(np.asarray([np.asarray(x, dtype=np.float64) for x in vb]))
+        ma = _normalize_rows(stack_vectors(va))
+        mb = _normalize_rows(stack_vectors(vb))
         return pd.Series(np.einsum("ij,ij->i", ma, mb))
 
     _cos.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
@@ -1099,6 +1099,8 @@ def _near_dup_gemm(n: DataFrame, *, threshold: float, round_to: int) -> DataFram
     def block(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from picovdb_spark.operators.ann import stack_vectors
+
         b_ids, b_mat = bc.value
         # bound the (chunk, N) float64 score matrix to ~256 MB no matter
         # how large the broadcast side is — an Arrow batch (10k rows)
@@ -1108,7 +1110,7 @@ def _near_dup_gemm(n: DataFrame, *, threshold: float, round_to: int) -> DataFram
             if pdf.empty:
                 continue
             block_ids = pdf["id"].to_numpy()
-            block_mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            block_mat = stack_vectors(pdf["v"])
             for lo in range(0, len(block_ids), chunk_rows):
                 cut_ids = block_ids[lo : lo + chunk_rows]
                 scores = np.round(
@@ -2273,11 +2275,13 @@ def centroid_affinity(
     )
 
     def score(batches: Iterator) -> Iterator:
+        from picovdb_spark.operators.ann import stack_vectors
+
         c = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
-            m = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            m = stack_vectors(pdf["v"])
             norms = np.linalg.norm(m, axis=1)
             norms[norms == 0.0] = 1.0  # zero vectors: cosine 0 everywhere
             s = (m / norms[:, None]) @ c.T
@@ -2357,11 +2361,13 @@ def semantic_dedup_pairs(
     )
 
     def assign(batches: Iterator) -> Iterator:
+        from picovdb_spark.operators.ann import stack_vectors
+
         c = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
-            m = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            m = stack_vectors(pdf["v"])
             norms = np.linalg.norm(m, axis=1)
             norms[norms == 0.0] = 1.0
             m = m / norms[:, None]

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from picovdb_spark.operators.ann import _normalize_rows
+from picovdb_spark.operators.ann import _normalize_rows, stack_vectors
 from picovdb_spark.schema import K_ID, K_METRICS, K_VECTOR
 
 
@@ -153,9 +153,7 @@ def pq_encode(
         for pdf in batches:
             if pdf.empty:
                 continue
-            v = _normalize_rows(
-                np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vector_col]])
-            )
+            v = _normalize_rows(stack_vectors(pdf[vector_col]))
             codes = np.empty((len(v), m), dtype=np.int32)
             for s in range(m):
                 xs = v[:, s * dsub : (s + 1) * dsub]
@@ -243,9 +241,7 @@ def exact_rescore(
         for pdf in batches:
             if pdf.empty:
                 continue
-            v = _normalize_rows(
-                np.asarray([np.asarray(x, dtype=np.float64) for x in pdf[vector_col]])
-            )
+            v = _normalize_rows(stack_vectors(pdf[vector_col]))
             qidx = np.fromiter(
                 (b_qindex[str(q)] for q in pdf["query_id"]), dtype=np.int64
             )
