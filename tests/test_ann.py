@@ -438,3 +438,31 @@ def test_embedding_near_dup_gemm_chunking_exact(neardup_emb, monkeypatch):
     chunked = _pairs(dd.embedding_near_dup(neardup_emb, threshold=0.9, method="gemm"))
     exact = _pairs(dd.embedding_near_dup(neardup_emb, threshold=0.9, method="sql"))
     assert chunked == exact and len(chunked) >= 10
+
+
+def test_stack_vectors_matches_per_row_loop():
+    """stack_vectors (the vectorized Arrow-column ingest all mapInPandas
+    vector kernels share) must be bit-identical to the per-element
+    np.asarray loop it replaced, across the element dtypes Arrow
+    actually delivers (f32/f64 numpy arrays, plain lists) and the
+    empty batch."""
+    import pandas as pd
+
+    from picovdb_spark.operators.ann import stack_vectors
+
+    rng = np.random.default_rng(7)
+
+    def loop(series):
+        return np.asarray([np.asarray(x, dtype=np.float64) for x in series])
+
+    f32 = [rng.standard_normal(17).astype(np.float32) for _ in range(101)]
+    f64 = [rng.standard_normal(17) for _ in range(101)]
+    lst = [list(v) for v in f64]
+    for elems in (f32, f64, lst):
+        s = pd.Series(elems, dtype=object)
+        got, want = stack_vectors(s), loop(s)
+        assert got.dtype == np.float64 and got.shape == (101, 17)
+        assert np.array_equal(got, want)
+
+    empty = stack_vectors(pd.Series([], dtype=object))
+    assert empty.shape == (0, 0) and empty.dtype == np.float64
