@@ -48,6 +48,86 @@ from pyspark.sql import types as T
 from picovdb_spark.operators.ann import _normalize_rows, stack_vectors
 from picovdb_spark.schema import K_ID, K_METRICS, K_VECTOR
 
+# Diagnostic toggle for the encode kernel's float32 prescan (below).
+# False forces the pure-float64 per-subspace argmin; the parity test
+# (tests/test_pq.py::test_pq_encode_prescan_matches_f64) monkeypatches
+# it to pin both paths code-identical. Never set in production.
+_PRESCAN_F32 = True
+
+
+def _subspace_codes_f32(
+    v: np.ndarray,
+    v32: np.ndarray,
+    books: np.ndarray,
+    neg2bT: list[np.ndarray],
+    cnorm2: list[np.ndarray],
+    margins: list[np.float32],
+) -> np.ndarray:
+    """Per-subspace argmin codes via a float32 prescan, equal to the
+    pure-float64 form (`_subspace_codes_f64`) row for row.
+
+    Why: the per-subspace distance GEMMs and their (n, k) elementwise
+    expansion were the encode kernel's wall, and they ran in float64
+    purely because the store vectors arrive as float64 — the argmin
+    itself needs far less precision than that. This host's sgemm and
+    half-width elementwise traffic make the prescan 2.4-7.8× the f64
+    loop at the bench shapes (guide §4: right-precision math inside the
+    kernel; A/B in OPTIMIZATION_r12.md).
+
+    Correctness: the prescan score g = |c|² - 2 x·c (float32; the
+    per-row |x|² constant cannot move an argmin and is dropped; the ×2
+    is folded into the centroid matrix — an exact power-of-two scale).
+    With unit-normalized rows (store invariant) and PQ centroids that
+    are means of unit subvectors, every accumulated |term| ≤ 3, so
+    |g32 - g_real| ≤ (dsub+4)·2⁻²⁴·3 + O(u²); the margin
+    8·(dsub+8)·2⁻²⁴ covers that with >2× slack plus the float64
+    expression's own ≤ dsub·2⁻⁵³ noise. Any row whose second-best score
+    sits within the margin of its best is re-argmin'd on the ORIGINAL
+    float64 distance expression over the full codebook, so ties resolve
+    with exactly the f64 path's first-min semantics. The only
+    theoretical divergence is BLAS shape dependence of the refine's
+    row-subset GEMM (last-ulp, same class as the documented
+    driver_blas_threads note) — and codes are downstream-invariant to
+    it (full-refine/full-probe entries rescore exactly)."""
+    n = len(v)
+    m, _, dsub = books.shape
+    codes = np.empty((n, m), dtype=np.int32)
+    rows = np.arange(n)
+    for s in range(m):
+        g = v32[:, s * dsub : (s + 1) * dsub] @ neg2bT[s]
+        g += cnorm2[s][None, :]
+        w = np.argmin(g, axis=1)
+        codes[:, s] = w
+        thresh = g[rows, w] + margins[s]
+        amb = np.count_nonzero(g <= thresh[:, None], axis=1) > 1
+        if amb.any():
+            xs = v[amb, s * dsub : (s + 1) * dsub]
+            cent = books[s]
+            d2 = (
+                (xs * xs).sum(axis=1)[:, None]
+                - 2.0 * (xs @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            codes[amb, s] = np.argmin(d2, axis=1)
+    return codes
+
+
+def _subspace_codes_f64(v: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """The reference pure-float64 per-subspace argmin (the pre-r12 form;
+    kept as the prescan's diagnostic/parity twin)."""
+    m, _, dsub = books.shape
+    codes = np.empty((len(v), m), dtype=np.int32)
+    for s in range(m):
+        xs = v[:, s * dsub : (s + 1) * dsub]
+        cent = books[s]
+        d2 = (
+            (xs * xs).sum(axis=1)[:, None]
+            - 2.0 * (xs @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        codes[:, s] = np.argmin(d2, axis=1)
+    return codes
+
 
 def fit_pq(
     store: DataFrame,
@@ -145,29 +225,40 @@ def pq_encode(
         + [T.StructField("codes", T.ArrayType(T.IntegerType()))]
     )
 
+    prescan = _PRESCAN_F32  # snapshot at plan time: the closure ships the value
+
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
 
         books, cent_mat = bc.value
         m, _, dsub = books.shape
+        if prescan:
+            # once per task: f32 codebook views for the prescan (the ×2
+            # folded into the matrix is an exact power-of-two scale)
+            books32 = books.astype(np.float32)
+            neg2bT = [np.ascontiguousarray((-2.0 * books32[s]).T) for s in range(m)]
+            cnorm2 = [(books32[s] * books32[s]).sum(axis=1) for s in range(m)]
+            margins = [np.float32(8.0 * (dsub + 8) * 2.0**-24)] * m
         for pdf in batches:
             if pdf.empty:
                 continue
             v = _normalize_rows(stack_vectors(pdf[vector_col]))
-            codes = np.empty((len(v), m), dtype=np.int32)
-            for s in range(m):
-                xs = v[:, s * dsub : (s + 1) * dsub]
-                cent = books[s]
-                d2 = (
-                    (xs * xs).sum(axis=1)[:, None]
-                    - 2.0 * (xs @ cent.T)
-                    + (cent * cent).sum(axis=1)[None, :]
+            if prescan:
+                codes = _subspace_codes_f32(
+                    v, v.astype(np.float32), books, neg2bT, cnorm2, margins
                 )
-                codes[:, s] = np.argmin(d2, axis=1)
+            else:
+                codes = _subspace_codes_f64(v, books)
             out = {id_col: pdf[id_col]}
             for c in extra:
                 out[c] = pdf[c]
             if cent_mat is not None:
+                # deliberately f64: unlike the subspace loop, this one
+                # deep-k GEMM is memory-bound on its (n, k) output, so
+                # an f32 prescan only trades the dgemm for a cast pass —
+                # measured neutral (0.8-1.0×) at both bench shapes
+                # (OPTIMIZATION_r12.md); same adjudication as
+                # ann.assign_clusters
                 out[CLUSTER_COL] = np.argmax(v @ cent_mat.T, axis=1).astype("int32")
             out["codes"] = list(codes)
             yield pd.DataFrame(out)

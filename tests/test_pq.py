@@ -136,3 +136,36 @@ def test_oversized_adc_tables_fail_fast(spark, emb, queries, index, monkeypatch)
     monkeypatch.setattr(pq_mod, "MAX_ADC_TABLE_BYTES", 64)
     with pytest.raises(ValueError, match="split the query batch"):
         index.query(queries, top_k=3)
+
+
+def test_pq_encode_prescan_matches_f64(spark, emb):
+    """The r12 float32-prescan encode path must produce codes identical
+    to the pure-float64 argmin — on the real store AND on adversarial
+    tie data (duplicate centroids, centroids a last-f32-bit apart, zero
+    vectors). The margin math is in _subspace_codes_f32's docstring."""
+    from picovdb_spark.operators import pq as pq_mod
+
+    books = fit_pq(emb, m=8, k=16, sample_size=500, seed=7)
+    # adversarial codebook: duplicate centroid (exact tie -> first-index
+    # win must survive), and a near-tie pair one f32 ulp apart
+    adv = books.copy()
+    adv[0, 3] = adv[0, 1]                      # exact duplicate
+    adv[2, 5] = np.nextafter(
+        adv[2, 4].astype(np.float32), np.float32(1.0)
+    ).astype(np.float64)                       # ~1 f32 ulp from neighbor
+    rows = emb.limit(200)
+    zero = spark.createDataFrame(
+        [("z0", [0.0] * 64), ("z1", [1e-30] * 64)],
+        schema=f"{K_ID} string, {K_VECTOR} array<double>",
+    )
+    cases = [(books, rows), (adv, rows), (adv, zero)]
+    orig = pq_mod._PRESCAN_F32
+    try:
+        for bk, df in cases:
+            pq_mod._PRESCAN_F32 = True
+            fast = {r[K_ID]: r["codes"] for r in pq_encode(df, bk).collect()}
+            pq_mod._PRESCAN_F32 = False
+            slow = {r[K_ID]: r["codes"] for r in pq_encode(df, bk).collect()}
+            assert fast == slow
+    finally:
+        pq_mod._PRESCAN_F32 = orig
