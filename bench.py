@@ -49,6 +49,34 @@ def _force(df) -> int:
     return 0
 
 
+def _sample_worker_rss() -> dict:
+    """RSS snapshot of the live pyspark daemon/worker processes and the
+    local-mode JVM, read from /proc (Linux-only; returns what it can).
+    Pure measurement — never affects timing or the timed rows."""
+    out: dict = {"n_workers": 0, "workers_total_mb": 0, "workers_max_mb": 0}
+    try:
+        page_kb = os.sysconf("SC_PAGE_SIZE") // 1024
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\x00", b" ")
+                with open(f"/proc/{pid}/statm") as f:
+                    rss_mb = int(f.read().split()[1]) * page_kb // 1024
+            except OSError:
+                continue
+            if b"pyspark.daemon" in cmd or b"pyspark.worker" in cmd:
+                out["n_workers"] += 1
+                out["workers_total_mb"] += rss_mb
+                out["workers_max_mb"] = max(out["workers_max_mb"], rss_mb)
+            elif b"java" in cmd and b"pyspark-shell" in cmd:
+                out["jvm_mb"] = out.get("jvm_mb", 0) + rss_mb
+    except (OSError, ValueError):  # pragma: no cover - non-Linux
+        pass
+    return out
+
+
 def _queries_df(spark, n):
     emb = load_table(spark, SF_DIR, "embeddings")
     return emb.filter(F.col("vec_id") < n).select(
@@ -1954,6 +1982,13 @@ def main() -> None:
             ]
     for fn in deferred_cleanups:
         fn()
+
+    # Measurement (r13, verdict item 2): sample the resident-set sizes
+    # of the still-alive Python workers and the JVM at end of suite, so
+    # the artifact shows whether per-worker retained kernel state stays
+    # bounded across the whole run (the r12 regression mechanism was
+    # exactly unbounded worker retention under a no-trim malloc policy).
+    EXTRA_STATS["worker_rss_end_of_suite"] = _sample_worker_rss()
 
     import re
 

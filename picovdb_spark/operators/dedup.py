@@ -1584,43 +1584,39 @@ _POLY_B2 = 0xC2B2AE3D27D4EB4F
 _POLY_INV1 = pow(_POLY_B1, -1, 1 << 64)
 _POLY_INV2 = pow(_POLY_B2, -1, 1 << 64)
 
-# Per-process cache of the four geometric power tables (B1^i, B2^i,
-# B1^-i, B2^-i). They depend only on length; rebuilding them per Arrow
-# chunk was 57% of the poly kernel's single-thread wall, and the fresh
-# allocations behind them paid this host's lazy-provisioning
-# first-touch fault cost on every chunk (the r12 profile; under 32
-# concurrent workers those fault storms made the "vectorized" kernel
-# LOSE to the md5 loop). Built once per Python worker, grown
-# geometrically, sliced by view. Spark Python workers are
-# single-threaded, so no lock.
-_POLY_POW_TABLES: tuple | None = None
-
-
-def _poly_powers(n: int):
-    global _POLY_POW_TABLES
+def _build_pow_tables(m: int) -> tuple:
+    """The four geometric power tables (B1^i, B2^i, B1^-i, B2^-i) of
+    length `m`. They depend only on length; rebuilding them per Arrow
+    chunk was 57% of the poly kernel's single-thread wall (r12
+    profile), so callers cache them — but TASK-locally, not
+    per-process: the r12 per-process cache had a 2^20 floor (32 MB per
+    worker, 4 tables x 8 B), grew geometrically on long documents, and
+    was retained for the life of every reused Python worker — 32
+    workers x >=32 MB of permanently-retained state compounded the
+    suite-wide memory pressure the r12 driver bench measured. Built
+    once per task inside the kernel generator (amortized over every
+    chunk the task processes, rebuild cost ~ms vs the multi-second
+    row), sized to the task's actual need, and released when the task
+    ends."""
     import numpy as np
 
-    if _POLY_POW_TABLES is None or len(_POLY_POW_TABLES[0]) < n:
-        m = 1 << max(n - 1, 1).bit_length()
-        m = max(m, 1 << 20)
-        arrs = []
-        for base in (_POLY_B1, _POLY_B2, _POLY_INV1, _POLY_INV2):
-            # log-doubling build: a[k:2k] = a[:k] * B^k. ONE write pass
-            # over the array — np.full + multiply.accumulate was ~100x
-            # slower here because np.full's slow uint64-scalar fill
-            # path multiplied with this host's expensive first-touch
-            # faults (~60 us/page in a microVM)
-            a = np.empty(m, np.uint64)
-            a[0] = 1
-            k = 1
-            while k < m:
-                j = min(k, m - k)
-                bk = np.uint64(pow(base, k, 1 << 64))
-                np.multiply(a[:j], bk, out=a[k : k + j])
-                k += j
-            arrs.append(a)
-        _POLY_POW_TABLES = tuple(arrs)
-    return tuple(a[:n] for a in _POLY_POW_TABLES)
+    arrs = []
+    for base in (_POLY_B1, _POLY_B2, _POLY_INV1, _POLY_INV2):
+        # log-doubling build: a[k:2k] = a[:k] * B^k. ONE write pass
+        # over the array — np.full + multiply.accumulate was ~100x
+        # slower here because np.full's slow uint64-scalar fill
+        # path multiplied with this host's expensive first-touch
+        # faults (~60 us/page in a microVM)
+        a = np.empty(m, np.uint64)
+        a[0] = 1
+        k = 1
+        while k < m:
+            j = min(k, m - k)
+            bk = np.uint64(pow(base, k, 1 << 64))
+            np.multiply(a[:j], bk, out=a[k : k + j])
+            k += j
+        arrs.append(a)
+    return tuple(arrs)
 
 
 def _window_hash_rows(
@@ -1648,9 +1644,12 @@ def _window_hash_rows(
     concurrent workers (interleaved A/B ratio 0.27x) because guest
     memory is provisioned lazily and first-touch faults on fresh large
     allocations cost ~100x a warm write; the kernel therefore reuses a
-    per-task scratch arena and per-process cached power tables
-    (`_poly_powers`), after which the same A/B reads 5.1x in the poly
-    kernel's favor (three order-balanced pairs, n identical). Correctness contract: window_dedup's election
+    per-task scratch arena and per-TASK cached power tables
+    (`_build_pow_tables`; r13 moved the cache from per-process to
+    task-local so worker RSS stays bounded — the build is ~ms, paid
+    once per task, amortized over every chunk), after which the same
+    A/B reads 5.1x in the poly kernel's favor (three order-balanced
+    pairs, n identical). Correctness contract: window_dedup's election
     needs only hash EQUALITY <=> window-byte equality. Equal windows
     always collide (the hash is a pure function of the bytes); unequal
     windows collide with ~2^-128 probability per pair (two independent
@@ -1741,10 +1740,20 @@ def _window_hash_rows(
         # allocations (~100x a pre-touched fill in the r12 profile, and
         # the fault storms serialize across the 32 concurrent workers).
         # Fresh per-chunk transients made the vectorized kernel LOSE to
-        # the md5 loop, which allocates almost nothing.
+        # the md5 loop, which allocates almost nothing. All of these —
+        # scratch AND the power tables below — are generator-locals, so
+        # the memory is released when the task finishes (r13: bounded
+        # retained state; the r12 per-process power-table cache is gone).
         u_buf = np.empty(CHUNK + 1, np.uint64)
         t_buf = np.empty(CHUNK + 1, np.uint64)
         S_buf = np.empty(CHUNK + 2, np.uint64)
+        pow_tables: tuple | None = None
+
+        def _powers(n):
+            nonlocal pow_tables
+            if pow_tables is None or len(pow_tables[0]) < n:
+                pow_tables = _build_pow_tables(1 << max(n - 1, 1).bit_length())
+            return tuple(a[:n] for a in pow_tables)
 
         def _lane(u, pws, base_inv_pws, a, c, N):
             # S[i] = sum_{j<i} u[j] * B^j  (mod 2^64, wraparound)
@@ -1816,7 +1825,7 @@ def _window_hash_rows(
                     S_buf = np.empty(N + 2, np.uint64)
                 u = u_buf[:N]
                 u[:] = b  # widening cast into the reused buffer
-                pw1, pw2, ip1, ip2 = _poly_powers(N)
+                pw1, pw2, ip1, ip2 = _powers(N)
                 h1 = _lane(u, pw1, ip1, a, c, N)
                 h2 = _lane(u, pw2, ip2, a, c, N)
                 yield pd.DataFrame(
